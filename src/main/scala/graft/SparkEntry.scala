@@ -1,13 +1,435 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ops._
+import graft.pipelines.Iot
+import graft.text.TextAnalysis
+import graft.neardup.NearDup
+import graft.sim.Similarity
+import graft.multimodal.Multimodal
+
+/** Driver contract — named query catalog + DuckDB oracle SQL.
+  *
+  * Every `queries` entry is one operator family from SURVEY.md §2 (or a
+  * north-star extension from BASELINE.json) expressed Spark-first; the
+  * matching `oracleSql` is the ANSI equivalent DuckDB runs on the same
+  * parquet tables. Column names and types are aligned on both sides
+  * (aliased identically; counts as BIGINT, ratios rounded the same way)
+  * because the driver hash-compares values per sorted column name.
+  *
+  * Queries using engine-specific hashing (Murmur3/xxhash64 in MinHash,
+  * SimHash, LSH) have no ANSI equivalent → no oracle entry (driver
+  * records the weaker rows-only check), but each is exact-verified
+  * in-plan (candidates are checked with true Jaccard / true cosine).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    Iot.flagship(spark, "/root/testdata/sf0.001")
+
+  private def ev(s: SparkSession, d: String) = Tables.events(s, d)
+  private def docs(s: SparkSession, d: String) = Tables.documents(s, d)
+
+  /** Fixture payload for the JSON-shredding family (S3/F13/J4/A8/F12) —
+    * structure mirrors the reference pets payload (`HW-2/init/init.sql:
+    * 12-38`): array of structs, optional array field, scalar fields.
+    */
+  private val petsJson =
+    """{"pets":[
+      |{"name":"Rex","species":"dog","favFoods":["beef","chicken"],"birthYear":2019,"photo":"rex.png"},
+      |{"name":"Mia","species":"cat","birthYear":2021,"photo":"mia.png"},
+      |{"name":"Bub","species":"fish","favFoods":["flakes"],"birthYear":2022,"photo":"bub.png"}
+      |]}""".stripMargin.replace("\n", "")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- IoT flagship family (SURVEY §3.1: P1-P4, A1, A2, J1, W1, T1) ----
+    "q01_iot_clean" -> ((s, d) => Iot.cleanBanded(ev(s, d))),
+    "q02_iot_daily" -> ((s, d) => Iot.dailyAvg(ev(s, d))),
+    "q03_iot_top5_hot" -> ((s, d) => Iot.top5Hot(ev(s, d))),
+    "q04_iot_top5_cold" -> ((s, d) => Iot.top5Cold(ev(s, d))),
+
+    // ---- marts family (A3-A6, J2, W2, F8-F10) ----
+    "q05_top_event_type" -> ((s, d) =>
+      Top1PerGroup.top1(ev(s, d), Seq("user_id"), "event_type")),
+    "q06_user_activity_mart" -> ((s, d) => Marts.userActivityMart(ev(s, d))),
+    "q07_order_status_mart" -> ((s, d) => Marts.orderStatusMart(Tables.orders(s, d))),
+
+    // ---- dedup / replication family (A7, K3, S6, A9) ----
+    "q08_dedup_keep_first" -> ((s, d) =>
+      Dedup.keepFirst(ev(s, d), Seq("user_id", "event_type"),
+          Seq(col("ts").asc, col("event_id").asc))
+        .select(col("user_id"), col("event_type"), col("event_id").as("first_event_id"))),
+    "q09_insert_if_absent" -> ((s, d) => {
+      val all = ev(s, d)
+      Dedup.insertIfAbsent(all, all.filter(col("event_id") % 10 =!= 0), Seq("event_id"))
+        .select("event_id", "user_id", "event_type")
+    }),
+
+    // ---- incremental family (P8, K4, K5, F16) ----
+    "q10_incremental_daily" -> ((s, d) =>
+      Incremental.incrementalDailyAvg(ev(s, d), 8)),
+    "q11_upsert_merge" -> ((s, d) => {
+      val events = ev(s, d)
+      val daily = events.select(to_date(col("ts")).as("day"), col("value"))
+        .groupBy("day")
+        .agg(round(avg("value"), 2).as("avg_value"), count(lit(1)).as("n"))
+      val cutoff = events.agg(date_sub(max(to_date(col("ts"))), 7).as("cutoff"))
+      val incoming = daily.crossJoin(broadcast(cutoff))
+        .filter(col("day") >= col("cutoff")).drop("cutoff")
+      Incremental.mergeWindow(daily, incoming, "day", cutoff)
+    }),
+
+    // ---- shredding family (S3/S4, F13-F15, J4, A8, F12) ----
+    "q12_json_shred" -> ((s, d) =>
+      ev(s, d).select(col("event_id"), Shred.jsonInt(col("props"), "$.k").as("k"))),
+    "q13_xml_shred" -> ((s, d) => {
+      val xml = concat(
+        lit("<part><name>"), col("p_name"), lit("</name><brand>"), col("p_brand"),
+        lit("</brand><size>"), col("p_size"), lit("</size></part>"))
+      Tables.part(s, d).select(
+        col("p_partkey"),
+        Shred.xmlString(xml, "part/name").as("name_x"),
+        Shred.xmlString(xml, "part/brand").as("brand_x"),
+        Shred.xmlInt(xml, "part/size").as("size_x"))
+    }),
+    "q14_shred_pets" -> ((s, d) => {
+      val src = s.createDataFrame(Seq(Tuple1(petsJson))).toDF("payload")
+      Shred.shredPets(src, "payload").select(
+        col("name"), col("species"), col("birth_year"), col("photo"),
+        Explode.sizeOrZero(col("fav_foods")).as("n_foods"),
+        coalesce(array_join(col("fav_foods"), ";"), lit("")).as("foods"))
+    }),
+
+    // ---- sorts / set ops / arrays (T1-T3, U1, J3, A8, F12) ----
+    "q15_latest_event" -> ((s, d) =>
+      TopK.latestBy(ev(s, d), "event_id")
+        .select("event_id", "user_id", "event_type", "value")),
+    "q16_explode_words" -> ((s, d) =>
+      Explode.unnest(Tables.part(s, d), split(col("p_name"), " "), "word", col("p_partkey"))),
+    "q17_array_stats" -> ((s, d) =>
+      Explode.arrayStats(Tables.part(s, d), col("p_partkey"), split(col("p_name"), " "))
+        .withColumn("n_items", col("n_items").cast("long"))),
+    "q18_union_counts" -> ((s, d) => {
+      val tables = Seq("region", "nation", "supplier", "customer", "part")
+      tables.map(t => Tables.table(s, d, t)
+          .agg(count(lit(1)).as("n")).withColumn("tbl", lit(t)).select("tbl", "n"))
+        .reduce(_ unionByName _)
+    }),
+
+    // ---- headline analytics at bench scale (scan→join→agg→sort) ----
+    "q20_pricing_summary" -> ((s, d) =>
+      Analytics.pricingSummary(Tables.lineitem(s, d), "1998-01-01")
+        .withColumn("sum_qty", col("sum_qty").cast("double"))
+        .withColumn("sum_base_price", col("sum_base_price").cast("double"))
+        .withColumn("sum_disc_price", col("sum_disc_price").cast("double"))),
+    "q21_shipping_priority" -> ((s, d) =>
+      Analytics.shippingPriority(Tables.customer(s, d), Tables.orders(s, d),
+          Tables.lineitem(s, d), "AUTOMOBILE", "1998-01-01")
+        .withColumn("revenue", col("revenue").cast("double"))),
+    "q22_revenue_by_nation" -> ((s, d) =>
+      Analytics.revenueByNation(Tables.region(s, d), Tables.nation(s, d),
+          Tables.customer(s, d), Tables.orders(s, d), Tables.lineitem(s, d),
+          "ASIA", "1996-01-01", "1997-01-01")
+        .withColumn("revenue", col("revenue").cast("double"))),
+
+    // ---- north-star extensions: dedup (exact + near) ----
+    "x01_dedup_exact" -> ((s, d) =>
+      Dedup.exactTextDedup(docs(s, d), "doc_id", "text")),
+    "x02_jaccard_pairs" -> ((s, d) =>
+      NearDup.jaccardPairs(docs(s, d), "doc_id", "text", k = 3, threshold = 0.2)),
+    "x03_minhash_lsh" -> ((s, d) =>
+      NearDup.minhashLshPairs(docs(s, d), "doc_id", "text",
+        k = 3, numHashes = 16, bands = 4, threshold = 0.2)),
+    "x04_simhash_pairs" -> ((s, d) =>
+      NearDup.simhashPairs(docs(s, d), "doc_id", "text", maxHamming = 8)),
+
+    // ---- north-star extensions: similarity search ----
+    "x05_cosine_topk" -> ((s, d) =>
+      Similarity.cosineTopK(Tables.embeddings(s, d), "vec_id", "embedding",
+        col("vec_id") % 50 === 0, k = 5)),
+    "x06_cosine_lsh" -> ((s, d) =>
+      Similarity.cosineTopKLsh(Tables.embeddings(s, d), "vec_id", "embedding",
+        col("nid") % 50 === 0, dim = 64, k = 5, nbits = 6)),
+    "x07_embedding_neardup" -> ((s, d) =>
+      Similarity.embeddingNearDupPairs(Tables.embeddings(s, d), "vec_id", "embedding",
+        dim = 64, threshold = 0.25, nbits = 6)),
+
+    // ---- north-star extensions: text analysis ----
+    "x08_langid" -> ((s, d) => TextAnalysis.langId(docs(s, d), "doc_id", "text")),
+    "x09_text_quality" -> ((s, d) => TextAnalysis.quality(docs(s, d), "doc_id", "text")),
+    "x10_token_counts" -> ((s, d) => TextAnalysis.tokenCounts(docs(s, d), "doc_id", "text")),
+    "x11_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(docs(s, d), "doc_id", "text")),
+    "x12_rolling_hash" -> ((s, d) => TextAnalysis.rollingHash(docs(s, d), "doc_id", "text")),
+
+    // ---- north-star extensions: multimodal plumbing ----
+    "x13_multimodal_meta" -> ((s, d) =>
+      Multimodal.decodeMeta(s, Multimodal.withPayload(docs(s, d), "doc_id", "text")).toDF())
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q01_iot_clean" ->
+      """WITH base AS (
+        |  SELECT event_id, ts::DATE AS day, value FROM events
+        |  WHERE value IS NOT NULL AND trim(lower(event_type)) <> ''),
+        |p AS (
+        |  SELECT percentile_cont(0.05) WITHIN GROUP (ORDER BY value) AS p_lo,
+        |         percentile_cont(0.95) WITHIN GROUP (ORDER BY value) AS p_hi
+        |  FROM base)
+        |SELECT event_id, day, value FROM base, p
+        |WHERE value BETWEEN p_lo AND p_hi""".stripMargin,
+    "q02_iot_daily" ->
+      """WITH base AS (
+        |  SELECT event_id, ts::DATE AS day, value FROM events
+        |  WHERE value IS NOT NULL AND trim(lower(event_type)) <> ''),
+        |p AS (
+        |  SELECT percentile_cont(0.05) WITHIN GROUP (ORDER BY value) AS p_lo,
+        |         percentile_cont(0.95) WITHIN GROUP (ORDER BY value) AS p_hi
+        |  FROM base)
+        |SELECT day, round(avg(value), 2) AS avg_value, count(*) AS n
+        |FROM base, p WHERE value BETWEEN p_lo AND p_hi GROUP BY day""".stripMargin,
+    "q03_iot_top5_hot" ->
+      """WITH base AS (
+        |  SELECT ts::DATE AS day, value FROM events
+        |  WHERE value IS NOT NULL AND trim(lower(event_type)) <> ''),
+        |p AS (
+        |  SELECT percentile_cont(0.05) WITHIN GROUP (ORDER BY value) AS p_lo,
+        |         percentile_cont(0.95) WITHIN GROUP (ORDER BY value) AS p_hi
+        |  FROM base),
+        |daily AS (
+        |  SELECT day, round(avg(value), 2) AS avg_value, count(*) AS n
+        |  FROM base, p WHERE value BETWEEN p_lo AND p_hi GROUP BY day)
+        |SELECT day, avg_value, n,
+        |       CAST(row_number() OVER (ORDER BY avg_value DESC, day ASC) AS BIGINT) AS rnk
+        |FROM daily ORDER BY avg_value DESC, day ASC LIMIT 5""".stripMargin,
+    "q04_iot_top5_cold" ->
+      """WITH base AS (
+        |  SELECT ts::DATE AS day, value FROM events
+        |  WHERE value IS NOT NULL AND trim(lower(event_type)) <> ''),
+        |p AS (
+        |  SELECT percentile_cont(0.05) WITHIN GROUP (ORDER BY value) AS p_lo,
+        |         percentile_cont(0.95) WITHIN GROUP (ORDER BY value) AS p_hi
+        |  FROM base),
+        |daily AS (
+        |  SELECT day, round(avg(value), 2) AS avg_value, count(*) AS n
+        |  FROM base, p WHERE value BETWEEN p_lo AND p_hi GROUP BY day)
+        |SELECT day, avg_value, n,
+        |       CAST(row_number() OVER (ORDER BY avg_value ASC, day ASC) AS BIGINT) AS rnk
+        |FROM daily ORDER BY avg_value ASC, day ASC LIMIT 5""".stripMargin,
+    "q05_top_event_type" ->
+      """SELECT user_id, event_type, cnt FROM (
+        |  SELECT user_id, event_type, count(*) AS cnt,
+        |         row_number() OVER (PARTITION BY user_id
+        |                            ORDER BY count(*) DESC, event_type ASC) AS rn
+        |  FROM events GROUP BY user_id, event_type) t
+        |WHERE rn = 1""".stripMargin,
+    "q06_user_activity_mart" ->
+      """WITH stats AS (
+        |  SELECT user_id, count(*) AS n_events,
+        |         round(sum(value), 2) AS total_value,
+        |         round(avg(value), 2) AS avg_value,
+        |         count(DISTINCT ts::DATE) AS n_active_days
+        |  FROM events GROUP BY user_id),
+        |top AS (
+        |  SELECT user_id, event_type AS top_event_type, cnt AS top_event_cnt FROM (
+        |    SELECT user_id, event_type, count(*) AS cnt,
+        |           row_number() OVER (PARTITION BY user_id
+        |                              ORDER BY count(*) DESC, event_type ASC) AS rn
+        |    FROM events GROUP BY user_id, event_type) t WHERE rn = 1)
+        |SELECT s.user_id, s.n_events, s.total_value, s.avg_value, s.n_active_days,
+        |       top.top_event_type, top.top_event_cnt
+        |FROM stats s LEFT JOIN top USING (user_id)""".stripMargin,
+    "q07_order_status_mart" ->
+      """SELECT date_trunc('month', o_orderdate)::DATE AS order_month,
+        |       count(*) AS n_orders,
+        |       count(*) FILTER (WHERE o_orderstatus = 'O') AS n_open,
+        |       count(*) FILTER (WHERE o_orderstatus = 'F') AS n_filled,
+        |       count(*) FILTER (WHERE o_orderstatus = 'P') AS n_pending,
+        |       round(avg(o_totalprice), 2) AS avg_price,
+        |       round(min(o_totalprice), 2) AS min_price,
+        |       round(max(o_totalprice), 2) AS max_price
+        |FROM orders GROUP BY 1""".stripMargin,
+    "q08_dedup_keep_first" ->
+      """SELECT user_id, event_type, event_id AS first_event_id FROM (
+        |  SELECT user_id, event_type, event_id,
+        |         row_number() OVER (PARTITION BY user_id, event_type
+        |                            ORDER BY ts ASC, event_id ASC) AS rn
+        |  FROM events) t WHERE rn = 1""".stripMargin,
+    "q09_insert_if_absent" ->
+      """SELECT event_id, user_id, event_type FROM events e
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM events o
+        |  WHERE o.event_id % 10 <> 0 AND o.event_id = e.event_id)""".stripMargin,
+    "q10_incremental_daily" ->
+      """WITH m AS (SELECT max(ts::DATE) - 7 AS cutoff FROM events)
+        |SELECT ts::DATE AS day, round(avg(value), 2) AS avg_value, count(*) AS n
+        |FROM events, m WHERE ts::DATE >= cutoff GROUP BY 1""".stripMargin,
+    "q11_upsert_merge" ->
+      """SELECT ts::DATE AS day, round(avg(value), 2) AS avg_value, count(*) AS n
+        |FROM events GROUP BY 1""".stripMargin,
+    "q12_json_shred" ->
+      """SELECT event_id,
+        |       CAST(regexp_extract(props, '"k": (-?[0-9]+)', 1) AS INTEGER) AS k
+        |FROM events""".stripMargin,
+    "q13_xml_shred" ->
+      """SELECT p_partkey, p_name AS name_x, p_brand AS brand_x, p_size AS size_x
+        |FROM part""".stripMargin,
+    "q14_shred_pets" ->
+      """SELECT * FROM (VALUES
+        |  ('Rex', 'dog', 2019, 'rex.png', 2, 'beef;chicken'),
+        |  ('Mia', 'cat', 2021, 'mia.png', 0, ''),
+        |  ('Bub', 'fish', 2022, 'bub.png', 1, 'flakes'))
+        |AS t(name, species, birth_year, photo, n_foods, foods)""".stripMargin,
+    "q15_latest_event" ->
+      """SELECT event_id, user_id, event_type, value FROM events
+        |ORDER BY event_id DESC LIMIT 1""".stripMargin,
+    "q16_explode_words" ->
+      """SELECT p_partkey, word FROM (
+        |  SELECT p_partkey, unnest(string_split(p_name, ' ')) AS word FROM part) t
+        |WHERE word IS NOT NULL AND word <> ''""".stripMargin,
+    "q17_array_stats" ->
+      """SELECT p_partkey,
+        |       CAST(len(string_split(p_name, ' ')) AS BIGINT) AS n_items,
+        |       array_to_string(string_split(p_name, ' '), ';') AS joined
+        |FROM part""".stripMargin,
+    "q18_union_counts" ->
+      """SELECT 'region' AS tbl, count(*) AS n FROM region
+        |UNION ALL SELECT 'nation', count(*) FROM nation
+        |UNION ALL SELECT 'supplier', count(*) FROM supplier
+        |UNION ALL SELECT 'customer', count(*) FROM customer
+        |UNION ALL SELECT 'part', count(*) FROM part""".stripMargin,
+    "q20_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
+        |       round(avg(l_quantity), 2) AS avg_qty,
+        |       round(avg(l_discount), 4) AS avg_disc,
+        |       count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate < TIMESTAMP '1998-01-01'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "q21_shipping_priority" ->
+      """SELECT o_orderkey, o_orderdate::DATE AS o_orderdate,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+        |FROM customer
+        |JOIN orders ON o_custkey = c_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'AUTOMOBILE'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |  AND l_shipdate > TIMESTAMP '1998-01-01'
+        |GROUP BY o_orderkey, o_orderdate::DATE
+        |ORDER BY revenue DESC, o_orderkey ASC LIMIT 10""".stripMargin,
+    "q22_revenue_by_nation" ->
+      """SELECT n_name,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+        |FROM region
+        |JOIN nation ON n_regionkey = r_regionkey
+        |JOIN customer ON c_nationkey = n_nationkey
+        |JOIN orders ON o_custkey = c_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY n_name ORDER BY revenue DESC, n_name ASC""".stripMargin,
+    "x01_dedup_exact" ->
+      """SELECT md5(lower(trim(text))) AS text_hash,
+        |       min(doc_id) AS keeper_id, count(*) AS n_copies
+        |FROM documents GROUP BY 1""".stripMargin,
+    "x02_jaccard_pairs" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |                             x -> x <> '') AS t
+        |  FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle
+        |  FROM toks, UNNEST(range(1, len(t) - 1)) AS u(i)
+        |  WHERE len(t) >= 3),
+        |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT doc_a, doc_b, n_common,
+        |       round(n_common::DOUBLE / (sa.n_sh + sb.n_sh - n_common), 4) AS jaccard
+        |FROM inter
+        |JOIN sizes sa ON sa.doc_id = doc_a
+        |JOIN sizes sb ON sb.doc_id = doc_b
+        |WHERE round(n_common::DOUBLE / (sa.n_sh + sb.n_sh - n_common), 4) >= 0.2""".stripMargin,
+    "x05_cosine_topk" ->
+      """WITH q AS (
+        |  SELECT vec_id AS qid, embedding::DOUBLE[] AS qvec
+        |  FROM embeddings WHERE vec_id % 50 = 0),
+        |s AS (
+        |  SELECT q.qid, e.vec_id AS nid,
+        |         round(list_cosine_similarity(q.qvec, e.embedding::DOUBLE[]), 6) AS sim
+        |  FROM q, embeddings e WHERE e.vec_id <> q.qid),
+        |r AS (
+        |  SELECT qid, nid, sim,
+        |         CAST(row_number() OVER (PARTITION BY qid
+        |                                 ORDER BY sim DESC, nid ASC) AS BIGINT) AS rnk
+        |  FROM s)
+        |SELECT qid, nid, sim, rnk FROM r WHERE rnk <= 5""".stripMargin,
+    "x08_langid" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |                             x -> x <> '') AS toks
+        |  FROM documents),
+        |h AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(toks, x -> x IN ('the','a','and','of','to'))) AS INTEGER) AS en_hits,
+        |    CAST(len(list_filter(toks, x -> x IN ('der','die','und','das','ein'))) AS INTEGER) AS de_hits,
+        |    CAST(len(list_filter(toks, x -> x IN ('le','la','et','les','des'))) AS INTEGER) AS fr_hits,
+        |    CAST(len(list_filter(toks, x -> x IN ('el','los','y','las','una'))) AS INTEGER) AS es_hits
+        |  FROM t)
+        |SELECT doc_id, en_hits, de_hits, fr_hits, es_hits,
+        |  CASE WHEN greatest(en_hits, de_hits, fr_hits, es_hits) = 0 THEN 'und'
+        |       WHEN en_hits = greatest(en_hits, de_hits, fr_hits, es_hits) THEN 'en'
+        |       WHEN de_hits = greatest(en_hits, de_hits, fr_hits, es_hits) THEN 'de'
+        |       WHEN fr_hits = greatest(en_hits, de_hits, fr_hits, es_hits) THEN 'fr'
+        |       ELSE 'es' END AS pred_lang
+        |FROM h""".stripMargin,
+    "x09_text_quality" ->
+      """WITH t AS (
+        |  SELECT doc_id, text,
+        |         list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |                     x -> x <> '') AS toks
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id,
+        |    CAST(len(toks) AS INTEGER) AS n_tokens,
+        |    CAST(length(text) AS INTEGER) AS len_chars,
+        |    CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS INTEGER) AS n_punct,
+        |    CAST(len(list_filter(toks, x -> x IN ('a','and','das','der','des','die',
+        |      'ein','el','et','la','las','le','les','los','of','the','to','una','und','y')))
+        |      AS INTEGER) AS n_stop
+        |  FROM t)
+        |SELECT doc_id, n_tokens, len_chars,
+        |  round(len_chars::DOUBLE / greatest(n_tokens, 1), 3) AS chars_per_token,
+        |  round(n_punct::DOUBLE / greatest(len_chars, 1), 4) AS punct_ratio,
+        |  round(n_stop::DOUBLE / greatest(n_tokens, 1), 4) AS stopword_ratio,
+        |  CASE WHEN n_tokens < 5 THEN 'too_short'
+        |       WHEN n_punct::DOUBLE / greatest(len_chars, 1) > 0.2 THEN 'punct_heavy'
+        |       ELSE 'ok' END AS quality_bucket
+        |FROM m""".stripMargin,
+    "x10_token_counts" ->
+      """SELECT doc_id,
+        |  CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |                       x -> x <> '')) AS INTEGER) AS ws_tokens,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
+        |    AS INTEGER) AS bpe_tokens
+        |FROM documents""".stripMargin,
+    "x11_fingerprint" ->
+      """SELECT doc_id,
+        |       md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint
+        |FROM documents""".stripMargin,
+    "x13_multimodal_meta" ->
+      """SELECT doc_id,
+        |       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |       CAST(octet_length(encode(text)) % 640 AS BIGINT) AS fake_width,
+        |       CAST((octet_length(encode(text)) * 7) % 480 AS BIGINT) AS fake_height,
+        |       CASE WHEN octet_length(encode(text)) % 2 = 0
+        |            THEN 'png' ELSE 'jpeg' END AS format
+        |FROM documents""".stripMargin
+  )
 }

