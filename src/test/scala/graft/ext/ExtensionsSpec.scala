@@ -1,0 +1,122 @@
+package graft.ext
+
+import graft.{SparkSpec, Tables}
+import graft.neardup.NearDup
+import graft.sim.Similarity
+import graft.text.TextAnalysis
+import graft.multimodal.Multimodal
+import org.apache.spark.sql.functions._
+
+/** North-star extension operators: near-dup, similarity, text analysis,
+  * multimodal plumbing (BASELINE.json).
+  */
+class ExtensionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val dupDocs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy dog"),   // exact dup of 1
+    (3L, "the quick brown fox jumps over a sleepy dog"),   // near dup
+    (4L, "completely different words entirely here now yes")
+  ).toDF("doc_id", "text")
+
+  test("jaccardPairs finds exact and near duplicates, not unrelated docs") {
+    val pairs = NearDup.jaccardPairs(dupDocs, "doc_id", "text", 3, 0.2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getAs[Double]("jaccard")))
+    val exact = pairs.find(p => p._1 == 1 && p._2 == 2)
+    assert(exact.exists(_._3 == 1.0))
+    assert(pairs.exists(p => p._1 == 1 && p._2 == 3)) // near dup found
+    assert(!pairs.exists(p => p._2 == 4))             // unrelated excluded
+  }
+
+  test("minhash LSH finds the exact-dup pair with verified jaccard 1.0") {
+    val pairs = NearDup.minhashLshPairs(dupDocs, "doc_id", "text").collect()
+    assert(pairs.exists(r => r.getLong(0) == 1 && r.getLong(1) == 2 &&
+      r.getAs[Double]("jaccard") == 1.0))
+  }
+
+  test("simhash: identical docs have distance 0 and are paired") {
+    val pairs = NearDup.simhashPairs(dupDocs, "doc_id", "text", maxHamming = 8)
+      .collect()
+    assert(pairs.exists(r => r.getLong(0) == 1 && r.getLong(1) == 2 &&
+      r.getAs[Int]("hamming") == 0))
+  }
+
+  test("cosine of a vector with itself is 1") {
+    val df = Seq((1L, Seq(0.6d, 0.8d))).toDF("id", "v")
+    val c = df.select(Similarity.cosine(col("v"), col("v")).as("c"))
+      .collect()(0).getDouble(0)
+    assert(math.abs(c - 1.0) < 1e-12)
+  }
+
+  test("cosineTopK: k neighbors per query, self excluded, ranked desc") {
+    val out = Similarity.cosineTopK(Tables.embeddings(spark, sfDir),
+      "vec_id", "embedding", col("vec_id") % 100 === 0, k = 3)
+    val rows = out.collect()
+    val byQ = rows.groupBy(_.getAs[Long]("qid"))
+    assert(byQ.values.forall(_.length == 3))
+    assert(rows.forall(r => r.getAs[Long]("qid") != r.getAs[Long]("nid")))
+    byQ.values.foreach { g =>
+      val sims = g.sortBy(_.getAs[Long]("rnk")).map(_.getAs[Double]("sim"))
+      assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("LSH bucketed topk is structurally valid (bounded k, query subset)") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val lsh = Similarity.cosineTopKLsh(emb, "vec_id", "embedding",
+      col("nid") % 100 === 0, dim = 64, k = 5).collect()
+    // recall vs brute force is data-dependent (random vectors bucket almost
+    // uniformly), so assert structure: only query ids, self excluded, ≤ k
+    // ranked results per query, ranks contiguous from 1.
+    assert(lsh.nonEmpty)
+    assert(lsh.forall(r => r.getAs[Long]("qid") % 100 == 0))
+    assert(lsh.forall(r => r.getAs[Long]("qid") != r.getAs[Long]("nid")))
+    lsh.groupBy(_.getAs[Long]("qid")).values.foreach { g =>
+      val rnks = g.map(_.getAs[Long]("rnk")).sorted
+      assert(rnks.length <= 5 && rnks.toSeq == (1L to rnks.length).toSeq)
+    }
+  }
+
+  test("langId predicts via stopword hits with fixed tie order") {
+    val df = Seq((1L, "the cat and the dog of it"), (2L, "der hund und die katze"),
+      (3L, "zzz qqq www")).toDF("doc_id", "text")
+    val out = TextAnalysis.langId(df, "doc_id", "text").orderBy("doc_id")
+      .select("pred_lang").collect().map(_.getString(0))
+    assert(out.toSeq == Seq("en", "de", "und"))
+  }
+
+  test("quality metrics: token counts and ratios") {
+    val df = Seq((1L, "Hello, world! This is a test.")).toDF("doc_id", "text")
+    val r = TextAnalysis.quality(df, "doc_id", "text").collect()(0)
+    assert(r.getAs[Int]("n_tokens") == 6)
+    assert(r.getAs[Int]("len_chars") == 29)
+    assert(r.getAs[String]("quality_bucket") == "ok")
+  }
+
+  test("tokenCounts: ws vs bpe-ish tokenizers") {
+    val df = Seq((1L, "abc de-f 42")).toDF("doc_id", "text")
+    val r = TextAnalysis.tokenCounts(df, "doc_id", "text").collect()(0)
+    assert(r.getAs[Int]("ws_tokens") == 3)
+    // abc | de | - | f | 42
+    assert(r.getAs[Int]("bpe_tokens") == 5)
+  }
+
+  test("fingerprint is whitespace-insensitive; rollingHash is order-sensitive") {
+    val df = Seq((1L, "a  b   c"), (2L, "a b c"), (3L, "c b a")).toDF("doc_id", "text")
+    val fp = TextAnalysis.fingerprint(df, "doc_id", "text")
+      .collect().map(_.getString(1))
+    assert(fp(0) == fp(1))
+    val rh = TextAnalysis.rollingHash(df, "doc_id", "text")
+      .collect().map(_.getLong(1))
+    assert(rh(0) == rh(1) && rh(0) != rh(2))
+  }
+
+  test("multimodal decode stub produces deterministic metadata") {
+    val media = Multimodal.withPayload(Seq((7L, "abcd")).toDF("doc_id", "text"),
+      "doc_id", "text")
+    val m = Multimodal.decodeMeta(spark, media).collect()(0)
+    assert(m.n_bytes == 4 && m.fake_width == 4 && m.fake_height == 28 &&
+      m.format == "png")
+  }
+}

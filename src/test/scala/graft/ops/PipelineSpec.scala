@@ -1,0 +1,56 @@
+package graft.ops
+
+import graft.{SparkSpec, Tables}
+import graft.pipelines.Iot
+import org.apache.spark.sql.functions._
+
+/** Pipeline-level invariants: the IoT flagship, marts, incremental
+  * merge ≡ full recompute, and validation counts (SURVEY.md §3.1/§2.10).
+  */
+class PipelineSpec extends SparkSpec {
+
+  test("flagship top5 returns exactly 5 ranked days") {
+    val out = Iot.top5Hot(Tables.events(spark, sfDir)).collect()
+    assert(out.length == 5)
+    assert(out.map(_.getAs[Long]("rnk")).toSeq == Seq(1L, 2L, 3L, 4L, 5L))
+    // ranked by avg_value desc
+    val avgs = out.map(_.getAs[Double]("avg_value"))
+    assert(avgs.zip(avgs.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("banded clean drops ~10% (outside p05..p95)") {
+    val ev = Tables.events(spark, sfDir)
+    val n = ev.count().toDouble
+    val banded = Iot.cleanBanded(ev).count().toDouble
+    assert(banded / n > 0.85 && banded / n <= 0.95)
+  }
+
+  test("incremental merge over window equals full recompute (K4/K5 property)") {
+    val events = Tables.events(spark, sfDir)
+    val daily = events.select(to_date(col("ts")).as("day"), col("value"))
+      .groupBy("day")
+      .agg(round(avg("value"), 2).as("avg_value"), count(lit(1)).as("n"))
+    val cutoff = events.agg(date_sub(max(to_date(col("ts"))), 7).as("cutoff"))
+    val incoming = daily.crossJoin(broadcast(cutoff))
+      .filter(col("day") >= col("cutoff")).drop("cutoff")
+    val merged = Incremental.mergeWindow(daily, incoming, "day", cutoff)
+    assert(merged.collect().toSet == daily.collect().toSet)
+  }
+
+  test("incremental daily covers exactly the cutoff window") {
+    val out = Incremental.incrementalDailyAvg(Tables.events(spark, sfDir), 8)
+    assert(out.count() >= 1 && out.count() <= 8)
+  }
+
+  test("order status mart: status counts sum to n_orders") {
+    val m = Marts.orderStatusMart(Tables.orders(spark, sfDir))
+    val bad = m.filter(col("n_open") + col("n_filled") + col("n_pending") =!= col("n_orders"))
+    assert(bad.count() == 0)
+  }
+
+  test("user activity mart joins a top type for every user (A9 validation)") {
+    val m = Marts.userActivityMart(Tables.events(spark, sfDir))
+    assert(m.count() > 0)
+    assert(m.filter(col("top_event_type").isNull).count() == 0)
+  }
+}
