@@ -87,19 +87,19 @@ object NearDup {
           col(s"a.band_$b") === col(s"b.band_$b") && col("a.id") < col("b.id"))
         .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
     }.reduce(_ unionByName _).distinct()
-    // verify candidates with exact Jaccard (no false positives at output)
-    val sizes = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
+    // Verify candidates with exact Jaccard — via per-doc shingle SETS and
+    // array_intersect, not a re-join on the shingle inverted index: each
+    // candidate row carries two bounded arrays (doc-length-bounded), so
+    // verification is map-side and O(candidates), independent of how hot
+    // individual shingles are.
+    val sets = sh.groupBy("id").agg(collect_set("shingle").as("shset"))
     candidates
-      .join(sh.withColumnRenamed("id", "doc_a").withColumnRenamed("shingle", "sh_a"), "doc_a")
-      .join(sh.withColumnRenamed("id", "doc_b").withColumnRenamed("shingle", "sh_b"), "doc_b")
-      .filter(col("sh_a") === col("sh_b"))
-      .groupBy("doc_a", "doc_b")
-      .agg(count(lit(1)).as("n_common"))
-      .join(sizes.withColumnRenamed("id", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
-      .join(sizes.withColumnRenamed("id", "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
+      .join(sets.select(col("id").as("doc_a"), col("shset").as("set_a")), "doc_a")
+      .join(sets.select(col("id").as("doc_b"), col("shset").as("set_b")), "doc_b")
+      .withColumn("n_common", size(array_intersect(col("set_a"), col("set_b"))))
       .withColumn("jaccard",
         round(col("n_common").cast("double") /
-          (col("n_a") + col("n_b") - col("n_common")), 4))
+          (size(col("set_a")) + size(col("set_b")) - col("n_common")), 4))
       .filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "jaccard")
   }

@@ -48,17 +48,28 @@ object Similarity {
     scored.withColumn("rnk", row_number().over(w).cast("long")).filter(col("rnk") <= k)
   }
 
+  /** Deterministic pseudo-random hyperplane component in [-1, 1):
+    * splitmix64-style bit mix of (bit, component) — a pure function, so
+    * the same plan (and buckets) reproduce at any scale with no RNG.
+    */
+  private def planeConst(b: Int, i: Int): Double = {
+    var z = (b.toLong << 32 | i.toLong) + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z = z ^ (z >>> 31)
+    (z >>> 11).toDouble / (1L << 53).toDouble * 2.0 - 1.0
+  }
+
   /** Random-hyperplane LSH bucket key: `nbits` sign bits of dot products
-    * with pseudo-random hyperplanes derived deterministically from
-    * xxhash64(bit index, component index) — reproducible without a
-    * driver-side RNG, same plan at any scale.
+    * with deterministic hyperplanes. The planes are literal arrays, so
+    * each bit is one codegen'd zip_with/aggregate pass — compact generated
+    * code (the earlier per-component expression unrolling produced
+    * nbits×dim-term trees that dominated compile time).
     */
   def lshBucket(vec: Column, dim: Int, nbits: Int = 8): Column = {
-    def planeComponent(b: Int, i: Int): Column =
-      (pmod(xxhash64(lit(b * 7919 + i)), lit(2001L)) - 1000L).cast("double") / 1000.0d
     val bits = (0 until nbits).map { b =>
-      val d = (0 until dim).map(i => element_at(vec, i + 1) * planeComponent(b, i))
-        .reduce(_ + _)
+      val plane = array((0 until dim).map(i => lit(planeConst(b, i))): _*)
+      val d = dot(vec, plane)
       when(d > 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
     }
     bits.reduce(_.bitwiseOR(_))
