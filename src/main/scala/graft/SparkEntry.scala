@@ -118,6 +118,25 @@ object SparkEntry {
         .reduce(_ unionByName _)
     }),
 
+    // P1/F2/F3/F5/F7 typed clean, exercised as a round-trip: format ts and
+    // value to raw text (two timestamp formats by parity, decimal-comma
+    // floats) then re-type them with the cleaning operators. The oracle is
+    // the identity on the source columns — exactly the reference's
+    // "all-TEXT raw layer, typed in the transform" semantics
+    // (HW-3/init/init.sql:6-13 + iot_temperature.py:48-62).
+    "q19_typed_clean" -> ((s, d) => {
+      val raw = ev(s, d).select(
+        col("event_id"),
+        when(col("event_id") % 2 === 0,
+            date_format(col("ts"), "dd-MM-yyyy HH:mm:ss"))
+          .otherwise(date_format(col("ts"), "dd-MM-yyyy HH:mm")).as("noted"),
+        translate(col("value").cast("string"), ".", ",").as("temp_txt"))
+      raw.select(
+        col("event_id"),
+        to_date(Cleaning.parseTsMultiFormat(col("noted"))).as("day"),
+        Cleaning.numericText(col("temp_txt")).as("temp"))
+    }),
+
     // ---- headline analytics at bench scale (scan→join→agg→sort) ----
     "q20_pricing_summary" -> ((s, d) =>
       Analytics.pricingSummary(Tables.lineitem(s, d), "1998-01-01")
@@ -299,6 +318,8 @@ object SparkEntry {
         |UNION ALL SELECT 'supplier', count(*) FROM supplier
         |UNION ALL SELECT 'customer', count(*) FROM customer
         |UNION ALL SELECT 'part', count(*) FROM part""".stripMargin,
+    "q19_typed_clean" ->
+      """SELECT event_id, ts::DATE AS day, value AS temp FROM events""".stripMargin,
     "q20_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

@@ -1,0 +1,65 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+class EventStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("dailyAvgStream on a MemoryStream aggregates per day with watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Double)]
+    val df = mem.toDF().toDF("ts", "value")
+    val q = EventStream.startDailyToMemory(df, "daily_test")
+    try {
+      mem.addData(
+        (ts("2024-03-01 10:00:00"), 10.0),
+        (ts("2024-03-01 14:00:00"), 20.0),
+        (ts("2024-03-02 09:00:00"), 30.0))
+      q.processAllAvailable()
+      val out = spark.sql("SELECT * FROM daily_test").collect()
+        .map(r => (r.getDate(0).toString, r.getDouble(1), r.getLong(2))).toSet
+      assert(out == Set(("2024-03-01", 15.0, 2L), ("2024-03-02", 30.0, 1L)))
+      // late-but-within-watermark event updates its day bucket
+      mem.addData((ts("2024-03-01 18:00:00"), 30.0))
+      q.processAllAvailable()
+      val upd = spark.sql("SELECT * FROM daily_test")
+        .groupBy("day").agg(max("n").as("n"))
+        .filter($"day" === "2024-03-01").collect()(0).getLong(1)
+      assert(upd == 3L)
+    } finally q.stop()
+  }
+
+  test("dailyAvgStream transform gives identical results on a batch input") {
+    val batch = Seq(
+      (ts("2024-03-01 10:00:00"), 10.0),
+      (ts("2024-03-01 14:00:00"), 20.0),
+      (ts("2024-03-02 09:00:00"), 30.0)).toDF("ts", "value")
+    val out = EventStream.dailyAvgStream(batch).collect()
+      .map(r => (r.getDate(0).toString, r.getDouble(1), r.getLong(2))).toSet
+    assert(out == Set(("2024-03-01", 15.0, 2L), ("2024-03-02", 30.0, 1L)))
+  }
+
+  test("sessionize groups events within the gap into one session") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[EventStream.SessionIn]
+    val q = EventStream.sessionize(spark, mem.toDS())
+      .writeStream.format("memory").queryName("sessions_test")
+      .outputMode("update").start()
+    try {
+      mem.addData(
+        EventStream.SessionIn(1L, ts("2024-03-01 10:00:00"), 1.0),
+        EventStream.SessionIn(1L, ts("2024-03-01 10:10:00"), 2.0),
+        EventStream.SessionIn(2L, ts("2024-03-01 12:00:00"), 5.0))
+      q.processAllAvailable()
+      val out = spark.sql("SELECT * FROM sessions_test").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      assert(out.contains((1L, 2L, 10.0, 3.0)))
+      assert(out.contains((2L, 1L, 0.0, 5.0)))
+    } finally q.stop()
+  }
+}
