@@ -56,4 +56,26 @@ object Shred {
         col("pet.birthYear").as("birth_year"),
         col("pet.photo").as("photo"),
         col("pet.favFoods").as("fav_foods"))
+
+  /** K2: deterministic contiguous surrogate key (`INSERT ... RETURNING id`
+    * equivalent, `HW-2/airflow/dags/sources_to_linear.py:59-79`). The
+    * unpartitioned window is intentional and documented: correct for
+    * mart/dimension-sized parents (≤ millions); for fact-scale frames use
+    * `withUniqueId` (non-contiguous, fully parallel) instead.
+    */
+  def withSurrogateId(df: DataFrame, order: Seq[Column], idCol: String): DataFrame =
+    df.withColumn(idCol,
+      row_number().over(org.apache.spark.sql.expressions.Window.orderBy(order: _*))
+        .cast("long"))
+
+  /** K2 at scale: unique (non-contiguous) 64-bit id, no shuffle at all. */
+  def withUniqueId(df: DataFrame, idCol: String): DataFrame =
+    df.withColumn(idCol, monotonically_increasing_id())
+
+  /** J4: FK child table from a parent array column — one row per element
+    * referencing the parent's key (pets → pet_favfoods,
+    * `HW-2/init/init.sql:284-288`). Generate node: pipelined, no shuffle.
+    */
+  def childTable(parent: DataFrame, idCol: String, arr: Column, as: String): DataFrame =
+    parent.select(col(idCol), explode(arr).as(as))
 }

@@ -1,0 +1,63 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types._
+
+/** Source operators: raw CSV load (all-TEXT schema-on-write) and
+  * JSON-lines document collections with declared nested schemas.
+  *
+  * Reference:
+  *  - S1/S2 HTTP CSV → `COPY ... FORMAT csv, HEADER true` into an
+  *    all-TEXT raw table (`HW-3/airflow/dags/iot_temperature.py:16-36`,
+  *    DDL `HW-3/init/init.sql:6-13`). The HTTP fetch is environment
+  *    plumbing; the capability is the header-CSV bulk load with every
+  *    column kept TEXT and typed later in the transform (SURVEY.md §1.2).
+  *  - S5 Mongo full-collection scan (`final-module-3/airflow/dags/
+  *    mongo_to_postgres_replication.py:118,149,186`) → JSON-lines read
+  *    with an explicit nested StructType (never inferSchema — schema
+  *    drift must fail loudly, not silently re-type a 100 TB load).
+  *
+  * Scale: both readers are splittable file scans (CSV line-split, JSON
+  * line-split) — parallelism = input splits; explicit schemas skip the
+  * inference pass that would double-read the input.
+  */
+object Sources {
+
+  /** All-string schema for a named column list (raw-layer semantics). */
+  def allStringSchema(cols: Seq[String]): StructType =
+    StructType(cols.map(StructField(_, StringType)))
+
+  /** Header CSV → all-TEXT DataFrame with the declared column set (S2). */
+  def rawCsv(spark: SparkSession, path: String, cols: Seq[String]): DataFrame =
+    spark.read
+      .option("header", "true")
+      .schema(allStringSchema(cols))
+      .csv(path)
+
+  /** Session-collection schema (FIXTURES.md §A4 user_sessions). */
+  val sessionsSchema: StructType = StructType(Seq(
+    StructField("session_id", StringType),
+    StructField("user_id", StringType),
+    StructField("start_time", TimestampType),
+    StructField("end_time", TimestampType),
+    StructField("pages_visited", ArrayType(StringType)),
+    StructField("device", StringType),
+    StructField("actions", ArrayType(StringType))))
+
+  /** Event-log schema with the nested details struct (FIXTURES.md §A4):
+    * fixed fields → StructType, not MapType (SURVEY.md §1.2).
+    */
+  val eventLogSchema: StructType = StructType(Seq(
+    StructField("event_id", StringType),
+    StructField("timestamp", TimestampType),
+    StructField("event_type", StringType),
+    StructField("details", StructType(Seq(
+      StructField("page", StringType),
+      StructField("user_id", StringType),
+      StructField("extra", StructType(Seq(
+        StructField("error_code", IntegerType)))))))))
+
+  /** JSON-lines document collection with a declared schema (S5). */
+  def documents(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).json(path)
+}
