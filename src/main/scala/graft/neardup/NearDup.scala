@@ -78,15 +78,18 @@ object NearDup {
     val rows = numHashes / bands
     val sh = shingles(df, idCol, textCol, k).cache()
     val sig = minhashSignatures(sh, numHashes)
-    // band key = hash of the band's signature slice → (band_id, bucket)
-    val banded = sig.select(col("id") +: (0 until bands).map { b =>
-      hash((b * rows until (b + 1) * rows).map(i => col(s"mh_$i")): _*).as(s"band_$b")
-    }: _*)
-    val candidates = (0 until bands).map { b =>
-      banded.as("a").join(banded.as("b"),
-          col(s"a.band_$b") === col(s"b.band_$b") && col("a.id") < col("b.id"))
-        .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
-    }.reduce(_ unionByName _).distinct()
+    // (band_id, band_hash) inverted index: ONE equi-join on the composite
+    // bucket key replaces per-band self-joins + union — one shuffle, and
+    // the band id rides in the join key so buckets from different bands
+    // never collide.
+    val banded = sig.select(col("id"), posexplode(array((0 until bands).map { b =>
+      hash((b * rows until (b + 1) * rows).map(i => col(s"mh_$i")): _*)
+    }: _*)).as(Seq("band_id", "band_hash")))
+    val candidates = banded.as("a").join(banded.as("b"),
+        col("a.band_id") === col("b.band_id") &&
+          col("a.band_hash") === col("b.band_hash") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
+      .distinct()
     // Verify candidates with exact Jaccard — via per-doc shingle SETS and
     // array_intersect, not a re-join on the shingle inverted index: each
     // candidate row carries two bounded arrays (doc-length-bounded), so
@@ -130,15 +133,18 @@ object NearDup {
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 6): DataFrame = {
     val sig = simhash(df, idCol, textCol)
-    val banded = sig.select((col("id") +: col("simhash") +:
-      (0 until 4).map(c => shiftright(col("simhash"), c * 16)
-        .bitwiseAND(lit(0xFFFFL)).as(s"chunk_$c"))): _*)
-    (0 until 4).map { c =>
-      banded.as("a").join(banded.as("b"),
-          col(s"a.chunk_$c") === col(s"b.chunk_$c") && col("a.id") < col("b.id"))
-        .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"),
-          col("a.simhash").as("sh_a"), col("b.simhash").as("sh_b"))
-    }.reduce(_ unionByName _).distinct()
+    // (chunk_id, chunk_value) inverted index → single equi-join, as in
+    // the MinHash banding.
+    val banded = sig.select(col("id"), col("simhash"),
+      posexplode(array((0 until 4).map(c =>
+        shiftright(col("simhash"), c * 16).bitwiseAND(lit(0xFFFFL))): _*))
+        .as(Seq("chunk_id", "chunk_val")))
+    banded.as("a").join(banded.as("b"),
+        col("a.chunk_id") === col("b.chunk_id") &&
+          col("a.chunk_val") === col("b.chunk_val") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"),
+        col("a.simhash").as("sh_a"), col("b.simhash").as("sh_b"))
+      .distinct()
       .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
       .filter(col("hamming") <= maxHamming)
       .select("doc_a", "doc_b", "hamming")

@@ -1,0 +1,80 @@
+package graft.props
+
+import graft.SparkSpec
+import graft.ops.{Dedup, Percentiles, TopK}
+import graft.text.TextAnalysis
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Property-based invariants (SURVEY.md §5): dedup idempotence,
+  * percentile bounds, top-k ⊆ sorted prefix — over ScalaCheck-generated
+  * inputs with fixed seeds (deterministic CI; each check is a full Spark
+  * job, so the sample count is kept small).
+  */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def samples[A](g: Gen[A], n: Int): Seq[A] = {
+    val p = Gen.Parameters.default.withSize(40)
+    (0 until n).flatMap(i => g.apply(p, Seed(42L + i)))
+  }
+
+  private val valuesGen: Gen[List[Double]] =
+    Gen.nonEmptyListOf(Gen.chooseNum(-1e6, 1e6)).map(_.map(v => math.rint(v * 100) / 100))
+
+  test("percentile bounds: p_lo <= p_hi, both within [min, max]") {
+    samples(valuesGen, 5).foreach { vs =>
+      val r = Percentiles.bounds(vs.toDF("v"), "v", 0.05, 0.95).collect()(0)
+      val (lo, hi) = (r.getDouble(0), r.getDouble(1))
+      assert(lo <= hi && lo >= vs.min && hi <= vs.max, s"bounds $lo..$hi of $vs")
+    }
+  }
+
+  test("filterWithinPercentiles output is a sub-multiset of the input") {
+    samples(valuesGen, 5).foreach { vs =>
+      val out = Percentiles.filterWithinPercentiles(vs.toDF("v"), "v")
+        .collect().map(_.getDouble(0))
+      val inCounts = vs.groupBy(identity).view.mapValues(_.size).toMap
+      val outCounts = out.groupBy(identity).view.mapValues(_.size)
+      assert(outCounts.forall { case (v, n) => n <= inCounts.getOrElse(v, 0) })
+    }
+  }
+
+  test("topK equals the sorted prefix of the input") {
+    samples(Gen.zip(valuesGen, Gen.chooseNum(1, 10)), 5).foreach { case (vs, k) =>
+      val indexed = vs.zipWithIndex
+      val got = TopK.topK(indexed.toDF("v", "i"), k, col("v").desc, col("i").asc)
+        .collect().map(r => (r.getDouble(0), r.getInt(1))).toList
+      val want = indexed.sortBy { case (v, i) => (-v, i) }.take(k)
+      assert(got == want)
+    }
+  }
+
+  test("keepFirst dedup is idempotent and keeps the minimum per key") {
+    val rowsGen = Gen.nonEmptyListOf(
+      Gen.zip(Gen.chooseNum(0, 20), Gen.chooseNum(0, 1000)))
+    samples(rowsGen, 5).foreach { rows =>
+      val df = rows.toDF("k", "ord")
+      val once = Dedup.keepFirst(df, Seq("k"), Seq(col("ord").asc, col("k").asc))
+      val onceRows = once.collect().map(r => (r.getInt(0), r.getInt(1))).toSet
+      assert(onceRows.size == rows.map(_._1).distinct.size)
+      val mins = rows.groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+      assert(onceRows.forall { case (k, ord) => mins(k) == ord })
+      val twice = Dedup.keepFirst(once, Seq("k"), Seq(col("ord").asc, col("k").asc))
+      assert(twice.collect().map(r => (r.getInt(0), r.getInt(1))).toSet == onceRows)
+    }
+  }
+
+  test("fingerprint: whitespace-normalized equality, content sensitivity") {
+    val wordGen = Gen.nonEmptyListOf(Gen.oneOf("alpha", "beta", "gamma", "delta"))
+    samples(wordGen, 5).foreach { words =>
+      val text = words.mkString(" ")
+      val spaced = words.mkString("   ") + " "
+      val df = Seq((1L, text), (2L, spaced), (3L, text + " extra")).toDF("doc_id", "text")
+      val fp = TextAnalysis.fingerprint(df, "doc_id", "text")
+        .orderBy("doc_id").collect().map(_.getString(1))
+      assert(fp(0) == fp(1) && fp(0) != fp(2))
+    }
+  }
+}
