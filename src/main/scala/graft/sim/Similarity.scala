@@ -19,8 +19,15 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** dot(a, b) over array<double> columns. */
+  /** dot(a, b) over array<double> columns — native codegen'd expression
+    * (see `graft.functions.DotProduct`); identical left-to-right
+    * summation to the composable `aggregate(zip_with(...))` form.
+    */
   def dot(a: Column, b: Column): Column =
+    graft.functions.DotProduct.dotNative(a, b)
+
+  /** The composable built-in form (kept for parity testing). */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, v) => acc + v)
 
   /** Cosine similarity of two array<double> columns. */
