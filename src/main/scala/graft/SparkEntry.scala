@@ -182,6 +182,32 @@ object SparkEntry {
     "x11_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(docs(s, d), "doc_id", "text")),
     "x12_rolling_hash" -> ((s, d) => TextAnalysis.rollingHash(docs(s, d), "doc_id", "text")),
 
+    // rollup over the pricing keys — multi-level aggregate in one pass
+    "q23_rollup_counts" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"))),
+
+    // as-of join: each error event enriched with the user's most recent
+    // prior signup (composed union+window as-of; oracle = DuckDB ASOF JOIN)
+    "x14_asof_join" -> ((s, d) => {
+      val events = ev(s, d)
+      val errors = events.filter(col("event_type") === "error")
+        .select("event_id", "user_id", "ts")
+      val signups = events.filter(col("event_type") === "signup")
+        .select(col("user_id"), col("ts"), col("event_id").as("signup_event_id"))
+      AsofJoin.asofBackward(errors, signups, Seq("user_id"),
+          "ts", "ts", Seq("signup_event_id"), suffix = "")
+        .select(col("event_id"), col("user_id"), col("signup_event_id"))
+    }),
+
+    // skew-resistant two-phase aggregate (same result as a plain groupBy)
+    "x15_salted_daily" -> ((s, d) =>
+      Skew.saltedAvg(
+        ev(s, d).select(to_date(col("ts")).as("day"), col("value")),
+        Seq("day"), "value")),
+
     // ---- north-star extensions: multimodal plumbing ----
     "x13_multimodal_meta" -> ((s, d) =>
       Multimodal.decodeMeta(s, Multimodal.withPayload(docs(s, d), "doc_id", "text")).toDF())
@@ -353,6 +379,24 @@ object SparkEntry {
         |  AND o_orderdate >= TIMESTAMP '1996-01-01'
         |  AND o_orderdate < TIMESTAMP '1997-01-01'
         |GROUP BY n_name ORDER BY revenue DESC, n_name ASC""".stripMargin,
+    "q23_rollup_counts" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+    "x14_asof_join" ->
+      """WITH err AS (
+        |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'),
+        |sg AS (
+        |  SELECT user_id, ts, event_id AS signup_event_id FROM events
+        |  WHERE event_type = 'signup')
+        |SELECT err.event_id, err.user_id, sg.signup_event_id
+        |FROM err ASOF LEFT JOIN sg
+        |  ON err.user_id = sg.user_id AND err.ts >= sg.ts""".stripMargin,
+    "x15_salted_daily" ->
+      """SELECT ts::DATE AS day, count(*) AS n,
+        |       round(sum(value), 2) AS total,
+        |       round(avg(value), 2) AS avg_value
+        |FROM events GROUP BY 1""".stripMargin,
     "x01_dedup_exact" ->
       """SELECT md5(lower(trim(text))) AS text_hash,
         |       min(doc_id) AS keeper_id, count(*) AS n_copies
