@@ -208,6 +208,10 @@ object SparkEntry {
         ev(s, d).select(to_date(col("ts")).as("day"), col("value")),
         Seq("day"), "value")),
 
+    // banded range join (no cross join): parts within ±5.0 retail price
+    "x16_range_join" -> ((s, d) =>
+      RangeJoin.rangeMatchCounts(Tables.part(s, d), "p_partkey", "p_retailprice", 5.0)),
+
     // ---- north-star extensions: multimodal plumbing ----
     "x13_multimodal_meta" -> ((s, d) =>
       Multimodal.decodeMeta(s, Multimodal.withPayload(docs(s, d), "doc_id", "text")).toDF())
@@ -397,6 +401,14 @@ object SparkEntry {
         |       round(sum(value), 2) AS total,
         |       round(avg(value), 2) AS avg_value
         |FROM events GROUP BY 1""".stripMargin,
+    "x16_range_join" ->
+      """SELECT a.p_partkey, a.p_retailprice,
+        |       count(b.p_partkey) AS n_within
+        |FROM part a LEFT JOIN part b
+        |  ON b.p_partkey <> a.p_partkey
+        | AND b.p_retailprice BETWEEN a.p_retailprice - 5.0
+        |                         AND a.p_retailprice + 5.0
+        |GROUP BY a.p_partkey, a.p_retailprice""".stripMargin,
     "x01_dedup_exact" ->
       """SELECT md5(lower(trim(text))) AS text_hash,
         |       min(doc_id) AS keeper_id, count(*) AS n_copies
