@@ -214,7 +214,24 @@ object SparkEntry {
 
     // ---- north-star extensions: multimodal plumbing ----
     "x13_multimodal_meta" -> ((s, d) =>
-      Multimodal.decodeMeta(s, Multimodal.withPayload(docs(s, d), "doc_id", "text")).toDF())
+      Multimodal.decodeMeta(s, Multimodal.withPayload(docs(s, d), "doc_id", "text")).toDF()),
+
+    // binary → fake-embed → cosine top-k: the multimodal retrieval path
+    // end-to-end (decode stubbed; Spark plumbing real). Hash-derived
+    // vectors → rows-only check.
+    "x17_multimodal_topk" -> ((s, d) => {
+      val emb = Multimodal.fakeEmbed(s,
+        Multimodal.withPayload(docs(s, d), "doc_id", "text")).toDF()
+      Similarity.cosineTopK(emb, "doc_id", "embedding",
+        col("doc_id") % 100 === 0, k = 3)
+    }),
+
+    // frame sampling fan-out: per-doc frame counts (rows-only check)
+    "x18_frame_sample" -> ((s, d) =>
+      Multimodal.frameSample(s,
+          Multimodal.withPayload(docs(s, d), "doc_id", "text")).toDF()
+        .groupBy("doc_id").agg(count(lit(1)).as("n_frames"),
+          sum(length(col("frame_bytes"))).as("total_bytes")))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -499,6 +516,12 @@ object SparkEntry {
     "x11_fingerprint" ->
       """SELECT doc_id,
         |       md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint
+        |FROM documents""".stripMargin,
+    "x18_frame_sample" ->
+      """SELECT doc_id,
+        |  CAST(least(4, greatest(1, octet_length(encode(text)) // 8)) AS BIGINT)
+        |    AS n_frames,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS total_bytes
         |FROM documents""".stripMargin,
     "x13_multimodal_meta" ->
       """SELECT doc_id,

@@ -48,4 +48,53 @@ object Multimodal {
       }
     }
   }
+
+  case class Frame(doc_id: Long, frame_idx: Int, frame_bytes: Array[Byte])
+
+  /** Frame sampling: split the payload into up to `maxFrames` byte
+    * slices (the video → frames shape: one input row explodes into
+    * bounded child rows, pipelined, no shuffle). A real codec replaces
+    * the slicing; the (doc, frame_idx, bytes) fan-out contract is what
+    * downstream per-frame featurizers consume.
+    */
+  def frameSample(spark: SparkSession, media: DataFrame,
+                  maxFrames: Int = 4): Dataset[Frame] = {
+    import spark.implicits._
+    media.as[MediaIn].flatMap { m =>
+      val n = m.payload.length
+      val frames = math.min(maxFrames, math.max(1, n / 8))
+      (0 until frames).map { i =>
+        val from = i * n / frames
+        val until = (i + 1) * n / frames
+        Frame(m.doc_id, i, java.util.Arrays.copyOfRange(m.payload, from, until))
+      }
+    }
+  }
+
+  case class Embedded(doc_id: Long, embedding: Array[Float])
+
+  /** Deterministic fake feature extractor: payload bytes → `dim`-float
+    * vector via a rolling byte histogram-ish mix. STUB for a real vision
+    * encoder; the contract (binary in, dense `array<float>` out,
+    * partition-batched so a real model would amortize per-batch model
+    * load) is the production shape. Output feeds `sim.Similarity`
+    * unchanged — multimodal retrieval end-to-end.
+    */
+  def fakeEmbed(spark: SparkSession, media: DataFrame, dim: Int = 16): Dataset[Embedded] = {
+    import spark.implicits._
+    media.as[MediaIn].mapPartitions { it =>
+      // per-partition "model load" would happen here
+      it.map { m =>
+        val v = new Array[Float](dim)
+        var i = 0
+        while (i < m.payload.length) {
+          val b = m.payload(i) & 0xff
+          v(i % dim) += (b * (1 + (i / dim) % 3)).toFloat
+          i += 1
+        }
+        val norm = math.sqrt(v.map(x => x.toDouble * x).sum).max(1e-9)
+        Embedded(m.doc_id, v.map(x => (x / norm).toFloat))
+      }
+    }
+  }
 }

@@ -112,6 +112,31 @@ class ExtensionsSpec extends SparkSpec {
     assert(rh(0) == rh(1) && rh(0) != rh(2))
   }
 
+  test("frameSample fans out bounded frames that reassemble the payload") {
+    val media = Multimodal.withPayload(
+      Seq((1L, "abcdefghijklmnopqrstuvwxyz0123456789")).toDF("doc_id", "text"),
+      "doc_id", "text")
+    val frames = Multimodal.frameSample(spark, media).collect().sortBy(_.frame_idx)
+    assert(frames.length == 4)
+    assert(frames.map(_.frame_bytes.length).sum == 36)
+    assert(new String(frames.flatMap(_.frame_bytes), "UTF-8") ==
+      "abcdefghijklmnopqrstuvwxyz0123456789")
+  }
+
+  test("fakeEmbed produces unit-norm deterministic vectors usable by cosine topk") {
+    val media = Multimodal.withPayload(
+      Seq((1L, "hello world"), (2L, "hello world"), (3L, "different")).toDF("doc_id", "text"),
+      "doc_id", "text")
+    val emb = Multimodal.fakeEmbed(spark, media).collect().sortBy(_.doc_id)
+    assert(emb(0).embedding.toSeq == emb(1).embedding.toSeq) // deterministic
+    val norm = math.sqrt(emb(0).embedding.map(x => x.toDouble * x).sum)
+    assert(math.abs(norm - 1.0) < 1e-5)
+    val top = Similarity.cosineTopK(
+      Multimodal.fakeEmbed(spark, media).toDF(), "doc_id", "embedding",
+      col("doc_id") === 1, k = 1).collect()
+    assert(top.head.getAs[Long]("nid") == 2L) // identical text ranks first
+  }
+
   test("multimodal decode stub produces deterministic metadata") {
     val media = Multimodal.withPayload(Seq((7L, "abcd")).toDF("doc_id", "text"),
       "doc_id", "text")
