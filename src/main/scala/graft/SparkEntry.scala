@@ -182,6 +182,25 @@ object SparkEntry {
     "x11_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(docs(s, d), "doc_id", "text")),
     "x12_rolling_hash" -> ((s, d) => TextAnalysis.rollingHash(docs(s, d), "doc_id", "text")),
 
+    // filter-only scan revenue (predicate pushdown showcase): all three
+    // predicates reach the parquet reader, sum in exact decimal
+    "q24_filter_revenue" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+          col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+        .agg((sum(col("l_extendedprice").cast("decimal(18,2)") *
+            col("l_discount").cast("decimal(4,2)")))
+          .cast("double").as("revenue"))),
+
+    // semi join: customers with at least one open order (EXISTS)
+    "q25_semi_join" -> ((s, d) => {
+      val open = Tables.orders(s, d).filter(col("o_orderstatus") === "O")
+      Tables.customer(s, d)
+        .join(open, col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name", "c_mktsegment")
+    }),
+
     // rollup over the pricing keys — multi-level aggregate in one pass
     "q23_rollup_counts" -> ((s, d) =>
       Tables.lineitem(s, d)
@@ -400,6 +419,19 @@ object SparkEntry {
         |  AND o_orderdate >= TIMESTAMP '1996-01-01'
         |  AND o_orderdate < TIMESTAMP '1997-01-01'
         |GROUP BY n_name ORDER BY revenue DESC, n_name ASC""".stripMargin,
+    "q24_filter_revenue" ->
+      """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |                CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_discount BETWEEN 0.05 AND 0.07
+        |  AND l_quantity < 24""".stripMargin,
+    "q25_semi_join" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer c
+        |WHERE EXISTS (
+        |  SELECT 1 FROM orders o
+        |  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'O')""".stripMargin,
     "q23_rollup_counts" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n,
         |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty

@@ -71,10 +71,17 @@ object NearDup {
     * signatures in `bands` bands of `numHashes/bands` rows; docs sharing
     * any band bucket become candidates; candidates are then verified with
     * the true shingle Jaccard so the output has no false positives.
+    *
+    * `maxBucketSize` caps hot band buckets (low-entropy corpora produce
+    * buckets holding thousands of docs whose C(n,2) pair expansion
+    * dominates the job; a bucket that hot carries no near-dup signal —
+    * dropping it is the standard LSH df-cap). None = exact banding
+    * (default, used by the oracle-checked query).
     */
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
                       k: Int = 3, numHashes: Int = 16, bands: Int = 4,
-                      threshold: Double = 0.5): DataFrame = {
+                      threshold: Double = 0.5,
+                      maxBucketSize: Option[Int] = None): DataFrame = {
     val rows = numHashes / bands
     val sh = shingles(df, idCol, textCol, k).cache()
     val sig = minhashSignatures(sh, numHashes)
@@ -82,9 +89,17 @@ object NearDup {
     // bucket key replaces per-band self-joins + union — one shuffle, and
     // the band id rides in the join key so buckets from different bands
     // never collide.
-    val banded = sig.select(col("id"), posexplode(array((0 until bands).map { b =>
+    val bandedAll = sig.select(col("id"), posexplode(array((0 until bands).map { b =>
       hash((b * rows until (b + 1) * rows).map(i => col(s"mh_$i")): _*)
     }: _*)).as(Seq("band_id", "band_hash")))
+    val banded = maxBucketSize match {
+      case None => bandedAll
+      case Some(cap) =>
+        val hot = bandedAll.groupBy("band_id", "band_hash")
+          .agg(count(lit(1)).as("__bn")).filter(col("__bn") > cap)
+          .select("band_id", "band_hash")
+        bandedAll.join(hot, Seq("band_id", "band_hash"), "left_anti")
+    }
     val candidates = banded.as("a").join(banded.as("b"),
         col("a.band_id") === col("b.band_id") &&
           col("a.band_hash") === col("b.band_hash") && col("a.id") < col("b.id"))
@@ -131,22 +146,31 @@ object NearDup {
     * larger maxHamming keeps the guarantee weaker but the work bounded).
     */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-                   maxHamming: Int = 6): DataFrame = {
+                   maxHamming: Int = 6,
+                   maxBucketSize: Option[Int] = None): DataFrame = {
     val sig = simhash(df, idCol, textCol)
     // (chunk_id, chunk_value) inverted index → single equi-join, as in
-    // the MinHash banding.
-    val banded = sig.select(col("id"), col("simhash"),
+    // the MinHash banding; optional hot-bucket cap for low-entropy data.
+    val bandedAll = sig.select(col("id"), col("simhash"),
       posexplode(array((0 until 4).map(c =>
         shiftright(col("simhash"), c * 16).bitwiseAND(lit(0xFFFFL))): _*))
         .as(Seq("chunk_id", "chunk_val")))
+    val banded = maxBucketSize match {
+      case None => bandedAll
+      case Some(cap) =>
+        val hot = bandedAll.groupBy("chunk_id", "chunk_val")
+          .agg(count(lit(1)).as("__bn")).filter(col("__bn") > cap)
+          .select("chunk_id", "chunk_val")
+        bandedAll.join(hot, Seq("chunk_id", "chunk_val"), "left_anti")
+    }
     banded.as("a").join(banded.as("b"),
         col("a.chunk_id") === col("b.chunk_id") &&
           col("a.chunk_val") === col("b.chunk_val") && col("a.id") < col("b.id"))
+      // hamming filter BEFORE the dedup shuffle: bit_count is a map-side
+      // expression, so only surviving pairs pay the distinct exchange
       .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"),
-        col("a.simhash").as("sh_a"), col("b.simhash").as("sh_b"))
-      .distinct()
-      .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
       .filter(col("hamming") <= maxHamming)
-      .select("doc_a", "doc_b", "hamming")
+      .distinct()
   }
 }
