@@ -201,6 +201,20 @@ object SparkEntry {
         .select("c_custkey", "c_name", "c_mktsegment")
     }),
 
+    // exact distinct counting per group (COUNT(DISTINCT))
+    "q26_distinct_users" -> ((s, d) =>
+      ev(s, d).groupBy("event_type")
+        .agg(countDistinct("user_id").as("n_users"),
+          count(lit(1)).as("n_events"))),
+
+    // HLL++ approximate distinct vs exact — the sketch-based scale path
+    // (sketches differ across engines → rows-only; the spec bounds the
+    // relative error instead)
+    "x19_approx_distinct" -> ((s, d) =>
+      ev(s, d).groupBy("event_type")
+        .agg(countDistinct("user_id").as("exact_users"),
+          approx_count_distinct("user_id", 0.02).as("approx_users"))),
+
     // rollup over the pricing keys — multi-level aggregate in one pass
     "q23_rollup_counts" -> ((s, d) =>
       Tables.lineitem(s, d)
@@ -419,6 +433,10 @@ object SparkEntry {
         |  AND o_orderdate >= TIMESTAMP '1996-01-01'
         |  AND o_orderdate < TIMESTAMP '1997-01-01'
         |GROUP BY n_name ORDER BY revenue DESC, n_name ASC""".stripMargin,
+    "q26_distinct_users" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_users,
+        |       count(*) AS n_events
+        |FROM events GROUP BY event_type""".stripMargin,
     "q24_filter_revenue" ->
       """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
         |                CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue

@@ -65,6 +65,17 @@ object EventStream {
       }
   }
 
+  /** Streaming keep-first dedup — the continuous form of the reference's
+    * `ON CONFLICT DO NOTHING` replication (K3/S6): duplicate keys within
+    * the watermark are dropped exactly once; watermark eviction bounds
+    * the dedup state store, so it runs forever at any rate.
+    */
+  def dedupStream(events: DataFrame, keyCol: String,
+                  lateness: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .dropDuplicatesWithinWatermark(keyCol)
+
   /** Wire a streaming daily aggregate to an in-memory sink (testing /
     * demo). Production swaps `format("memory")` for a parquet/Kafka sink
     * with a checkpoint location; the plan is identical.

@@ -137,6 +137,17 @@ class ExtensionsSpec extends SparkSpec {
     assert(top.head.getAs[Long]("nid") == 2L) // identical text ranks first
   }
 
+  test("approx_count_distinct is within its error bound of the exact count") {
+    val rows = graft.SparkEntry.queries("x19_approx_distinct")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val exact = r.getAs[Long]("exact_users").toDouble
+      val approx = r.getAs[Long]("approx_users").toDouble
+      assert(math.abs(approx - exact) / exact <= 0.1,
+        s"approx $approx vs exact $exact")
+    }
+  }
+
   test("multimodal decode stub produces deterministic metadata") {
     val media = Multimodal.withPayload(Seq((7L, "abcd")).toDF("doc_id", "text"),
       "doc_id", "text")

@@ -44,6 +44,24 @@ class EventStreamSpec extends SparkSpec {
     assert(out == Set(("2024-03-01", 15.0, 2L), ("2024-03-02", 30.0, 1L)))
   }
 
+  test("dedupStream drops duplicate keys within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, Timestamp, Double)]
+    val q = EventStream.dedupStream(mem.toDF().toDF("k", "ts", "v"), "k")
+      .writeStream.format("memory").queryName("dedup_test")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        ("a", ts("2024-03-01 10:00:00"), 1.0),
+        ("a", ts("2024-03-01 10:00:05"), 2.0), // dup key within watermark
+        ("b", ts("2024-03-01 10:01:00"), 3.0))
+      q.processAllAvailable()
+      val out = spark.sql("SELECT k, v FROM dedup_test").collect()
+        .map(r => (r.getString(0), r.getDouble(1))).toSet
+      assert(out == Set(("a", 1.0), ("b", 3.0)))
+    } finally q.stop()
+  }
+
   test("sessionize groups events within the gap into one session") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[EventStream.SessionIn]
