@@ -72,9 +72,12 @@ object EventStream {
     */
   def dedupStream(events: DataFrame, keyCol: String,
                   lateness: String = "1 hour"): DataFrame =
-    events
-      .withWatermark("ts", lateness)
-      .dropDuplicatesWithinWatermark(keyCol)
+    if (events.isStreaming)
+      events.withWatermark("ts", lateness).dropDuplicatesWithinWatermark(keyCol)
+    else
+      // batch equivalence (module contract): watermark-window dedup over a
+      // bounded input is plain key dedup
+      events.dropDuplicates(keyCol)
 
   /** Wire a streaming daily aggregate to an in-memory sink (testing /
     * demo). Production swaps `format("memory")` for a parquet/Kafka sink

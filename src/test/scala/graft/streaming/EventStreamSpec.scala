@@ -62,6 +62,14 @@ class EventStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dedupStream on a batch input falls back to plain key dedup") {
+    val batch = Seq(
+      ("a", ts("2024-03-01 10:00:00"), 1.0),
+      ("a", ts("2024-03-01 10:00:05"), 2.0),
+      ("b", ts("2024-03-01 10:01:00"), 3.0)).toDF("k", "ts", "v")
+    assert(EventStream.dedupStream(batch, "k").count() == 2)
+  }
+
   test("sessionize groups events within the gap into one session") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[EventStream.SessionIn]
