@@ -326,8 +326,9 @@ object SparkEntry {
     "q06_user_activity_mart" ->
       """WITH stats AS (
         |  SELECT user_id, count(*) AS n_events,
-        |         round(sum(value), 2) AS total_value,
-        |         round(avg(value), 2) AS avg_value,
+        |         sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS total_value,
+        |         floor(sum(CAST(round(value * 100) AS BIGINT))
+        |               / count(*) + 0.5) / 100.0 AS avg_value,
         |         count(DISTINCT ts::DATE) AS n_active_days
         |  FROM events GROUP BY user_id),
         |top AS (

@@ -21,8 +21,14 @@ import org.apache.spark.sql.functions._
 object Marts {
 
   /** Per-user activity stats over `events` (stands in for session_stats):
-    * event count, total/avg value (rounded at the mart edge per
-    * SURVEY.md §7.4 trap 6), active-day count.
+    * event count, total/avg value, active-day count.
+    *
+    * Money math runs in exact integer cents: the source values are 2-dp,
+    * so `round(value*100)` is never near a tie, the cent sum is exact,
+    * and the HALF_UP average is `floor(cents/n + 0.5)` — every step is
+    * bit-identical across engines. (`round(avg(..), 2)` instead hits
+    * exact `x.xx5` averages where Spark's decimal-string HALF_UP and the
+    * oracle's binary rounding disagree — observed 4/1500 rows at sf0.1.)
     */
   def userActivityStats(events: DataFrame): DataFrame =
     events
@@ -30,9 +36,13 @@ object Marts {
       .groupBy("user_id")
       .agg(
         count(lit(1)).as("n_events"),
-        round(sum("value"), 2).as("total_value"),
-        round(avg("value"), 2).as("avg_value"),
+        sum(round(col("value") * 100, 0).cast("long")).as("__cents"),
         countDistinct("day").as("n_active_days"))
+      .select(
+        col("user_id"), col("n_events"),
+        (col("__cents") / 100.0).as("total_value"),
+        (floor(col("__cents") / col("n_events") + 0.5) / 100.0).as("avg_value"),
+        col("n_active_days"))
 
   /** User-activity mart: stats ⟕ top event_type per user (A3 + A6 + J2). */
   def userActivityMart(events: DataFrame): DataFrame = {
