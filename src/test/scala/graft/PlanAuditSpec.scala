@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Plan-shape regression tests: the properties PLANS.md documents must
+  * hold structurally, not just anecdotally — pushdown reaching the scan,
+  * broadcast of the 1-row bounds, rank-limit pushdown, top-k without a
+  * global sort. If a refactor silently breaks one of these, the query is
+  * still correct but no longer 100 TB-shaped; fail fast here.
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  private def plan(q: String): String =
+    SparkEntry.queries(q)(spark, sfDir).queryExecution.executedPlan.toString
+
+  test("q20: ship-date filter is pushed into the parquet scan") {
+    val p = plan("q20_pricing_summary")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThan(l_shipdate"),
+      s"missing pushdown in:\n$p")
+  }
+
+  test("q01: percentile bounds attach via broadcast, not collect") {
+    val p = plan("q01_iot_clean")
+    assert(p.contains("BroadcastNestedLoopJoin"), s"no broadcast bounds join in:\n$p")
+  }
+
+  test("q21: top-10 compiles to TakeOrderedAndProject (no global sort)") {
+    val p = plan("q21_shipping_priority")
+    assert(p.contains("TakeOrderedAndProject"), s"no top-k operator in:\n$p")
+  }
+
+  test("x05: ranked filter gets WindowGroupLimit pushdown") {
+    val p = plan("x05_cosine_topk")
+    assert(p.contains("WindowGroupLimit"), s"no rank-limit pushdown in:\n$p")
+  }
+
+  test("q24: column pruning reads only the four referenced lineitem columns") {
+    val p = plan("q24_filter_revenue")
+    assert(p.contains("ReadSchema: struct<l_quantity:double,l_extendedprice:double," +
+      "l_discount:double,l_shipdate:timestamp_ntz>"), s"wide scan in:\n$p")
+  }
+
+  test("q02: aggregation is partial before the exchange (map-side combine)") {
+    val p = plan("q02_iot_daily")
+    val firstAgg = p.indexOf("HashAggregate")
+    val firstExchange = p.indexOf("Exchange")
+    assert(firstAgg >= 0 && firstExchange >= 0, s"missing agg/exchange in:\n$p")
+    assert(p.contains("partial_"), s"no partial aggregation in:\n$p")
+  }
+}

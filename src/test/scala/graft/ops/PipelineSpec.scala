@@ -42,6 +42,31 @@ class PipelineSpec extends SparkSpec {
     assert(out.count() >= 1 && out.count() <= 8)
   }
 
+  test("incremental storage round-trip: window overwrite converges to full recompute") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_incr_").toString + "/daily"
+    val events = Tables.events(spark, sfDir)
+    val daily = events.select(to_date(col("ts")).as("day"), col("value"))
+      .groupBy("day")
+      .agg(round(avg("value"), 2).as("avg_value"), count(lit(1)).as("n"))
+      .withColumn("day", col("day").cast("string")) // stable partition values
+    // initial full load, then a stale window (half values) overwritten by
+    // the incremental recompute of the last 8 days
+    graft.sources.Sinks.partitionedReload(daily, dir, "day")
+    val cutoff = events.agg(date_sub(max(to_date(col("ts"))), 7).as("cutoff"))
+    val staleWindow = daily.crossJoin(broadcast(cutoff))
+      .filter(col("day") >= col("cutoff").cast("string")).drop("cutoff")
+      .withColumn("avg_value", col("avg_value") * 0.5)
+    graft.sources.Sinks.overwriteWindow(staleWindow, dir, "day")
+    val fresh = daily.crossJoin(broadcast(cutoff))
+      .filter(col("day") >= col("cutoff").cast("string")).drop("cutoff")
+    graft.sources.Sinks.overwriteWindow(fresh, dir, "day")
+    // partition-column type inference re-types "day" as date on read
+    val stored = spark.read.parquet(dir)
+      .select(col("day").cast("string"), col("avg_value"), col("n"))
+      .collect().toSet
+    assert(stored == daily.collect().toSet)
+  }
+
   test("order status mart: status counts sum to n_orders") {
     val m = Marts.orderStatusMart(Tables.orders(spark, sfDir))
     val bad = m.filter(col("n_open") + col("n_filled") + col("n_pending") =!= col("n_orders"))
