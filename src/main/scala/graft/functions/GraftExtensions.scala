@@ -1,0 +1,34 @@
+package graft.functions
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+
+/** Session extension registering graft's native functions into the SQL
+  * dialect, so `spark.sql("... dot_product(a, b) ...")` works next to
+  * the Column API. Install at session build time with
+  * `.withExtensions(new GraftExtensions)` or
+  * `spark.sql.extensions=graft.functions.GraftExtensions`; for an
+  * already-running session use [[GraftFunctions.register]].
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    ext.injectFunction(GraftFunctions.dotProductDescriptor)
+}
+
+object GraftFunctions {
+  private[functions] val dotProductDescriptor = (
+    FunctionIdentifier("dot_product"),
+    new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
+    (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+      require(exprs.length == 2, "dot_product takes exactly 2 arguments")
+      DotProduct(exprs(0), exprs(1))
+    })
+
+  /** Runtime registration for an existing session (idempotent). */
+  def register(spark: SparkSession): Unit = {
+    val (id, info, builder) = dotProductDescriptor
+    spark.sessionState.functionRegistry
+      .registerFunction(id, info, builder)
+  }
+}

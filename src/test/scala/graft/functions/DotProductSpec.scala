@@ -28,6 +28,15 @@ class DotProductSpec extends SparkSpec {
     assert(out(1).isNullAt(0))
   }
 
+  test("dot_product is callable from SQL after registration") {
+    GraftFunctions.register(spark)
+    val v = spark.sql(
+      "SELECT dot_product(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d")
+      .collect()(0).getDouble(0)
+    assert(v == 11.0)
+    GraftFunctions.register(spark) // idempotent
+  }
+
   test("whole-stage codegen executes the expression (no fallback errors)") {
     // force a wide scan through the codegen path
     val n = Tables.embeddings(spark, sfDir)
