@@ -33,15 +33,10 @@ object SparkEntry {
   private def docs(s: SparkSession, d: String) = Tables.documents(s, d)
 
   /** Fixture payload for the JSON-shredding family (S3/F13/J4/A8/F12) —
-    * structure mirrors the reference pets payload (`HW-2/init/init.sql:
-    * 12-38`): array of structs, optional array field, scalar fields.
+    * single source of truth in the pipeline object; the q14 oracle's
+    * VALUES are derived from it.
     */
-  private val petsJson =
-    """{"pets":[
-      |{"name":"Rex","species":"dog","favFoods":["beef","chicken"],"birthYear":2019,"photo":"rex.png"},
-      |{"name":"Mia","species":"cat","birthYear":2021,"photo":"mia.png"},
-      |{"name":"Bub","species":"fish","favFoods":["flakes"],"birthYear":2022,"photo":"bub.png"}
-      |]}""".stripMargin.replace("\n", "")
+  private def petsJson = graft.pipelines.PetsNutrition.petsJson
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- IoT flagship family (SURVEY §3.1: P1-P4, A1, A2, J1, W1, T1) ----
@@ -74,7 +69,11 @@ object SparkEntry {
       val events = ev(s, d)
       val daily = events.select(to_date(col("ts")).as("day"), col("value"))
         .groupBy("day")
-        .agg(round(avg("value"), 2).as("avg_value"), count(lit(1)).as("n"))
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("value") * 100, 0).cast("long")).as("__cents"))
+        .select(col("day"),
+          (floor(col("__cents") / col("n") + 0.5) / 100.0).as("avg_value"),
+          col("n"))
       val cutoff = events.agg(date_sub(max(to_date(col("ts"))), 7).as("cutoff"))
       val incoming = daily.crossJoin(broadcast(cutoff))
         .filter(col("day") >= col("cutoff")).drop("cutoff")
@@ -109,7 +108,10 @@ object SparkEntry {
     "q16_explode_words" -> ((s, d) =>
       Explode.unnest(Tables.part(s, d), split(col("p_name"), " "), "word", col("p_partkey"))),
     "q17_array_stats" -> ((s, d) =>
-      Explode.arrayStats(Tables.part(s, d), col("p_partkey"), split(col("p_name"), " "))
+      // empties filtered on BOTH sides: Spark split drops trailing empty
+      // strings, DuckDB string_split keeps them — explicit filters align
+      Explode.arrayStats(Tables.part(s, d), col("p_partkey"),
+          filter(split(col("p_name"), " "), w => w =!= ""))
         .withColumn("n_items", col("n_items").cast("long"))),
     "q18_union_counts" -> ((s, d) => {
       val tables = Seq("region", "nation", "supplier", "customer", "part")
@@ -239,7 +241,7 @@ object SparkEntry {
     "x15_salted_daily" -> ((s, d) =>
       Skew.saltedAvg(
         ev(s, d).select(to_date(col("ts")).as("day"), col("value")),
-        Seq("day"), "value")),
+        Seq("day"), "value", exactCents = true)),
 
     // banded range join (no cross join): parts within ±5.0 retail price
     "x16_range_join" -> ((s, d) =>
@@ -286,7 +288,10 @@ object SparkEntry {
         |  SELECT percentile_cont(0.05) WITHIN GROUP (ORDER BY value) AS p_lo,
         |         percentile_cont(0.95) WITHIN GROUP (ORDER BY value) AS p_hi
         |  FROM base)
-        |SELECT day, round(avg(value), 2) AS avg_value, count(*) AS n
+        |SELECT day,
+        |       floor(sum(CAST(round(value * 100) AS BIGINT)) / count(*) + 0.5)
+        |         / 100.0 AS avg_value,
+        |       count(*) AS n
         |FROM base, p WHERE value BETWEEN p_lo AND p_hi GROUP BY day""".stripMargin,
     "q03_iot_top5_hot" ->
       """WITH base AS (
@@ -297,7 +302,10 @@ object SparkEntry {
         |         percentile_cont(0.95) WITHIN GROUP (ORDER BY value) AS p_hi
         |  FROM base),
         |daily AS (
-        |  SELECT day, round(avg(value), 2) AS avg_value, count(*) AS n
+        |  SELECT day,
+        |         floor(sum(CAST(round(value * 100) AS BIGINT)) / count(*) + 0.5)
+        |           / 100.0 AS avg_value,
+        |         count(*) AS n
         |  FROM base, p WHERE value BETWEEN p_lo AND p_hi GROUP BY day)
         |SELECT day, avg_value, n,
         |       CAST(row_number() OVER (ORDER BY avg_value DESC, day ASC) AS BIGINT) AS rnk
@@ -311,7 +319,10 @@ object SparkEntry {
         |         percentile_cont(0.95) WITHIN GROUP (ORDER BY value) AS p_hi
         |  FROM base),
         |daily AS (
-        |  SELECT day, round(avg(value), 2) AS avg_value, count(*) AS n
+        |  SELECT day,
+        |         floor(sum(CAST(round(value * 100) AS BIGINT)) / count(*) + 0.5)
+        |           / 100.0 AS avg_value,
+        |         count(*) AS n
         |  FROM base, p WHERE value BETWEEN p_lo AND p_hi GROUP BY day)
         |SELECT day, avg_value, n,
         |       CAST(row_number() OVER (ORDER BY avg_value ASC, day ASC) AS BIGINT) AS rnk
@@ -363,10 +374,16 @@ object SparkEntry {
         |  WHERE o.event_id % 10 <> 0 AND o.event_id = e.event_id)""".stripMargin,
     "q10_incremental_daily" ->
       """WITH m AS (SELECT max(ts::DATE) - 7 AS cutoff FROM events)
-        |SELECT ts::DATE AS day, round(avg(value), 2) AS avg_value, count(*) AS n
+        |SELECT ts::DATE AS day,
+        |       floor(sum(CAST(round(value * 100) AS BIGINT)) / count(*) + 0.5)
+        |         / 100.0 AS avg_value,
+        |       count(*) AS n
         |FROM events, m WHERE ts::DATE >= cutoff GROUP BY 1""".stripMargin,
     "q11_upsert_merge" ->
-      """SELECT ts::DATE AS day, round(avg(value), 2) AS avg_value, count(*) AS n
+      """SELECT ts::DATE AS day,
+        |       floor(sum(CAST(round(value * 100) AS BIGINT)) / count(*) + 0.5)
+        |         / 100.0 AS avg_value,
+        |       count(*) AS n
         |FROM events GROUP BY 1""".stripMargin,
     "q12_json_shred" ->
       """SELECT event_id,
@@ -390,8 +407,10 @@ object SparkEntry {
         |WHERE word IS NOT NULL AND word <> ''""".stripMargin,
     "q17_array_stats" ->
       """SELECT p_partkey,
-        |       CAST(len(string_split(p_name, ' ')) AS BIGINT) AS n_items,
-        |       array_to_string(string_split(p_name, ' '), ';') AS joined
+        |       CAST(len(list_filter(string_split(p_name, ' '), x -> x <> ''))
+        |         AS BIGINT) AS n_items,
+        |       array_to_string(list_filter(string_split(p_name, ' '), x -> x <> ''),
+        |         ';') AS joined
         |FROM part""".stripMargin,
     "q18_union_counts" ->
       """SELECT 'region' AS tbl, count(*) AS n FROM region
@@ -466,8 +485,9 @@ object SparkEntry {
         |  ON err.user_id = sg.user_id AND err.ts >= sg.ts""".stripMargin,
     "x15_salted_daily" ->
       """SELECT ts::DATE AS day, count(*) AS n,
-        |       round(sum(value), 2) AS total,
-        |       round(avg(value), 2) AS avg_value
+        |       sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS total,
+        |       floor(sum(CAST(round(value * 100) AS BIGINT)) / count(value) + 0.5)
+        |         / 100.0 AS avg_value
         |FROM events GROUP BY 1""".stripMargin,
     "x16_range_join" ->
       """SELECT a.p_partkey, a.p_retailprice,

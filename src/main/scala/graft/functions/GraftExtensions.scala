@@ -22,7 +22,14 @@ object GraftFunctions {
     new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
     (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
       require(exprs.length == 2, "dot_product takes exactly 2 arguments")
-      DotProduct(exprs(0), exprs(1))
+      // SQL args arrive un-cast (array<float> columns, int literals, …);
+      // the expression reads 8-byte slots, so coerce exactly like the
+      // Column wrapper does
+      import org.apache.spark.sql.catalyst.expressions.Cast
+      import org.apache.spark.sql.types.{ArrayType, DoubleType}
+      DotProduct(
+        Cast(exprs(0), ArrayType(DoubleType)),
+        Cast(exprs(1), ArrayType(DoubleType)))
     })
 
   /** Runtime registration for an existing session (idempotent). */

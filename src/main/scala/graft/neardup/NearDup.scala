@@ -41,8 +41,12 @@ object NearDup {
     * sharing ≥1 shingle are materialized. Output: doc_a < doc_b, jaccard.
     */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
-                   k: Int = 3, threshold: Double = 0.5): DataFrame = {
-    val sh = shingles(df, idCol, textCol, k).cache()
+                   k: Int = 3, threshold: Double = 0.5,
+                   cacheShingles: Boolean = false): DataFrame = {
+    // cacheShingles: opt-in for long-lived jobs that manage the cache
+    // lifecycle; default off so repeated catalog runs don't leak blocks
+    val shRaw = shingles(df, idCol, textCol, k)
+    val sh = if (cacheShingles) shRaw.cache() else shRaw
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
     val inter = sh.as("a")
       .join(sh.as("b"), col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
@@ -81,9 +85,11 @@ object NearDup {
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
                       k: Int = 3, numHashes: Int = 16, bands: Int = 4,
                       threshold: Double = 0.5,
-                      maxBucketSize: Option[Int] = None): DataFrame = {
+                      maxBucketSize: Option[Int] = None,
+                      cacheShingles: Boolean = false): DataFrame = {
     val rows = numHashes / bands
-    val sh = shingles(df, idCol, textCol, k).cache()
+    val shRaw = shingles(df, idCol, textCol, k)
+    val sh = if (cacheShingles) shRaw.cache() else shRaw
     val sig = minhashSignatures(sh, numHashes)
     // (band_id, band_hash) inverted index: ONE equi-join on the composite
     // bucket key replaces per-band self-joins + union — one shuffle, and

@@ -28,16 +28,23 @@ object AsofJoin {
   def asofBackward(left: DataFrame, right: DataFrame, keys: Seq[String],
                    leftTs: String, rightTs: String, rightVals: Seq[String],
                    suffix: String = "_asof"): DataFrame = {
-    val rvTypes = rightVals.map(v => v -> right.schema(v).dataType)
-    val leftOnly = left.columns.filterNot(keys.contains).toSeq
+    val outNames = rightVals.map(v => s"$v$suffix")
+    require(!outNames.exists(left.columns.contains),
+      s"right value columns $outNames collide with left columns — pick a suffix")
 
-    val lTagged = rvTypes.foldLeft(
-      left.withColumn("__ts", col(leftTs)).withColumn("__side", lit(1))) {
-      case (df, (v, t)) => df.withColumn(s"$v$suffix", lit(null).cast(t))
-    }
+    // The right values travel as ONE struct: the struct itself is null
+    // only for left rows, so `last(_, ignoreNulls)` finds the most recent
+    // RIGHT ROW even when its value columns are legitimately NULL (a
+    // per-column fill would skip nulls and carry a stale older value).
+    val leftOnly = left.columns.filterNot(keys.contains).toSeq
+    val rStructType = org.apache.spark.sql.types.StructType(
+      rightVals.map(v => org.apache.spark.sql.types.StructField(v, right.schema(v).dataType)))
+    val lTagged = left
+      .withColumn("__ts", col(leftTs)).withColumn("__side", lit(1))
+      .withColumn("__r", lit(null).cast(rStructType))
     val rCore = right.select(
-      (keys.map(col) :+ col(rightTs).as("__ts")) ++
-        rightVals.map(v => col(v).as(s"$v$suffix")): _*)
+      (keys.map(col) :+ col(rightTs).as("__ts")) :+
+        struct(rightVals.map(col): _*).as("__r"): _*)
       .withColumn("__side", lit(0))
     val rTagged = leftOnly.foldLeft(rCore) { (df, c) =>
       df.withColumn(c, lit(null).cast(left.schema(c).dataType))
@@ -50,9 +57,10 @@ object AsofJoin {
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col("__ts").asc, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val filled = rvTypes.foldLeft(unioned) { case (df, (v, _)) =>
-      df.withColumn(s"$v$suffix", last(col(s"$v$suffix"), ignoreNulls = true).over(w))
-    }
-    filled.filter(col("__side") === 1).drop("__ts", "__side")
+    unioned
+      .withColumn("__r", last(col("__r"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .select((left.columns.map(col) ++
+        rightVals.map(v => col("__r").getField(v).as(s"$v$suffix"))): _*)
   }
 }

@@ -25,13 +25,20 @@ object Incremental {
     df.crossJoin(broadcast(mx))
   }
 
-  /** Daily aggregate restricted to the recompute window (P8 + A2). */
+  /** Daily aggregate restricted to the recompute window (P8 + A2).
+    * Integer-cent averaging for cross-engine determinism (see
+    * `pipelines.Iot.dailyAvg`).
+    */
   def incrementalDailyAvg(events: DataFrame, windowDays: Int): DataFrame = {
     val byDay = events.select(to_date(col("ts")).as("day"), col("value"))
     withCutoff(byDay, "day", windowDays)
       .filter(col("day") >= col("cutoff"))
       .groupBy("day")
-      .agg(round(avg("value"), 2).as("avg_value"), count(lit(1)).as("n"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("value") * 100, 0).cast("long")).as("__cents"))
+      .select(col("day"),
+        (floor(col("__cents") / col("n") + 0.5) / 100.0).as("avg_value"),
+        col("n"))
   }
 
   /** Upsert-as-recompute (K4/K5): keep `existing` rows outside the window,

@@ -19,20 +19,36 @@ import org.apache.spark.sql.functions._
 object Skew {
 
   /** Salted sum+count per key; avg derived exactly from the merged
-    * partials. Output: keys..., n, total, avg_value (rounded to 2).
+    * partials. Output: keys..., n, total, avg_value.
+    *
+    * `exactCents = true` (for 2-dp money values) sums integer cents, so
+    * the two-phase result is bit-identical to a single-phase aggregate
+    * at ANY partitioning — integer addition is associative, double
+    * addition is not. Default keeps generic double sums (rounded to 2).
     */
   def saltedAvg(df: DataFrame, keys: Seq[String], valueCol: String,
-                salts: Int = 16): DataFrame = {
+                salts: Int = 16, exactCents: Boolean = false): DataFrame = {
     val salt = pmod(hash(col(valueCol), lit(0x5a17)), lit(salts)).as("__salt")
+    val v = col(valueCol)
+    val sumExpr = if (exactCents) sum(round(v * 100, 0).cast("long")) else sum(v)
     val partial = df
       .groupBy((keys.map(col) :+ salt): _*)
-      .agg(count(lit(1)).as("__n"), sum(col(valueCol)).as("__sum"))
-    partial
-      .groupBy(keys.map(col): _*)
-      .agg(
-        sum("__n").as("n"),
-        round(sum("__sum"), 2).as("total"),
-        round(sum("__sum") / sum("__n"), 2).as("avg_value"))
+      .agg(count(lit(1)).as("__rows"),
+        // avg must ignore nulls like plain avg(value): separate non-null
+        // denominator from the row count
+        count(v).as("__vals"),
+        sumExpr.as("__sum"))
+    val merged = partial.groupBy(keys.map(col): _*)
+      .agg(sum("__rows").as("n"), sum("__vals").as("__vals"),
+        sum("__sum").as("__sum"))
+    if (exactCents)
+      merged.select((keys.map(col) :+ col("n") :+
+        (col("__sum") / 100.0).as("total") :+
+        (floor(col("__sum") / col("__vals") + 0.5) / 100.0).as("avg_value")): _*)
+    else
+      merged.select((keys.map(col) :+ col("n") :+
+        round(col("__sum"), 2).as("total") :+
+        round(col("__sum") / col("__vals"), 2).as("avg_value")): _*)
   }
 
   /** Salting helper for skewed JOIN keys: explode the small side over all

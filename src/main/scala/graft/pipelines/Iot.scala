@@ -25,11 +25,20 @@ object Iot {
       Cleaning.cleanEvents(events).select(col("event_id"), col("day"), col("value")),
       "value")
 
-  /** Daily average over the banded readings (A2). */
+  /** Daily average over the banded readings (A2). Exact integer-cent
+    * math end-to-end (sum of longs is associative, HALF_UP via
+    * `floor(cents/n + 0.5)`), so the result is bit-identical across
+    * engines and partition orders — `round(avg(double), 2)` instead
+    * diverges on exact x.xx5 averages (SURVEY.md §7.4 trap 6).
+    */
   def dailyAvg(events: DataFrame): DataFrame =
     cleanBanded(events)
       .groupBy("day")
-      .agg(round(avg("value"), 2).as("avg_value"), count(lit(1)).as("n"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("value") * 100, 0).cast("long")).as("__cents"))
+      .select(col("day"),
+        (floor(col("__cents") / col("n") + 0.5) / 100.0).as("avg_value"),
+        col("n"))
 
   /** Top-5 hottest days with rank (W1/T1). */
   def top5Hot(events: DataFrame): DataFrame =

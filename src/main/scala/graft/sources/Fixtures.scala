@@ -37,8 +37,11 @@ object Fixtures {
                        vocab: String, n: org.apache.spark.sql.Column) = {
     val arr = split(lit(vocab), " ")
     val sz = vocab.split(" ").length
-    array_distinct(transform(sequence(lit(1), n),
-      i => element_at(arr, (pmod(hash(key, i, lit(salt)), lit(sz)) + 1).cast("int"))))
+    // guard n = 0: Spark's sequence(1, 0) yields the DESCENDING [1, 0],
+    // not an empty array
+    when(n < 1, array().cast("array<string>")).otherwise(
+      array_distinct(transform(sequence(lit(1), greatest(n, lit(1))),
+        i => element_at(arr, (pmod(hash(key, i, lit(salt)), lit(sz)) + 1).cast("int")))))
   }
 
   /** 2000 sessions + 50 exact duplicates (dedup key `session_id`);

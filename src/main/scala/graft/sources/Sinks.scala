@@ -43,13 +43,19 @@ object Sinks {
       .partitionBy(partitionCol)
       .parquet(path)
 
-  /** K3: append only rows whose key is absent from the existing data. */
+  /** K3: append only rows whose key is absent from the existing data.
+    * Bootstraps ONLY when the target genuinely does not exist — any
+    * other read failure (corrupt footer, permissions, transient FS
+    * error) propagates instead of silently overwriting history.
+    */
   def appendIfAbsent(incoming: DataFrame, existingPath: String,
                      keys: Seq[String]): Unit = {
     val spark = incoming.sparkSession
-    val existing =
-      try spark.read.parquet(existingPath).select(keys.map(col): _*).distinct()
-      catch { case _: Throwable => return truncateReload(incoming, existingPath) }
+    val path = new org.apache.hadoop.fs.Path(existingPath)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(path)) return truncateReload(incoming, existingPath)
+    val existing = spark.read.parquet(existingPath)
+      .select(keys.map(col): _*).distinct()
     incoming.join(existing, keys, "left_anti")
       .write.mode(SaveMode.Append).parquet(existingPath)
   }
