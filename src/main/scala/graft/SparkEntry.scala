@@ -176,6 +176,9 @@ object SparkEntry {
     "x07_embedding_neardup" -> ((s, d) =>
       Similarity.embeddingNearDupPairs(Tables.embeddings(s, d), "vec_id", "embedding",
         dim = 64, threshold = 0.25, nbits = 6)),
+    "x20_cosine_ivf" -> ((s, d) =>
+      Similarity.cosineTopKIvf(Tables.embeddings(s, d), "vec_id", "embedding",
+        col("vec_id") % 50 === 0, nlist = 16, nprobe = 2, k = 5)),
 
     // ---- north-star extensions: text analysis ----
     "x08_langid" -> ((s, d) => TextAnalysis.langId(docs(s, d), "doc_id", "text")),

@@ -101,6 +101,55 @@ object Similarity {
     scored.withColumn("rnk", row_number().over(w).cast("long")).filter(col("rnk") <= k)
   }
 
+  /** IVF-Flat ANN: vectors are assigned to their nearest centroid
+    * (inverted lists); a query scores ONLY the lists of its `nprobe`
+    * nearest centroids. Work per query is O(centroids + corpus/lists ·
+    * nprobe) instead of O(corpus) — the standard coarse-quantization
+    * scale path next to LSH.
+    *
+    * Centroids here are a deterministic sample (every corpus/nlist-th
+    * vector by id) — the k-means refinement that a production IVF would
+    * run changes recall, not the plan shape. Both assignment and probing
+    * broadcast the (tiny) centroid set; the corpus is scanned exactly
+    * once for assignment and once per query batch for scoring.
+    */
+  def cosineTopKIvf(emb: DataFrame, idCol: String, vecCol: String,
+                    queryPred: Column, nlist: Int = 16, nprobe: Int = 2,
+                    k: Int = 5): DataFrame = {
+    val corpus = emb.select(col(idCol).as("nid"), asDouble(col(vecCol)).as("nvec"))
+    // deterministic centroid sample: rank vectors by id, take every
+    // (n/nlist)-th — no RNG, same centroids at any partitioning
+    val n = corpus.count()
+    val step = math.max(1L, n / nlist)
+    val centroids = corpus
+      .withColumn("__rn", row_number().over(Window.orderBy(col("nid"))).cast("long"))
+      .filter(pmod(col("__rn"), lit(step)) === 1)
+      .limit(nlist)
+      .select(col("nid").as("cid"), col("nvec").as("cvec"))
+    // inverted lists: each corpus vector → its nearest centroid
+    val assigned = corpus.crossJoin(broadcast(centroids))
+      .select(col("nid"), col("nvec"), col("cid"),
+        round(cosine(col("nvec"), col("cvec")), 6).as("csim"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("nid").orderBy(col("csim").desc, col("cid").asc)))
+      .filter(col("rn") === 1).drop("rn", "csim")
+    // queries probe their nprobe nearest centroid lists
+    val queries = emb.filter(queryPred)
+      .select(col(idCol).as("qid"), asDouble(col(vecCol)).as("qvec"))
+    val probes = queries.crossJoin(broadcast(centroids))
+      .select(col("qid"), col("qvec"), col("cid"),
+        round(cosine(col("qvec"), col("cvec")), 6).as("csim"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("qid").orderBy(col("csim").desc, col("cid").asc)))
+      .filter(col("rn") <= nprobe).select("qid", "qvec", "cid")
+    val scored = assigned.join(broadcast(probes), Seq("cid"))
+      .filter(col("nid") =!= col("qid"))
+      .select(col("qid"), col("nid"),
+        round(cosine(col("qvec"), col("nvec")), 6).as("sim"))
+    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("nid").asc)
+    scored.withColumn("rnk", row_number().over(w).cast("long")).filter(col("rnk") <= k)
+  }
+
   /** Embedding near-duplicate pairs: all pairs with cosine ≥ threshold,
     * candidate generation bounded by LSH buckets (a true 100 TB-safe
     * near-dup join: bucket-equi-join, not cross join).

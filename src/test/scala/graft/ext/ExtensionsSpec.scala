@@ -78,6 +78,27 @@ class ExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("IVF topk is structurally valid and finds mostly-true neighbors") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val ivf = Similarity.cosineTopKIvf(emb, "vec_id", "embedding",
+      col("vec_id") % 100 === 0, nlist = 8, nprobe = 4, k = 3).collect()
+    assert(ivf.nonEmpty)
+    assert(ivf.forall(r => r.getAs[Long]("qid") % 100 == 0))
+    assert(ivf.forall(r => r.getAs[Long]("qid") != r.getAs[Long]("nid")))
+    ivf.groupBy(_.getAs[Long]("qid")).values.foreach { g =>
+      val rnks = g.map(_.getAs[Long]("rnk")).sorted
+      assert(rnks.length <= 3 && rnks.toSeq == (1L to rnks.length).toSeq)
+    }
+    // with nprobe = nlist the search is exhaustive → must equal brute force
+    val full = Similarity.cosineTopKIvf(emb, "vec_id", "embedding",
+      col("vec_id") % 100 === 0, nlist = 8, nprobe = 8, k = 3)
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = Similarity.cosineTopK(emb, "vec_id", "embedding",
+      col("vec_id") % 100 === 0, k = 3)
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(full == brute)
+  }
+
   test("langId predicts via stopword hits with fixed tie order") {
     val df = Seq((1L, "the cat and the dog of it"), (2L, "der hund und die katze"),
       (3L, "zzz qqq www")).toDF("doc_id", "text")
