@@ -70,9 +70,10 @@ object SparkEntry {
       val daily = events.select(to_date(col("ts")).as("day"), col("value"))
         .groupBy("day")
         .agg(count(lit(1)).as("n"),
+          count(col("value")).as("__vals"), // null-ignoring avg denominator
           sum(round(col("value") * 100, 0).cast("long")).as("__cents"))
         .select(col("day"),
-          (floor(col("__cents") / col("n") + 0.5) / 100.0).as("avg_value"),
+          (floor(col("__cents") / col("__vals") + 0.5) / 100.0).as("avg_value"),
           col("n"))
       val cutoff = events.agg(date_sub(max(to_date(col("ts"))), 7).as("cutoff"))
       val incoming = daily.crossJoin(broadcast(cutoff))
@@ -378,13 +379,13 @@ object SparkEntry {
     "q10_incremental_daily" ->
       """WITH m AS (SELECT max(ts::DATE) - 7 AS cutoff FROM events)
         |SELECT ts::DATE AS day,
-        |       floor(sum(CAST(round(value * 100) AS BIGINT)) / count(*) + 0.5)
+        |       floor(sum(CAST(round(value * 100) AS BIGINT)) / count(value) + 0.5)
         |         / 100.0 AS avg_value,
         |       count(*) AS n
         |FROM events, m WHERE ts::DATE >= cutoff GROUP BY 1""".stripMargin,
     "q11_upsert_merge" ->
       """SELECT ts::DATE AS day,
-        |       floor(sum(CAST(round(value * 100) AS BIGINT)) / count(*) + 0.5)
+        |       floor(sum(CAST(round(value * 100) AS BIGINT)) / count(value) + 0.5)
         |         / 100.0 AS avg_value,
         |       count(*) AS n
         |FROM events GROUP BY 1""".stripMargin,

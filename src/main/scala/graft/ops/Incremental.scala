@@ -35,9 +35,11 @@ object Incremental {
       .filter(col("day") >= col("cutoff"))
       .groupBy("day")
       .agg(count(lit(1)).as("n"),
+        // avg must ignore nulls like plain avg(value) → non-null denominator
+        count(col("value")).as("__vals"),
         sum(round(col("value") * 100, 0).cast("long")).as("__cents"))
       .select(col("day"),
-        (floor(col("__cents") / col("n") + 0.5) / 100.0).as("avg_value"),
+        (floor(col("__cents") / col("__vals") + 0.5) / 100.0).as("avg_value"),
         col("n"))
   }
 

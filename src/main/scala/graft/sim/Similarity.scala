@@ -117,13 +117,12 @@ object Similarity {
                     queryPred: Column, nlist: Int = 16, nprobe: Int = 2,
                     k: Int = 5): DataFrame = {
     val corpus = emb.select(col(idCol).as("nid"), asDouble(col(vecCol)).as("nvec"))
-    // deterministic centroid sample: rank vectors by id, take every
-    // (n/nlist)-th — no RNG, same centroids at any partitioning
-    val n = corpus.count()
-    val step = math.max(1L, n / nlist)
+    // deterministic hash-spread centroid sample: order by hash(id) and
+    // take nlist — compiles to TakeOrderedAndProject (per-partition
+    // top-nlist, no global sort, no extra count pass), same centroids at
+    // any partitioning, and well-defined for any corpus size
     val centroids = corpus
-      .withColumn("__rn", row_number().over(Window.orderBy(col("nid"))).cast("long"))
-      .filter(pmod(col("__rn"), lit(step)) === 1)
+      .orderBy(pmod(hash(col("nid")), lit(1000003)).asc, col("nid").asc)
       .limit(nlist)
       .select(col("nid").as("cid"), col("nvec").as("cvec"))
     // inverted lists: each corpus vector → its nearest centroid

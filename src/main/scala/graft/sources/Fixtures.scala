@@ -40,7 +40,7 @@ object Fixtures {
     // guard n = 0: Spark's sequence(1, 0) yields the DESCENDING [1, 0],
     // not an empty array
     when(n < 1, array().cast("array<string>")).otherwise(
-      array_distinct(transform(sequence(lit(1), greatest(n, lit(1))),
+      array_distinct(transform(sequence(lit(1), n),
         i => element_at(arr, (pmod(hash(key, i, lit(salt)), lit(sz)) + 1).cast("int")))))
   }
 

@@ -26,8 +26,14 @@ object EventStream {
     events
       .withWatermark("ts", lateness)
       .groupBy(window(col("ts"), "1 day").as("w"))
-      .agg(round(avg("value"), 2).as("avg_value"), count(lit(1)).as("n"))
-      .select(to_date(col("w.start")).as("day"), col("avg_value"), col("n"))
+      // same integer-cent averaging as batch Iot.dailyAvg, so batch and
+      // stream agree bit-for-bit (module contract)
+      .agg(count(lit(1)).as("n"),
+        count(col("value")).as("__vals"),
+        sum(round(col("value") * 100, 0).cast("long")).as("__cents"))
+      .select(to_date(col("w.start")).as("day"),
+        (floor(col("__cents") / col("__vals") + 0.5) / 100.0).as("avg_value"),
+        col("n"))
 
   case class SessionIn(user_id: Long, ts: java.sql.Timestamp, value: Double)
   case class SessionState(start: Long, last: Long, nEvents: Long, total: Double)

@@ -25,7 +25,10 @@ class CatalogSpec extends SparkSpec {
         |  SELECT percentile_cont(0.05) WITHIN GROUP (ORDER BY value) AS p_lo,
         |         percentile_cont(0.95) WITHIN GROUP (ORDER BY value) AS p_hi
         |  FROM base)
-        |SELECT day, round(avg(value), 2) AS avg_value, count(*) AS n
+        |SELECT day,
+        |       floor(sum(CAST(round(value * 100) AS BIGINT)) / count(*) + 0.5)
+        |         / 100.0D AS avg_value,
+        |       count(*) AS n
         |FROM base, p WHERE value BETWEEN p_lo AND p_hi GROUP BY day""".stripMargin)
     val dfOut = pipelines.Iot.dailyAvg(Tables.events(spark, sfDir))
     assert(sqlOut.collect().toSet == dfOut.collect().toSet)
