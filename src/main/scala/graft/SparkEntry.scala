@@ -183,6 +183,11 @@ object SparkEntry {
 
     // ---- north-star extensions: text analysis ----
     "x08_langid" -> ((s, d) => TextAnalysis.langId(docs(s, d), "doc_id", "text")),
+    // char-trigram profile language ID, profiles trained in-plan from the
+    // labeled corpus (rows-only: rank-weighted scoring has no compact
+    // ANSI equivalent)
+    "x21_langid_ngram" -> ((s, d) =>
+      TextAnalysis.langIdNgram(docs(s, d), "doc_id", "text", "lang")),
     "x09_text_quality" -> ((s, d) => TextAnalysis.quality(docs(s, d), "doc_id", "text")),
     "x10_token_counts" -> ((s, d) => TextAnalysis.tokenCounts(docs(s, d), "doc_id", "text")),
     "x11_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(docs(s, d), "doc_id", "text")),

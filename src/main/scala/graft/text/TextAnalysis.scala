@@ -44,6 +44,41 @@ object TextAnalysis {
         .when(fr === best, "fr").otherwise("es").as("pred_lang"))
   }
 
+  /** Character-n-gram language ID: per-language trigram profiles are
+    * TRAINED IN-PLAN from a labeled corpus (top `profileSize` trigrams
+    * per language by frequency), then each document is scored by how
+    * many of its trigrams hit each profile, weighted by the trigram's
+    * profile rank. Everything is relational — explode + groupBy + join —
+    * so both training and inference scale with executors; the profile is
+    * tiny (langs × profileSize) and broadcasts.
+    *
+    * Output: id, pred_lang, best_score. Ties break on language name.
+    */
+  def langIdNgram(df: DataFrame, idCol: String, textCol: String,
+                  labelCol: String, n: Int = 3,
+                  profileSize: Int = 200): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // substring with a column start position needs the SQL form
+    val tri = df.select(col(idCol).as("id"), col(labelCol).as("lang"),
+        lower(trim(col(textCol))).as("t"))
+      .filter(length(col("t")) >= n)
+      .select(col("id"), col("lang"),
+        explode(expr(s"transform(sequence(1, length(t) - ${n - 1}), i -> substring(t, i, $n))"))
+          .as("gram"))
+    val profile = tri.groupBy("lang", "gram").agg(count(lit(1)).as("cnt"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("lang").orderBy(col("cnt").desc, col("gram").asc)))
+      .filter(col("rnk") <= profileSize)
+      .select(col("lang").as("p_lang"), col("gram"),
+        (lit(profileSize + 1) - col("rnk")).as("weight"))
+    val scores = tri.select("id", "gram").distinct()
+      .join(broadcast(profile), Seq("gram"))
+      .groupBy("id", "p_lang").agg(sum("weight").as("score"))
+    val w = Window.partitionBy("id").orderBy(col("score").desc, col("p_lang").asc)
+    scores.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("id"), col("p_lang").as("pred_lang"), col("score").as("best_score"))
+  }
+
   /** Quality metrics: token count, char length, mean token length,
     * punctuation ratio, stopword ratio, and a coarse quality bucket.
     */

@@ -107,6 +107,25 @@ class ExtensionsSpec extends SparkSpec {
     assert(out.toSeq == Seq("en", "de", "und"))
   }
 
+  test("langIdNgram trains profiles in-plan and classifies deterministically") {
+    // two clearly-separable "languages": distinct character inventories
+    val df = Seq(
+      (1L, "aaab aabb abab aaba", "aa"),
+      (2L, "abba baab aaab baba", "aa"),
+      (3L, "zzzy zyzy yzzy zyyz", "zz"),
+      (4L, "yzzz zzyy zyzz yyzy", "zz"),
+      (5L, "aaba abab baba aabb", "aa")).toDF("doc_id", "text", "lang")
+    val out = TextAnalysis.langIdNgram(df, "doc_id", "text", "lang",
+      n = 3, profileSize = 50).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1) == "aa" && out(3) == "zz" && out(5) == "aa")
+    // deterministic across runs
+    val again = TextAnalysis.langIdNgram(df, "doc_id", "text", "lang",
+      n = 3, profileSize = 50).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(again == out)
+  }
+
   test("quality metrics: token counts and ratios") {
     val df = Seq((1L, "Hello, world! This is a test.")).toDF("doc_id", "text")
     val r = TextAnalysis.quality(df, "doc_id", "text").collect()(0)
