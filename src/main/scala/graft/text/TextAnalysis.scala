@@ -75,8 +75,16 @@ object TextAnalysis {
       .join(broadcast(profile), Seq("gram"))
       .groupBy("id", "p_lang").agg(sum("weight").as("score"))
     val w = Window.partitionBy("id").orderBy(col("score").desc, col("p_lang").asc)
-    scores.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+    val best = scores.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
       .select(col("id"), col("p_lang").as("pred_lang"), col("score").as("best_score"))
+    // every document gets a prediction: zero-profile-hit (or too-short)
+    // docs classify as 'und' — a dedup/filter pipeline must not silently
+    // drop them
+    df.select(col(idCol).as("id")).distinct()
+      .join(best, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("pred_lang"), lit("und")).as("pred_lang"),
+        coalesce(col("best_score"), lit(0L)).as("best_score"))
   }
 
   /** Quality metrics: token count, char length, mean token length,

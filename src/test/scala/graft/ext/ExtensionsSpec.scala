@@ -119,6 +119,11 @@ class ExtensionsSpec extends SparkSpec {
       n = 3, profileSize = 50).collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(out(1) == "aa" && out(3) == "zz" && out(5) == "aa")
+    // a doc with no profile overlap still gets a prediction ('und')
+    val withAlien = df.union(Seq((9L, "qqq", "aa")).toDF("doc_id", "text", "lang"))
+    val preds = TextAnalysis.langIdNgram(withAlien, "doc_id", "text", "lang",
+      n = 3, profileSize = 3).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(preds.size == 6 && preds.contains(9L))
     // deterministic across runs
     val again = TextAnalysis.langIdNgram(df, "doc_id", "text", "lang",
       n = 3, profileSize = 50).collect()
