@@ -366,7 +366,8 @@ object SparkEntry {
         |       count(*) FILTER (WHERE o_orderstatus = 'O') AS n_open,
         |       count(*) FILTER (WHERE o_orderstatus = 'F') AS n_filled,
         |       count(*) FILTER (WHERE o_orderstatus = 'P') AS n_pending,
-        |       round(avg(o_totalprice), 2) AS avg_price,
+        |       floor(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+        |             / count(o_totalprice) + 0.5) / 100.0 AS avg_price,
         |       round(min(o_totalprice), 2) AS min_price,
         |       round(max(o_totalprice), 2) AS max_price
         |FROM orders GROUP BY 1""".stripMargin,

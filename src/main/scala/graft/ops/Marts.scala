@@ -67,7 +67,14 @@ object Marts {
         sum(when(col("o_orderstatus") === "O", 1).otherwise(0)).as("n_open"),
         sum(when(col("o_orderstatus") === "F", 1).otherwise(0)).as("n_filled"),
         sum(when(col("o_orderstatus") === "P", 1).otherwise(0)).as("n_pending"),
-        round(avg("o_totalprice"), 2).as("avg_price"),
+        // integer-cent average (tie-proof across engines, like q06);
+        // min/max of 2-dp values round losslessly so stay as-is
+        count(col("o_totalprice")).as("__vals"),
+        sum(round(col("o_totalprice") * 100, 0).cast("long")).as("__cents"),
         round(min("o_totalprice"), 2).as("min_price"),
         round(max("o_totalprice"), 2).as("max_price"))
+      .withColumn("avg_price",
+        floor(col("__cents") / col("__vals") + 0.5) / 100.0)
+      .select("order_month", "n_orders", "n_open", "n_filled", "n_pending",
+        "avg_price", "min_price", "max_price")
 }
