@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Analytical-mart builders: multi-metric grouped aggs, conditional
@@ -20,6 +20,19 @@ import org.apache.spark.sql.functions._
   */
 object Marts {
 
+  /** Tie-proof HALF_UP money average from an exact integer-cent sum:
+    * `floor(cents/n + 0.5)/100` — bit-identical across engines and
+    * partitionings, unlike `round(avg(double), 2)` which diverges on
+    * exact x.xx5 averages (the canonical idiom; use for every mart
+    * money average).
+    */
+  private[ops] def centAvg(cents: Column, n: Column): Column =
+    floor(cents / n + 0.5) / 100.0
+
+  /** Exact integer-cent sum of a 2-dp double column. */
+  private[ops] def centSum(c: Column): Column =
+    sum(round(c * 100, 0).cast("long"))
+
   /** Per-user activity stats over `events` (stands in for session_stats):
     * event count, total/avg value, active-day count.
     *
@@ -36,12 +49,12 @@ object Marts {
       .groupBy("user_id")
       .agg(
         count(lit(1)).as("n_events"),
-        sum(round(col("value") * 100, 0).cast("long")).as("__cents"),
+        centSum(col("value")).as("__cents"),
         countDistinct("day").as("n_active_days"))
       .select(
         col("user_id"), col("n_events"),
         (col("__cents") / 100.0).as("total_value"),
-        (floor(col("__cents") / col("n_events") + 0.5) / 100.0).as("avg_value"),
+        centAvg(col("__cents"), col("n_events")).as("avg_value"),
         col("n_active_days"))
 
   /** User-activity mart: stats ⟕ top event_type per user (A3 + A6 + J2). */
@@ -67,14 +80,12 @@ object Marts {
         sum(when(col("o_orderstatus") === "O", 1).otherwise(0)).as("n_open"),
         sum(when(col("o_orderstatus") === "F", 1).otherwise(0)).as("n_filled"),
         sum(when(col("o_orderstatus") === "P", 1).otherwise(0)).as("n_pending"),
-        // integer-cent average (tie-proof across engines, like q06);
         // min/max of 2-dp values round losslessly so stay as-is
         count(col("o_totalprice")).as("__vals"),
-        sum(round(col("o_totalprice") * 100, 0).cast("long")).as("__cents"),
+        centSum(col("o_totalprice")).as("__cents"),
         round(min("o_totalprice"), 2).as("min_price"),
         round(max("o_totalprice"), 2).as("max_price"))
-      .withColumn("avg_price",
-        floor(col("__cents") / col("__vals") + 0.5) / 100.0)
+      .withColumn("avg_price", centAvg(col("__cents"), col("__vals")))
       .select("order_month", "n_orders", "n_open", "n_filled", "n_pending",
         "avg_price", "min_price", "max_price")
 }

@@ -65,14 +65,20 @@ object TextAnalysis {
       .select(col("id"), col("lang"),
         explode(expr(s"transform(sequence(1, length(t) - ${n - 1}), i -> substring(t, i, $n))"))
           .as("gram"))
-    val profile = tri.groupBy("lang", "gram").agg(count(lit(1)).as("cnt"))
+    // unlabeled docs must not train a NULL-language profile
+    val profile = tri.filter(col("lang").isNotNull)
+      .groupBy("lang", "gram").agg(count(lit(1)).as("cnt"))
       .withColumn("rnk", row_number().over(
         Window.partitionBy("lang").orderBy(col("cnt").desc, col("gram").asc)))
       .filter(col("rnk") <= profileSize)
       .select(col("lang").as("p_lang"), col("gram"),
         (lit(profileSize + 1) - col("rnk")).as("weight"))
-    val scores = tri.select("id", "gram").distinct()
+    // broadcast-join BEFORE distinct: the dedup shuffle then carries only
+    // profile-hit grams (tiny) instead of every (doc, trigram) pair —
+    // profile rows are unique per (lang, gram), so the reorder is exact
+    val scores = tri.select("id", "gram")
       .join(broadcast(profile), Seq("gram"))
+      .select("id", "gram", "p_lang", "weight").distinct()
       .groupBy("id", "p_lang").agg(sum("weight").as("score"))
     val w = Window.partitionBy("id").orderBy(col("score").desc, col("p_lang").asc)
     val best = scores.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
