@@ -44,53 +44,88 @@ object TextAnalysis {
         .when(fr === best, "fr").otherwise("es").as("pred_lang"))
   }
 
-  /** Character-n-gram language ID: per-language trigram profiles are
-    * TRAINED IN-PLAN from a labeled corpus (top `profileSize` trigrams
-    * per language by frequency), then each document is scored by how
-    * many of its trigrams hit each profile, weighted by the trigram's
-    * profile rank. Everything is relational — explode + groupBy + join —
-    * so both training and inference scale with executors; the profile is
-    * tiny (langs × profileSize) and broadcasts.
-    *
-    * Output: id, pred_lang, best_score. Ties break on language name.
+  /** Per-document distinct character n-gram SETS: (id, lang, grams).
+    * The dedup happens inside `array_distinct` — a map-only expression,
+    * NO shuffle — so this frame has one bounded row per document (grams
+    * per doc ≤ text length) and is cheap to cache. Too-short / null-text
+    * docs keep an empty array, so no document is silently dropped before
+    * classification.
     */
-  def langIdNgram(df: DataFrame, idCol: String, textCol: String,
-                  labelCol: String, n: Int = 3,
-                  profileSize: Int = 200): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    // substring with a column start position needs the SQL form
-    val tri = df.select(col(idCol).as("id"), col(labelCol).as("lang"),
-        lower(trim(col(textCol))).as("t"))
-      .filter(length(col("t")) >= n)
+  def docNgrams(df: DataFrame, idCol: String, textCol: String,
+                labelCol: String, n: Int = 3): DataFrame = {
+    // split to a char array first: element_at on the array is O(1), so
+    // building all grams is O(len·n) — `substring(t, i, n)` instead
+    // re-scans the UTF-8 bytes from the start for every i (O(len²/2))
+    val gram = (0 until n).map(o => "element_at(c, i + " + o + ")").mkString("concat(", ", ", ")")
+    df.select(col(idCol).as("id"), col(labelCol).as("lang"),
+        split(lower(trim(col(textCol))), "").as("c"))
       .select(col("id"), col("lang"),
-        explode(expr(s"transform(sequence(1, length(t) - ${n - 1}), i -> substring(t, i, $n))"))
-          .as("gram"))
+        when(size(col("c")) >= n, array_distinct(
+            expr(s"transform(sequence(1, size(c) - ${n - 1}), i -> $gram)")))
+          .otherwise(array().cast("array<string>")).as("grams"))
+  }
+
+  /** Per-language n-gram profiles from a labeled `docNgrams` frame: top
+    * `profileSize` grams per language by DOCUMENT frequency (grams are
+    * set-distinct per doc), rank-weighted. The explode feeds straight
+    * into a partial-aggregated groupBy, so the shuffle carries only
+    * per-partition (lang, gram) counts — bounded by the gram vocabulary,
+    * not the corpus. The result is tiny (langs × profileSize) —
+    * persist/broadcast it and reuse across queries instead of
+    * retraining per run.
+    */
+  def trainNgramProfiles(tri: DataFrame, profileSize: Int = 200): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     // unlabeled docs must not train a NULL-language profile
-    val profile = tri.filter(col("lang").isNotNull)
-      .groupBy("lang", "gram").agg(count(lit(1)).as("cnt"))
+    tri.filter(col("lang").isNotNull)
+      .select(col("lang"), explode(col("grams")).as("gram"))
+      .groupBy("lang", "gram").agg(count(lit(1)).as("df_cnt"))
       .withColumn("rnk", row_number().over(
-        Window.partitionBy("lang").orderBy(col("cnt").desc, col("gram").asc)))
+        Window.partitionBy("lang").orderBy(col("df_cnt").desc, col("gram").asc)))
       .filter(col("rnk") <= profileSize)
       .select(col("lang").as("p_lang"), col("gram"),
         (lit(profileSize + 1) - col("rnk")).as("weight"))
-    // broadcast-join BEFORE distinct: the dedup shuffle then carries only
-    // profile-hit grams (tiny) instead of every (doc, trigram) pair —
-    // profile rows are unique per (lang, gram), so the reorder is exact
-    val scores = tri.select("id", "gram")
-      .join(broadcast(profile), Seq("gram"))
-      .select("id", "gram", "p_lang", "weight").distinct()
+  }
+
+  /** Score every document of a `docNgrams` frame against broadcast
+    * profiles: sum of profile weights per (doc, lang), argmax with ties
+    * on language name. The explode → broadcast join is map-side; the
+    * score groupBy partial-aggregates to ≤ |docs|·|langs| rows before
+    * its exchange. Zero-hit (or too-short / null-text) docs classify as
+    * 'und' — the id universe comes from `tri` itself (one row per doc,
+    * empty-gram docs included), NOT from a second scan of the source.
+    *
+    * Output: id, pred_lang, best_score.
+    */
+  def classifyNgram(tri: DataFrame, profiles: DataFrame): DataFrame = {
+    val scores = tri.select(col("id"), explode(col("grams")).as("gram"))
+      .join(broadcast(profiles), Seq("gram"))
       .groupBy("id", "p_lang").agg(sum("weight").as("score"))
-    val w = Window.partitionBy("id").orderBy(col("score").desc, col("p_lang").asc)
-    val best = scores.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-      .select(col("id"), col("p_lang").as("pred_lang"), col("score").as("best_score"))
-    // every document gets a prediction: zero-profile-hit (or too-short)
-    // docs classify as 'und' — a dedup/filter pipeline must not silently
-    // drop them
-    df.select(col(idCol).as("id")).distinct()
+    // argmax via min_by on (-score, lang): max score, ties on language
+    // name ascending — one aggregate, no window sort/repartition
+    val best = scores.groupBy("id")
+      .agg(min_by(struct(col("p_lang"), col("score")),
+        struct((col("score") * -1).as("ns"), col("p_lang"))).as("b"))
+      .select(col("id"), col("b.p_lang").as("pred_lang"), col("b.score").as("best_score"))
+    tri.select("id").distinct()
       .join(best, Seq("id"), "left")
       .select(col("id"),
         coalesce(col("pred_lang"), lit("und")).as("pred_lang"),
         coalesce(col("best_score"), lit(0L)).as("best_score"))
+  }
+
+  /** Character-n-gram language ID with profiles trained IN-PLAN from the
+    * labeled corpus: compose `docNgrams` → `trainNgramProfiles` →
+    * `classifyNgram` over ONE cached per-doc gram-set frame, so training
+    * and scoring share a single n-gram pass over the corpus instead of
+    * each recomputing it. Everything is relational (map-only gram sets +
+    * tiny aggregations + broadcast join) and scales with executors.
+    */
+  def langIdNgram(df: DataFrame, idCol: String, textCol: String,
+                  labelCol: String, n: Int = 3,
+                  profileSize: Int = 200): DataFrame = {
+    val tri = docNgrams(df, idCol, textCol, labelCol, n).cache()
+    classifyNgram(tri, trainNgramProfiles(tri, profileSize))
   }
 
   /** Quality metrics: token count, char length, mean token length,
