@@ -101,6 +101,10 @@ object SparkEntry {
         Explode.sizeOrZero(col("fav_foods")).as("n_foods"),
         coalesce(array_join(col("fav_foods"), ";"), lit("")).as("foods"))
     }),
+    // F15 complete: all 7 daily-value metrics and the full food field set
+    // (nutrition_foods target, HW-2/init/init.sql:291-322)
+    "q30_nutrition_daily" -> ((s, d) => graft.pipelines.PetsNutrition.dailyValues(s)),
+    "q31_nutrition_foods" -> ((s, d) => graft.pipelines.PetsNutrition.foods(s)),
 
     // ---- sorts / set ops / arrays (T1-T3, U1, J3, A8, F12) ----
     "q15_latest_event" -> ((s, d) =>
@@ -406,8 +410,39 @@ object SparkEntry {
       """SELECT * FROM (VALUES
         |  ('Rex', 'dog', 2019, 'rex.png', 2, 'beef;chicken'),
         |  ('Mia', 'cat', 2021, 'mia.png', 0, ''),
-        |  ('Bub', 'fish', 2022, 'bub.png', 1, 'flakes'))
+        |  ('Bub', 'fish', 2022, 'bub.png', 1, 'flakes'),
+        |  ('Tom', 'cat', 2018, 'tom.png', 1, 'tuna'),
+        |  ('Zoe', 'parrot', 2020, 'zoe.png', 1, '<strong>any</strong> food'))
         |AS t(name, species, birth_year, photo, n_foods, foods)""".stripMargin,
+    "q30_nutrition_daily" ->
+      """SELECT metric, units, CAST(value AS DOUBLE) AS value FROM (VALUES
+        |  ('total-fat', 'g', 65), ('saturated-fat', 'g', 21),
+        |  ('cholesterol', 'mg', 290), ('sodium', 'mg', 2400),
+        |  ('carb', 'g', 300), ('fiber', 'g', 24), ('protein', 'g', 50))
+        |AS t(metric, units, value)""".stripMargin,
+    "q31_nutrition_foods" ->
+      """SELECT name, mfr, serving, serving_units,
+        |       CAST(calories_total AS INT) AS calories_total,
+        |       CAST(calories_fat AS INT) AS calories_fat,
+        |       CAST(total_fat AS DOUBLE) AS total_fat,
+        |       CAST(saturated_fat AS DOUBLE) AS saturated_fat,
+        |       CAST(cholesterol AS DOUBLE) AS cholesterol,
+        |       CAST(sodium AS DOUBLE) AS sodium,
+        |       CAST(carb AS DOUBLE) AS carb,
+        |       CAST(fiber AS DOUBLE) AS fiber,
+        |       CAST(protein AS DOUBLE) AS protein,
+        |       CAST(vitamin_a AS DOUBLE) AS vitamin_a,
+        |       CAST(vitamin_c AS DOUBLE) AS vitamin_c,
+        |       CAST(mineral_ca AS DOUBLE) AS mineral_ca,
+        |       CAST(mineral_fe AS DOUBLE) AS mineral_fe
+        |FROM (VALUES
+        |  ('Oat Rings', 'GrainCo', '1', ' cup', 110, 10,
+        |   2, 0.5, 0, 190, 22.5, 3, 4, 25, 2, 10, 45),
+        |  ('Berry Mix', 'FruitCo', '40', 'g', 140, 0,
+        |   0, 0, 0, 5, 34, 2.5, 1, 0, 45, 2, 4))
+        |AS t(name, mfr, serving, serving_units, calories_total, calories_fat,
+        |     total_fat, saturated_fat, cholesterol, sodium, carb, fiber,
+        |     protein, vitamin_a, vitamin_c, mineral_ca, mineral_fe)""".stripMargin,
     "q15_latest_event" ->
       """SELECT event_id, user_id, event_type, value FROM events
         |ORDER BY event_id DESC LIMIT 1""".stripMargin,

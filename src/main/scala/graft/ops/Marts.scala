@@ -26,11 +26,11 @@ object Marts {
     * exact x.xx5 averages (the canonical idiom; use for every mart
     * money average).
     */
-  private[ops] def centAvg(cents: Column, n: Column): Column =
+  private[graft] def centAvg(cents: Column, n: Column): Column =
     floor(cents / n + 0.5) / 100.0
 
   /** Exact integer-cent sum of a 2-dp double column. */
-  private[ops] def centSum(c: Column): Column =
+  private[graft] def centSum(c: Column): Column =
     sum(round(c * 100, 0).cast("long"))
 
   /** Per-user activity stats over `events` (stands in for session_stats):

@@ -30,6 +30,16 @@ object Shred {
       StructField("birthYear", IntegerType),
       StructField("photo", StringType)))))))
 
+  /** Companion schema for the F14 scalar-or-array coercion: the same
+    * array position parsed with favFoods as TEXT. A scalar value
+    * ("fish" or 42) lands here as its string form while the typed
+    * schema yields NULL; an actual array lands as raw JSON text but is
+    * ignored because the typed parse won.
+    */
+  private val petsScalarSchema: StructType = StructType(Seq(
+    StructField("pets", ArrayType(StructType(Seq(
+      StructField("favFoods", StringType)))))))
+
   /** Parse a JSON string column with an explicit schema (never infer —
     * reproduces the reference's declared-DDL semantics, SURVEY.md §1.2).
     */
@@ -45,17 +55,29 @@ object Shred {
   /** XPath numeric extraction (F15/F17 `num()` helper equivalent). */
   def xmlInt(c: Column, path: String): Column = xpath_int(c, lit(path))
 
-  /** Shred `pets` JSON into the flat child table: one row per pet with a
-    * generated surrogate id (K2) and the ';'-joined favFoods (F12).
+  /** Shred `pets` JSON into the flat child table: one row per pet with
+    * the favFoods array coerced from scalar when needed (F14).
+    *
+    * Scalar-or-array coercion (`HW-2/airflow/dags/sources_to_linear.py:
+    * 55-57`: `if not isinstance(favs, list): favs = [str(favs)]`): the
+    * payload is parsed TWICE — typed (array favFoods) and all-text
+    * (string favFoods) — and the two pet arrays zipped by position, so a
+    * scalar value becomes a one-element array instead of silently
+    * parsing to NULL. Two fixed parses per payload row (not one per
+    * pet), both codegen'd, still shuffle-free.
     */
   def shredPets(df: DataFrame, payloadCol: String): DataFrame =
-    df.select(explode(parseJson(col(payloadCol), petsSchema).getField("pets")).as("pet"))
+    df.select(explode(arrays_zip(
+        parseJson(col(payloadCol), petsSchema).getField("pets").as("typed"),
+        parseJson(col(payloadCol), petsScalarSchema).getField("pets").as("raw"))).as("z"))
       .select(
-        col("pet.name").as("name"),
-        col("pet.species").as("species"),
-        col("pet.birthYear").as("birth_year"),
-        col("pet.photo").as("photo"),
-        col("pet.favFoods").as("fav_foods"))
+        col("z.typed.name").as("name"),
+        col("z.typed.species").as("species"),
+        col("z.typed.birthYear").as("birth_year"),
+        col("z.typed.photo").as("photo"),
+        coalesce(col("z.typed.favFoods"),
+          when(col("z.raw.favFoods").isNotNull, array(col("z.raw.favFoods"))))
+          .as("fav_foods"))
 
   /** K2: deterministic contiguous surrogate key (`INSERT ... RETURNING id`
     * equivalent, `HW-2/airflow/dags/sources_to_linear.py:59-79`). The

@@ -22,6 +22,24 @@ class ShredSpec extends SparkSpec {
     assert(out(0).getAs[Any]("fav_foods") == null) // Mia has no favFoods
   }
 
+  test("shredPets coerces scalar favFoods to a one-element array (F14)") {
+    // string scalar, numeric scalar, HTML-ish scalar — the reference's
+    // `if not isinstance(favs, list): favs = [str(favs)]`
+    val p =
+      """{"pets":[
+        |{"name":"Tom","species":"cat","favFoods":"tuna","birthYear":2018,"photo":"t.png"},
+        |{"name":"Kiwi","species":"bird","favFoods":42,"birthYear":2023,"photo":"k.png"},
+        |{"name":"Zoe","species":"parrot","favFoods":"<strong>any</strong> food","birthYear":2020,"photo":"z.png"}
+        |]}""".stripMargin.replace("\n", "")
+    val out = Shred.shredPets(Seq(p).toDF("payload"), "payload")
+      .orderBy("name").collect()
+      .map(r => r.getAs[String]("name") ->
+        r.getSeq[String](r.fieldIndex("fav_foods")).toList).toMap
+    assert(out("Tom") == List("tuna"))
+    assert(out("Kiwi") == List("42"))
+    assert(out("Zoe") == List("<strong>any</strong> food"))
+  }
+
   test("jsonInt extracts typed scalar from JSON string") {
     val out = Seq("""{"k": 42}""", """{"x": 1}""").toDF("j")
       .select(Shred.jsonInt(col("j"), "$.k").as("k")).collect()
