@@ -106,6 +106,24 @@ object SparkEntry {
     "q30_nutrition_daily" -> ((s, d) => graft.pipelines.PetsNutrition.dailyValues(s)),
     "q31_nutrition_foods" -> ((s, d) => graft.pipelines.PetsNutrition.foods(s)),
 
+    // ---- final-module pipeline under the oracle gate (P5-P7, P9-P10,
+    // F9, F11, A9→counts, T3): clean sessions → user-activity mart, and
+    // clean tickets → support-efficiency mart, over DuckDB-replicable
+    // collections derived from events/orders ----
+    "q27_clean_sessions" -> ((s, d) =>
+      graft.pipelines.Ecommerce.cleanSessions(
+          graft.pipelines.Ecommerce.sessionsFromEvents(ev(s, d)))
+        .select("session_id", "user_id", "session_date", "duration_min",
+          "num_pages", "num_actions", "device")),
+    "q28_mart_user_activity" -> ((s, d) =>
+      graft.pipelines.Ecommerce.martUserActivity(
+        graft.pipelines.Ecommerce.cleanSessions(
+          graft.pipelines.Ecommerce.sessionsFromEvents(ev(s, d))))),
+    "q29_support_efficiency" -> ((s, d) =>
+      graft.pipelines.Ecommerce.martSupportEfficiency(
+        graft.pipelines.Ecommerce.cleanTickets(
+          graft.pipelines.Ecommerce.ticketsFromOrders(Tables.orders(s, d))))),
+
     // ---- sorts / set ops / arrays (T1-T3, U1, J3, A8, F12) ----
     "q15_latest_event" -> ((s, d) =>
       TopK.latestBy(ev(s, d), "event_id")
@@ -414,6 +432,110 @@ object SparkEntry {
         |  ('Tom', 'cat', 2018, 'tom.png', 1, 'tuna'),
         |  ('Zoe', 'parrot', 2020, 'zoe.png', 1, '<strong>any</strong> food'))
         |AS t(name, species, birth_year, photo, n_foods, foods)""".stripMargin,
+    "q27_clean_sessions" ->
+      """WITH s AS (
+        |  SELECT event_id AS session_id, user_id, ts AS start_time,
+        |         ts + to_minutes(event_id % 2000 - 2) AS end_time,
+        |         CASE WHEN event_id % 7 = 0 THEN NULL
+        |              ELSE list_slice(string_split('home search product cart checkout', ' '),
+        |                              1, CAST(event_id % 5 + 1 AS INT)) END AS pages_visited,
+        |         CASE WHEN event_id % 11 = 0 THEN NULL
+        |              ELSE list_slice(string_split('click scroll search purchase logout', ' '),
+        |                              1, CAST(event_id % 4 + 1 AS INT)) END AS actions,
+        |         string_split('mobile desktop tablet', ' ')[CAST(event_id % 3 + 1 AS INT)] AS device
+        |  FROM events)
+        |SELECT session_id, user_id, start_time::DATE AS session_date,
+        |       round(epoch(end_time - start_time) / 60.0, 2) AS duration_min,
+        |       CAST(CASE WHEN pages_visited IS NULL THEN 0 ELSE len(pages_visited) END AS INT) AS num_pages,
+        |       CAST(CASE WHEN actions IS NULL THEN 0 ELSE len(actions) END AS INT) AS num_actions,
+        |       device
+        |FROM s
+        |WHERE start_time < end_time
+        |  AND end_time < start_time + INTERVAL 24 HOURS""".stripMargin,
+    "q28_mart_user_activity" ->
+      """WITH s AS (
+        |  SELECT event_id AS session_id, user_id, ts AS start_time,
+        |         ts + to_minutes(event_id % 2000 - 2) AS end_time,
+        |         CASE WHEN event_id % 7 = 0 THEN NULL
+        |              ELSE list_slice(string_split('home search product cart checkout', ' '),
+        |                              1, CAST(event_id % 5 + 1 AS INT)) END AS pages_visited,
+        |         CASE WHEN event_id % 11 = 0 THEN NULL
+        |              ELSE list_slice(string_split('click scroll search purchase logout', ' '),
+        |                              1, CAST(event_id % 4 + 1 AS INT)) END AS actions,
+        |         string_split('mobile desktop tablet', ' ')[CAST(event_id % 3 + 1 AS INT)] AS device
+        |  FROM events),
+        |c AS (
+        |  SELECT user_id, date_trunc('month', start_time::DATE)::DATE AS report_month,
+        |         round(epoch(end_time - start_time) / 60.0, 2) AS duration_min,
+        |         CASE WHEN pages_visited IS NULL THEN 0 ELSE len(pages_visited) END AS num_pages,
+        |         CASE WHEN actions IS NULL THEN 0 ELSE len(actions) END AS num_actions,
+        |         device, pages_visited, actions
+        |  FROM s
+        |  WHERE start_time < end_time
+        |    AND end_time < start_time + INTERVAL 24 HOURS),
+        |stats AS (
+        |  SELECT user_id, report_month, count(*) AS sessions_count,
+        |         sum(CAST(round(duration_min * 100) AS BIGINT)) / 100.0 AS total_duration_min,
+        |         floor(sum(CAST(round(duration_min * 100) AS BIGINT))
+        |               / count(duration_min) + 0.5) / 100.0 AS avg_duration_min,
+        |         CAST(sum(num_pages) AS BIGINT) AS total_pages,
+        |         floor(sum(num_actions * 100) / count(num_actions) + 0.5) / 100.0 AS avg_actions
+        |  FROM c GROUP BY 1, 2),
+        |td AS (
+        |  SELECT user_id, report_month, device AS top_device FROM (
+        |    SELECT user_id, report_month, device,
+        |           row_number() OVER (PARTITION BY user_id, report_month
+        |                              ORDER BY count(*) DESC, device ASC) AS rn
+        |    FROM c GROUP BY user_id, report_month, device) t WHERE rn = 1),
+        |tp AS (
+        |  SELECT user_id, report_month, page_val AS top_page FROM (
+        |    SELECT user_id, report_month, page_val,
+        |           row_number() OVER (PARTITION BY user_id, report_month
+        |                              ORDER BY count(*) DESC, page_val ASC) AS rn
+        |    FROM c, UNNEST(pages_visited) AS u(page_val)
+        |    GROUP BY user_id, report_month, page_val) t WHERE rn = 1),
+        |ta AS (
+        |  SELECT user_id, report_month, action_val AS top_action FROM (
+        |    SELECT user_id, report_month, action_val,
+        |           row_number() OVER (PARTITION BY user_id, report_month
+        |                              ORDER BY count(*) DESC, action_val ASC) AS rn
+        |    FROM c, UNNEST(actions) AS u(action_val)
+        |    GROUP BY user_id, report_month, action_val) t WHERE rn = 1)
+        |SELECT s.user_id, s.report_month, sessions_count, total_duration_min,
+        |       avg_duration_min, total_pages, avg_actions,
+        |       top_device, top_page, top_action
+        |FROM stats s
+        |LEFT JOIN td USING (user_id, report_month)
+        |LEFT JOIN tp USING (user_id, report_month)
+        |LEFT JOIN ta USING (user_id, report_month)""".stripMargin,
+    "q29_support_efficiency" ->
+      """WITH t AS (
+        |  SELECT o_orderkey AS ticket_id, o_custkey AS user_id,
+        |         string_split('open closed pending resolved', ' ')[CAST(o_orderkey % 4 + 1 AS INT)] AS status,
+        |         string_split('billing technical account delivery', ' ')[CAST((o_orderkey // 4) % 4 + 1 AS INT)] AS issue_type,
+        |         CASE WHEN o_orderkey % 11 = 0 THEN NULL
+        |              ELSE list_slice(string_split('m1 m2 m3 m4 m5', ' '),
+        |                              1, CAST(o_orderkey % 5 + 1 AS INT)) END AS messages,
+        |         o_orderdate AS created_at,
+        |         o_orderdate + to_hours(o_orderkey % 100 - 3) AS updated_at
+        |  FROM orders),
+        |c AS (
+        |  SELECT date_trunc('month', created_at)::DATE AS report_month, issue_type, status,
+        |         CASE WHEN messages IS NULL THEN 0 ELSE len(messages) END AS message_count,
+        |         round(epoch(updated_at - created_at) / 3600.0, 2) AS resolution_hours
+        |  FROM t WHERE created_at <= updated_at)
+        |SELECT report_month, issue_type,
+        |       count(*) AS tickets_count,
+        |       CAST(sum(CASE WHEN status = 'open' THEN 1 ELSE 0 END) AS BIGINT) AS open_count,
+        |       CAST(sum(CASE WHEN status = 'closed' THEN 1 ELSE 0 END) AS BIGINT) AS closed_count,
+        |       CAST(sum(CASE WHEN status = 'pending' THEN 1 ELSE 0 END) AS BIGINT) AS pending_count,
+        |       CAST(sum(CASE WHEN status = 'resolved' THEN 1 ELSE 0 END) AS BIGINT) AS resolved_count,
+        |       floor(sum(CAST(round(resolution_hours * 100) AS BIGINT))
+        |             / count(resolution_hours) + 0.5) / 100.0 AS avg_resolution_hours,
+        |       round(min(resolution_hours), 2) AS min_resolution_hours,
+        |       round(max(resolution_hours), 2) AS max_resolution_hours,
+        |       floor(sum(message_count * 100) / count(message_count) + 0.5) / 100.0 AS avg_messages
+        |FROM c GROUP BY 1, 2""".stripMargin,
     "q30_nutrition_daily" ->
       """SELECT metric, units, CAST(value AS DOUBLE) AS value FROM (VALUES
         |  ('total-fat', 'g', 65), ('saturated-fat', 'g', 21),
