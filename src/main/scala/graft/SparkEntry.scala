@@ -81,6 +81,17 @@ object SparkEntry {
       Incremental.mergeWindow(daily, incoming, "day", cutoff)
     }),
 
+    // K4 generalized: arbitrary-key full-row upsert (incoming wins,
+    // existing survives where unclaimed)
+    "q32_upsert_bykey" -> ((s, d) => {
+      val events = ev(s, d)
+      val existing = events.filter(col("event_id") % 3 =!= 0)
+        .select("event_id", "user_id", "value")
+      val incoming = events.filter(col("event_id") % 2 === 0)
+        .select(col("event_id"), col("user_id"), (col("value") * 2).as("value"))
+      Incremental.upsertByKey(existing, incoming, Seq("event_id"))
+    }),
+
     // ---- shredding family (S3/S4, F13-F15, J4, A8, F12) ----
     "q12_json_shred" -> ((s, d) =>
       ev(s, d).select(col("event_id"), Shred.jsonInt(col("props"), "$.k").as("k"))),
@@ -183,11 +194,16 @@ object SparkEntry {
       Dedup.exactTextDedup(docs(s, d), "doc_id", "text")),
     "x02_jaccard_pairs" -> ((s, d) =>
       NearDup.jaccardPairs(docs(s, d), "doc_id", "text", k = 3, threshold = 0.2)),
+    // hot band buckets capped at 200 docs: on this low-entropy corpus the
+    // cap drops NO pairs at sf0.01/sf0.1 (sweep-verified) but bounds the
+    // C(n,2) bucket expansion that would otherwise dominate at 100 TB
     "x03_minhash_lsh" -> ((s, d) =>
       NearDup.minhashLshPairs(docs(s, d), "doc_id", "text",
-        k = 3, numHashes = 16, bands = 4, threshold = 0.2)),
+        k = 3, numHashes = 16, bands = 4, threshold = 0.2,
+        maxBucketSize = Some(200))),
     "x04_simhash_pairs" -> ((s, d) =>
-      NearDup.simhashPairs(docs(s, d), "doc_id", "text", maxHamming = 8)),
+      NearDup.simhashPairs(docs(s, d), "doc_id", "text", maxHamming = 8,
+        maxBucketSize = Some(200))),
 
     // ---- north-star extensions: similarity search ----
     "x05_cosine_topk" -> ((s, d) =>
@@ -240,13 +256,18 @@ object SparkEntry {
         .agg(countDistinct("user_id").as("n_users"),
           count(lit(1)).as("n_events"))),
 
-    // HLL++ approximate distinct vs exact — the sketch-based scale path
-    // (sketches differ across engines → rows-only; the spec bounds the
-    // relative error instead)
+    // HLL++ approximate distinct vs exact — the sketch-based scale path.
+    // The sketch VALUE differs across engines, so the invariant is
+    // enforced in-plan instead: approx_ok = |approx-exact| ≤ 5%·exact,
+    // and the oracle expects literal TRUE — if the sketch ever drifts,
+    // the hash compare fails loudly rather than hiding behind rows-only
     "x19_approx_distinct" -> ((s, d) =>
       ev(s, d).groupBy("event_type")
         .agg(countDistinct("user_id").as("exact_users"),
-          approx_count_distinct("user_id", 0.02).as("approx_users"))),
+          approx_count_distinct("user_id", 0.02).as("approx_users"))
+        .select(col("event_type"), col("exact_users"),
+          (abs(col("approx_users") - col("exact_users")) <=
+            col("exact_users") * 0.05).as("approx_ok"))),
 
     // rollup over the pricing keys — multi-level aggregate in one pass
     "q23_rollup_counts" -> ((s, d) =>
@@ -264,7 +285,8 @@ object SparkEntry {
       val signups = events.filter(col("event_type") === "signup")
         .select(col("user_id"), col("ts"), col("event_id").as("signup_event_id"))
       AsofJoin.asofBackward(errors, signups, Seq("user_id"),
-          "ts", "ts", Seq("signup_event_id"), suffix = "")
+          "ts", "ts", Seq("signup_event_id"), suffix = "",
+          rightTieBreak = Seq("signup_event_id"))
         .select(col("event_id"), col("user_id"), col("signup_event_id"))
     }),
 
@@ -417,6 +439,16 @@ object SparkEntry {
         |         / 100.0 AS avg_value,
         |       count(*) AS n
         |FROM events GROUP BY 1""".stripMargin,
+    "q32_upsert_bykey" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, value FROM events WHERE event_id % 3 <> 0),
+        |i AS (
+        |  SELECT event_id, user_id, value * 2 AS value FROM events
+        |  WHERE event_id % 2 = 0)
+        |SELECT event_id, user_id, value FROM i
+        |UNION ALL
+        |SELECT e.event_id, e.user_id, e.value FROM e
+        |WHERE NOT EXISTS (SELECT 1 FROM i WHERE i.event_id = e.event_id)""".stripMargin,
     "q12_json_shred" ->
       """SELECT event_id,
         |       CAST(regexp_extract(props, '"k": (-?[0-9]+)', 1) AS INTEGER) AS k
@@ -755,6 +787,28 @@ object SparkEntry {
       """SELECT doc_id,
         |       md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint
         |FROM documents""".stripMargin,
+    "x12_rolling_hash" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |                             x -> x <> '') AS toks
+        |  FROM documents),
+        |h AS (
+        |  SELECT doc_id,
+        |         list_transform(toks, tok ->
+        |           list_reduce(
+        |             list_prepend(CAST(7 AS BIGINT),
+        |               list_transform(string_split(tok, ''),
+        |                              c -> CAST(ascii(c) AS BIGINT))),
+        |             (a, b) -> (a * 31 + b) % 1000000007)) AS th
+        |  FROM t)
+        |SELECT doc_id,
+        |       list_reduce(list_prepend(CAST(104729 AS BIGINT), th),
+        |                   (a, b) -> (a * 131 + b) % 1000000007) AS rolling_hash
+        |FROM h""".stripMargin,
+    "x19_approx_distinct" ->
+      """SELECT event_type, count(DISTINCT user_id) AS exact_users,
+        |       TRUE AS approx_ok
+        |FROM events GROUP BY event_type""".stripMargin,
     "x18_frame_sample" ->
       """SELECT doc_id,
         |  CAST(least(4, greatest(1, octet_length(encode(text)) // 8)) AS BIGINT)

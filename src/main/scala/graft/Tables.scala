@@ -19,8 +19,18 @@ object Tables {
     * codegen'd arithmetic expression, so the scan stays vectorized.
     */
   private def eventsRaw(spark: SparkSession, sfDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val df = spark.read.parquet(s"$sfDir/events.parquet")
+    // schema resolution is eager at read time, so the legacy conf can be
+    // restored immediately — other readers in the same session must keep
+    // failing loudly on unexpected TIMESTAMP(NANOS) columns
+    val confKey = "spark.sql.legacy.parquet.nanosAsLong"
+    val prev = spark.conf.getOption(confKey)
+    spark.conf.set(confKey, "true")
+    val df =
+      try spark.read.parquet(s"$sfDir/events.parquet")
+      finally prev match {
+        case Some(v) => spark.conf.set(confKey, v)
+        case None => spark.conf.unset(confKey)
+      }
     if (df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
       df.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
     else df

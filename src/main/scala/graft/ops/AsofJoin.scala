@@ -24,10 +24,17 @@ object AsofJoin {
 
   /** Left as-of-backward join. `rightVals` columns arrive suffixed with
     * `suffix`; left rows with no prior right row get nulls.
+    *
+    * `rightTieBreak` (names from `rightVals`) pins which right row is
+    * carried when two right rows share the same (key, ts): the one with
+    * the GREATEST tiebreak value. Without it the choice falls to sort
+    * order — nondeterministic across partitionings, so any
+    * hash-compared output should pass a tiebreak.
     */
   def asofBackward(left: DataFrame, right: DataFrame, keys: Seq[String],
                    leftTs: String, rightTs: String, rightVals: Seq[String],
-                   suffix: String = "_asof"): DataFrame = {
+                   suffix: String = "_asof",
+                   rightTieBreak: Seq[String] = Seq.empty): DataFrame = {
     val outNames = rightVals.map(v => s"$v$suffix")
     require(!outNames.exists(left.columns.contains),
       s"right value columns $outNames collide with left columns — pick a suffix")
@@ -54,8 +61,12 @@ object AsofJoin {
     val unioned = lTagged.select(ordered.map(col): _*)
       .unionByName(rTagged.select(ordered.map(col): _*))
 
+    // tiebreak only reorders rows WITHIN equal (ts, side=right) groups:
+    // left rows sort after right rows on equal ts regardless (__side=1),
+    // and their __r is null so the ordering value is irrelevant to them
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col("__ts").asc, col("__side").asc)
+      .orderBy((col("__ts").asc +: col("__side").asc +:
+        rightTieBreak.map(v => col("__r").getField(v).asc)): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     unioned
       .withColumn("__r", last(col("__r"), ignoreNulls = true).over(w))

@@ -54,4 +54,16 @@ object Incremental {
       .filter(col(dayCol) < col("cutoff")).drop("cutoff")
     keep.unionByName(incoming)
   }
+
+  /** K4 generalized: arbitrary-key upsert. Incoming rows win; existing
+    * rows survive only where no incoming row shares their key — exactly
+    * `INSERT ... ON CONFLICT (keys) DO UPDATE` over whole rows
+    * (`HW-4/airflow/dags/iot_temperature.py:207-216`, lifted from the
+    * day column to any key set). One anti-join shuffle + a union; at
+    * scale both sides hash-partition on the same keys so AQE can plan
+    * the anti join without an extra exchange.
+    */
+  def upsertByKey(existing: DataFrame, incoming: DataFrame,
+                  keys: Seq[String]): DataFrame =
+    incoming.unionByName(existing.join(incoming, keys, "left_anti"))
 }

@@ -28,7 +28,13 @@ object Skew {
     */
   def saltedAvg(df: DataFrame, keys: Seq[String], valueCol: String,
                 salts: Int = 16, exactCents: Boolean = false): DataFrame = {
-    val salt = pmod(hash(col(valueCol), lit(0x5a17)), lit(salts)).as("__salt")
+    // salt from a per-row id, NOT from hash(value): when a hot key's
+    // values are constant or null (the common skew case) a value-derived
+    // salt sends every row to ONE bucket and the spread degenerates.
+    // The id is partition-order-dependent, but sum/count partials are
+    // merge-associative, so the merged result is unchanged (and with
+    // exactCents, bit-identical).
+    val salt = pmod(hash(monotonically_increasing_id()), lit(salts)).as("__salt")
     val v = col(valueCol)
     val sumExpr = if (exactCents) sum(round(v * 100, 0).cast("long")) else sum(v)
     val partial = df

@@ -40,34 +40,75 @@ object EventStream {
   case class SessionOut(user_id: Long, n_events: Long, duration_min: Double,
                         total_value: Double)
 
-  /** Gap-based sessionization with `mapGroupsWithState` — the custom-state
-    * slot the reference's session analytics would need in streaming form
-    * (session_stats, `final-module-3/.../build_analytical_marts.py:31-40`).
-    * Emits the CURRENT session aggregate per user on every trigger; an
-    * event arriving more than `gapMinutes` after the previous one starts
-    * a new session (production would add an event-time timeout to close
-    * and emit idle sessions — omitted here to keep triggers data-driven).
+  /** Gap-based sessionization with `flatMapGroupsWithState` — the
+    * custom-state slot the reference's session analytics would need in
+    * streaming form (session_stats, `final-module-3/.../
+    * build_analytical_marts.py:31-40`).
+    *
+    * Emits CLOSED sessions only (Append): a session closes when a later
+    * event exceeds `gapMinutes`, or — for idle users — when the event-time
+    * watermark passes `last + gap` (`EventTimeTimeout` +
+    * `setTimeoutTimestamp`), which also REMOVES the user's state. State is
+    * therefore bounded by the number of currently-active users, not by
+    * history — the NoTimeout variant instead grows the state store
+    * without bound and never emits idle sessions. On batch inputs (oracle
+    * parity) each group sees all its data once and trailing open sessions
+    * are flushed at the end.
+    *
+    * The per-invocation sort is bounded by ONE user's ONE-trigger batch
+    * (not full history — state carries only the open-session aggregate).
     */
   def sessionize(spark: SparkSession, events: Dataset[SessionIn],
-                 gapMinutes: Long = 30): Dataset[SessionOut] = {
+                 gapMinutes: Long = 30,
+                 lateness: String = "10 minutes"): Dataset[SessionOut] = {
     import spark.implicits._
-    events
-      .groupByKey(_.user_id)
-      .mapGroupsWithState[SessionState, SessionOut](GroupStateTimeout.NoTimeout) {
+    val streaming = events.isStreaming
+    val src = if (streaming) events.withWatermark("ts", lateness) else events
+    val gapMs = gapMinutes * 60000L
+    def out(user: Long, s: SessionState) =
+      SessionOut(user, s.nEvents, (s.last - s.start) / 60000.0, s.total)
+    val timeoutConf =
+      if (streaming) GroupStateTimeout.EventTimeTimeout
+      else GroupStateTimeout.NoTimeout // batch: timeouts can never fire
+    src.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append, timeoutConf) {
         (user: Long, rows: Iterator[SessionIn], state: GroupState[SessionState]) =>
-          val sorted = rows.toSeq.sortBy(_.ts.getTime)
-          var s = state.getOption.getOrElse(SessionState(Long.MaxValue, 0L, 0L, 0.0))
-          sorted.foreach { e =>
-            val t = e.ts.getTime
-            s =
-              if (s.nEvents > 0 && t - s.last > gapMinutes * 60000L)
-                SessionState(t, t, 1L, e.value) // gap exceeded → new session
-              else
-                SessionState(math.min(s.start, t), math.max(s.last, t),
-                  s.nEvents + 1, s.total + e.value)
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(out(user, s))
+          } else {
+            val sorted = rows.toArray.sortBy(_.ts.getTime)
+            val closed = List.newBuilder[SessionOut]
+            var open = state.getOption
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              open match {
+                case Some(s) if t - s.last > gapMs =>
+                  closed += out(user, s) // gap exceeded → close, start new
+                  open = Some(SessionState(t, t, 1L, e.value))
+                case Some(s) =>
+                  open = Some(SessionState(math.min(s.start, t),
+                    math.max(s.last, t), s.nEvents + 1, s.total + e.value))
+                case None =>
+                  open = Some(SessionState(t, t, 1L, e.value))
+              }
+            }
+            if (!streaming) {
+              // bounded input: the trailing open session is complete
+              closed ++= open.map(out(user, _))
+            } else {
+              open.foreach { s =>
+                state.update(s)
+                // never set a timeout behind the watermark (Spark rejects
+                // it); a very-late session then closes one trigger later
+                state.setTimeoutTimestamp(
+                  math.max(s.last + gapMs, state.getCurrentWatermarkMs + 1))
+              }
+            }
+            closed.result().iterator
           }
-          state.update(s)
-          SessionOut(user, s.nEvents, (s.last - s.start) / 60000.0, s.total)
       }
   }
 

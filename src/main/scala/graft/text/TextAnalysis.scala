@@ -171,19 +171,26 @@ object TextAnalysis {
       col(idCol),
       md5(regexp_replace(lower(trim(col(textCol))), "\\s+", " ")).as("fingerprint"))
 
-  /** Rolling polynomial hash over tokens (Rabin-Karp style). Modulus
-    * 1e9+7 keeps every intermediate ≪ Long.Max (ANSI-overflow-safe:
-    * acc < 1e9, token term < 2^31, acc·131 + term < 1.4e11). Not
-    * ANSI-SQL-expressible in the oracle (xxhash64; driver records a
-    * rows-only check); used as the shift-tolerant fingerprint variant.
+  /** Rolling polynomial hash over tokens (Rabin-Karp style): token hash
+    * = base-31 polynomial over the token's code points, document hash =
+    * base-131 polynomial over the token hashes, both mod 1e9+7. Every
+    * intermediate stays ≪ Long.Max (ANSI-overflow-safe: acc < 1e9,
+    * acc·131 + term < 1.4e11), and — unlike an engine-specific xxhash64
+    * term — the whole chain is plain integer arithmetic the DuckDB
+    * oracle replicates exactly (list_reduce over ascii code points).
+    * Used as the shift-tolerant fingerprint variant.
     */
   def rollingHash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val m = 1000000007L
     val t = tokens(col(textCol))
+    def tokHash(tok: Column): Column = aggregate(
+      split(tok, ""),
+      lit(7L),
+      (a, ch) => pmod(a * lit(31L) + ascii(ch), lit(m)))
     val h = aggregate(
       t,
       lit(104729L),
-      (acc, tok) => pmod(acc * lit(131L) + pmod(xxhash64(tok), lit(m)), lit(m)))
+      (acc, tok) => pmod(acc * lit(131L) + tokHash(tok), lit(m)))
     df.select(col(idCol), h.as("rolling_hash"))
   }
 }

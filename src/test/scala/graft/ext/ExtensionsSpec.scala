@@ -42,6 +42,34 @@ class ExtensionsSpec extends SparkSpec {
       r.getAs[Int]("hamming") == 0))
   }
 
+  test("LSH df-cap drops only super-hot buckets, cold pairs survive") {
+    // 30 identical docs → every band bucket they occupy holds 30 docs
+    // (super-hot, C(30,2) pair expansion); one near-dup pair lives in
+    // cold buckets of size 2
+    val hot = (1L to 30L).map(i => (i, "alpha beta gamma delta epsilon zeta"))
+    val cold = Seq(
+      (101L, "one two three four five six"),
+      (102L, "one two three four five seven"))
+    val docs = (hot ++ cold).toDF("doc_id", "text")
+    def mh(cap: Option[Int]) =
+      NearDup.minhashLshPairs(docs, "doc_id", "text", k = 3, numHashes = 16,
+          bands = 4, threshold = 0.2, maxBucketSize = cap)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val uncapped = mh(None)
+    assert(uncapped.contains((1L, 2L)) && uncapped.contains((101L, 102L)))
+    val capped = mh(Some(10))
+    assert(capped.contains((101L, 102L)))        // cold bucket untouched
+    assert(!capped.exists(_._1 <= 30L))          // hot cluster dropped
+    // same contract for the simhash chunk banding
+    def sh(cap: Option[Int]) =
+      NearDup.simhashPairs(docs, "doc_id", "text", maxHamming = 8,
+          maxBucketSize = cap)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(sh(None).contains((101L, 102L)))
+    val shCapped = sh(Some(10))
+    assert(shCapped.contains((101L, 102L)) && !shCapped.exists(_._1 <= 30L))
+  }
+
   test("cosine of a vector with itself is 1") {
     val df = Seq((1L, Seq(0.6d, 0.8d))).toDF("id", "v")
     val c = df.select(Similarity.cosine(col("v"), col("v")).as("c"))
@@ -183,13 +211,13 @@ class ExtensionsSpec extends SparkSpec {
   }
 
   test("approx_count_distinct is within its error bound of the exact count") {
+    // the 5%-band invariant is computed in-plan (approx_ok) so the oracle
+    // hash compare enforces it; here we just pin it true on real data
     val rows = graft.SparkEntry.queries("x19_approx_distinct")(spark, sfDir).collect()
     assert(rows.nonEmpty)
     rows.foreach { r =>
-      val exact = r.getAs[Long]("exact_users").toDouble
-      val approx = r.getAs[Long]("approx_users").toDouble
-      assert(math.abs(approx - exact) / exact <= 0.1,
-        s"approx $approx vs exact $exact")
+      assert(r.getAs[Boolean]("approx_ok"),
+        s"approx out of band for ${r.getAs[String]("event_type")}")
     }
   }
 

@@ -42,6 +42,15 @@ class PipelineSpec extends SparkSpec {
     assert(out.count() >= 1 && out.count() <= 8)
   }
 
+  test("upsertByKey: incoming wins on conflict, existing survives elsewhere") {
+    import spark.implicits._
+    val existing = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+    val incoming = Seq((2L, "B"), (4L, "D")).toDF("k", "v")
+    val out = Incremental.upsertByKey(existing, incoming, Seq("k"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(out == Set((1L, "a"), (2L, "B"), (3L, "c"), (4L, "D")))
+  }
+
   test("incremental storage round-trip: window overwrite converges to full recompute") {
     val dir = java.nio.file.Files.createTempDirectory("graft_incr_").toString + "/daily"
     val events = Tables.events(spark, sfDir)

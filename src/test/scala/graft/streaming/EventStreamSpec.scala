@@ -70,22 +70,44 @@ class EventStreamSpec extends SparkSpec {
     assert(EventStream.dedupStream(batch, "k").count() == 2)
   }
 
-  test("sessionize groups events within the gap into one session") {
+  test("sessionize: gap closes a session; idle sessions close on event-time timeout") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[EventStream.SessionIn]
     val q = EventStream.sessionize(spark, mem.toDS())
       .writeStream.format("memory").queryName("sessions_test")
-      .outputMode("update").start()
+      .outputMode("append").start()
     try {
       mem.addData(
         EventStream.SessionIn(1L, ts("2024-03-01 10:00:00"), 1.0),
         EventStream.SessionIn(1L, ts("2024-03-01 10:10:00"), 2.0),
         EventStream.SessionIn(2L, ts("2024-03-01 12:00:00"), 5.0))
       q.processAllAvailable()
+      // user 1 went idle: the batch-1 watermark (12:00 - 10 min lateness
+      // = 11:50) passes its gap timeout (10:10 + 30 min = 10:40), so the
+      // session closes VIA TIMEOUT and its state is removed; user 2
+      // (timeout 12:30) is still open
+      assert(spark.sql("SELECT * FROM sessions_test").count() == 1)
+      // 13:00 advances the watermark to 12:50, past user 2's idle
+      // timeout → user 2 emits and its state is removed (bounded store)
+      mem.addData(EventStream.SessionIn(1L, ts("2024-03-01 13:00:00"), 9.0))
+      q.processAllAvailable()
       val out = spark.sql("SELECT * FROM sessions_test").collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
       assert(out.contains((1L, 2L, 10.0, 3.0)))
       assert(out.contains((2L, 1L, 0.0, 5.0)))
+      assert(out.length == 2) // user 1's 13:00 session is still open
     } finally q.stop()
+  }
+
+  test("sessionize batch mode closes on gap and flushes trailing sessions") {
+    import spark.implicits._
+    val ds = Seq(
+      EventStream.SessionIn(1L, ts("2024-03-01 10:00:00"), 1.0),
+      EventStream.SessionIn(1L, ts("2024-03-01 10:10:00"), 2.0),
+      EventStream.SessionIn(1L, ts("2024-03-01 13:00:00"), 9.0),
+      EventStream.SessionIn(2L, ts("2024-03-01 12:00:00"), 5.0)).toDS()
+    val out = EventStream.sessionize(spark, ds).collect()
+      .map(o => (o.user_id, o.n_events, o.duration_min, o.total_value)).toSet
+    assert(out == Set((1L, 2L, 10.0, 3.0), (1L, 1L, 0.0, 9.0), (2L, 1L, 0.0, 5.0)))
   }
 }
