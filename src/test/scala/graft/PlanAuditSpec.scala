@@ -47,4 +47,22 @@ class PlanAuditSpec extends SparkSpec {
     assert(firstAgg >= 0 && firstExchange >= 0, s"missing agg/exchange in:\n$p")
     assert(p.contains("partial_"), s"no partial aggregation in:\n$p")
   }
+
+  test("x21: train and score share ONE cached gram pass (no corpus re-scan)") {
+    val exec = SparkEntry.queries("x21_langid_ngram")(spark, sfDir)
+      .queryExecution.executedPlan
+    // every consumer reads the cached gram frame; the file source appears
+    // only INSIDE the cached relation (built once), never as a live scan
+    val liveScans = exec.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(liveScans.isEmpty, s"uncached corpus scans in:\n$exec")
+    assert(exec.toString.contains("InMemoryTableScan"),
+      s"gram frame not cached in:\n$exec")
+  }
+
+  test("x03: hot band buckets are dropped via anti join before pair expansion") {
+    val p = plan("x03_minhash_lsh")
+    assert(p.contains("LeftAnti"), s"no hot-bucket anti join in:\n$p")
+  }
 }
