@@ -134,6 +134,42 @@ object SparkEntry {
       graft.pipelines.Ecommerce.martSupportEfficiency(
         graft.pipelines.Ecommerce.cleanTickets(
           graft.pipelines.Ecommerce.ticketsFromOrders(Tables.orders(s, d))))),
+    // P9 null-safe nested-struct unwrap + P7 null-timestamp filter
+    "q33_clean_event_logs" -> ((s, d) =>
+      graft.pipelines.Ecommerce.cleanEventLogs(
+          graft.pipelines.Ecommerce.eventLogsFromEvents(ev(s, d)))
+        .select("event_id", "event_type", "page", "user_id", "error_code",
+          "event_date")),
+    // K2 surrogate-key generation (INSERT ... RETURNING id equivalent)
+    "q34_pets_ids" -> ((s, d) =>
+      graft.pipelines.PetsNutrition.pets(s)
+        .select("pet_id", "name", "species", "birth_year", "photo")),
+    // S7/F18 deterministic seed generator: golden cardinalities as the
+    // reference's implicit test oracle (seed_mongo.py:27-31)
+    "q35_fixture_counts" -> ((s, d) => {
+      import graft.sources.Fixtures
+      Seq(
+        "user_sessions" -> Fixtures.userSessions(s),
+        "event_logs" -> Fixtures.eventLogs(s),
+        "support_tickets" -> Fixtures.supportTickets(s),
+        "user_recommendations" -> Fixtures.userRecommendations(s),
+        "moderation_queue" -> Fixtures.moderationQueue(s))
+        .map { case (n, df) =>
+          df.agg(count(lit(1)).as("n")).withColumn("fixture", lit(n))
+            .select("fixture", "n")
+        }.reduce(_ unionByName _)
+    }),
+    // S2 all-TEXT CSV round-trip: serialize → headerless CSV parse with a
+    // declared all-string schema → type in the transform (raw-layer
+    // semantics, HW-3/init/init.sql:6-13)
+    "q36_csv_roundtrip" -> ((s, d) => {
+      import s.implicits._
+      val lines = ev(s, d)
+        .select(concat_ws(",", col("event_id"), col("event_type")).as("line"))
+        .as[String]
+      graft.sources.Sources.rawCsvLines(s, lines, Seq("event_id", "event_type"))
+        .select(col("event_id").cast("long").as("event_id"), col("event_type"))
+    }),
 
     // ---- sorts / set ops / arrays (T1-T3, U1, J3, A8, F12) ----
     "q15_latest_event" -> ((s, d) =>
@@ -204,6 +240,12 @@ object SparkEntry {
     "x04_simhash_pairs" -> ((s, d) =>
       NearDup.simhashPairs(docs(s, d), "doc_id", "text", maxHamming = 8,
         maxBucketSize = Some(200))),
+    // dup-cluster assignment (connected components of the exact-Jaccard
+    // pair graph): the keeper-per-cluster step after pair generation;
+    // oracle = recursive-CTE transitive closure over the same pairs
+    "x22_dup_clusters" -> ((s, d) =>
+      NearDup.dupClusters(
+        NearDup.jaccardPairs(docs(s, d), "doc_id", "text", k = 3, threshold = 0.2))),
 
     // ---- north-star extensions: similarity search ----
     "x05_cosine_topk" -> ((s, d) =>
@@ -230,6 +272,8 @@ object SparkEntry {
     "x10_token_counts" -> ((s, d) => TextAnalysis.tokenCounts(docs(s, d), "doc_id", "text")),
     "x11_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(docs(s, d), "doc_id", "text")),
     "x12_rolling_hash" -> ((s, d) => TextAnalysis.rollingHash(docs(s, d), "doc_id", "text")),
+    "x23_tfidf_terms" -> ((s, d) =>
+      TextAnalysis.tfidfTopTerms(docs(s, d), "doc_id", "text", k = 3)),
 
     // filter-only scan revenue (predicate pushdown showcase): all three
     // predicates reach the parquet reader, sum in exact decimal
@@ -568,6 +612,30 @@ object SparkEntry {
         |       round(max(resolution_hours), 2) AS max_resolution_hours,
         |       floor(sum(message_count * 100) / count(message_count) + 0.5) / 100.0 AS avg_messages
         |FROM c GROUP BY 1, 2""".stripMargin,
+    "q33_clean_event_logs" ->
+      """SELECT event_id, event_type,
+        |       '/page/' || CAST(event_id % 20 AS VARCHAR) AS page,
+        |       CAST(user_id AS VARCHAR) AS user_id,
+        |       CASE WHEN event_id % 5 = 0
+        |            THEN CAST(event_id % 7 + 500 AS INT) END AS error_code,
+        |       ts::DATE AS event_date
+        |FROM events WHERE event_id % 10 <> 0""".stripMargin,
+    "q34_pets_ids" ->
+      """SELECT * FROM (VALUES
+        |  (CAST(1 AS BIGINT), 'Bub', 'fish', 2022, 'bub.png'),
+        |  (CAST(2 AS BIGINT), 'Mia', 'cat', 2021, 'mia.png'),
+        |  (CAST(3 AS BIGINT), 'Rex', 'dog', 2019, 'rex.png'),
+        |  (CAST(4 AS BIGINT), 'Tom', 'cat', 2018, 'tom.png'),
+        |  (CAST(5 AS BIGINT), 'Zoe', 'parrot', 2020, 'zoe.png'))
+        |AS t(pet_id, name, species, birth_year, photo)""".stripMargin,
+    "q35_fixture_counts" ->
+      """SELECT fixture, CAST(n AS BIGINT) AS n FROM (VALUES
+        |  ('user_sessions', 2050), ('event_logs', 5100),
+        |  ('support_tickets', 600), ('user_recommendations', 200),
+        |  ('moderation_queue', 800))
+        |AS t(fixture, n)""".stripMargin,
+    "q36_csv_roundtrip" ->
+      """SELECT event_id, event_type FROM events""".stripMargin,
     "q30_nutrition_daily" ->
       """SELECT metric, units, CAST(value AS DOUBLE) AS value FROM (VALUES
         |  ('total-fat', 'g', 65), ('saturated-fat', 'g', 21),
@@ -720,6 +788,51 @@ object SparkEntry {
         |JOIN sizes sa ON sa.doc_id = doc_a
         |JOIN sizes sb ON sb.doc_id = doc_b
         |WHERE round(n_common::DOUBLE / (sa.n_sh + sb.n_sh - n_common), 4) >= 0.2""".stripMargin,
+    "x22_dup_clusters" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |                             x -> x <> '') AS t
+        |  FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle
+        |  FROM toks, UNNEST(range(1, len(t) - 1)) AS u(i)
+        |  WHERE len(t) >= 3),
+        |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |p AS (
+        |  SELECT doc_a, doc_b FROM inter
+        |  JOIN sizes sa ON sa.doc_id = doc_a
+        |  JOIN sizes sb ON sb.doc_id = doc_b
+        |  WHERE round(n_common::DOUBLE / (sa.n_sh + sb.n_sh - n_common), 4) >= 0.2),
+        |e AS (SELECT doc_a AS src, doc_b AS dst FROM p
+        |      UNION SELECT doc_b, doc_a FROM p),
+        |r AS (
+        |  SELECT src AS id, src AS label FROM e
+        |  UNION
+        |  SELECT e.dst AS id, r.label FROM r JOIN e ON e.src = r.id)
+        |SELECT id AS doc_id, CAST(min(label) AS BIGINT) AS cluster_id
+        |FROM r GROUP BY id""".stripMargin,
+    "x23_tfidf_terms" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |                                    x -> x <> '')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |dfreq AS (SELECT term, count(*) AS dfreq FROM tf GROUP BY 1),
+        |n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+        |s AS (
+        |  SELECT doc_id, term, tf,
+        |         round(tf * ln((n_docs + 1) / (dfreq + 1.0)), 6) AS score
+        |  FROM tf JOIN dfreq USING (term), n),
+        |r AS (
+        |  SELECT doc_id, term, tf, score,
+        |         CAST(row_number() OVER (PARTITION BY doc_id
+        |                                 ORDER BY score DESC, term ASC) AS INT) AS rnk
+        |  FROM s)
+        |SELECT doc_id, term, tf, score, rnk FROM r WHERE rnk <= 3""".stripMargin,
     "x05_cosine_topk" ->
       """WITH q AS (
         |  SELECT vec_id AS qid, embedding::DOUBLE[] AS qvec

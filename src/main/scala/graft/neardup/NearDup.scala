@@ -128,6 +128,44 @@ object NearDup {
       .select("doc_a", "doc_b", "jaccard")
   }
 
+  /** Connected components over a near-dup pair graph: every doc that
+    * appears in `pairs` (doc_a, doc_b) is labeled with the MINIMUM doc
+    * id of its component — the canonical "pick one keeper per dup
+    * cluster" step that follows pair generation in a corpus dedup
+    * pipeline. Output: doc_id, cluster_id.
+    *
+    * Alternating min-label propagation: labels start as self, each round
+    * joins labels across edges and keeps the min, stopping at fixpoint
+    * (or `maxIter`). Rounds needed = component diameter — near-dup
+    * clusters are shallow (dups of dups of one original), so a handful
+    * of rounds closes them. The driver loop is CONTROL only (a
+    * per-round emptiness check); labels and edges stay distributed —
+    * this is the standard iterative-CC shape (GraphX Pregel, the
+    * large-star/small-star map-reduce CC) specialized to min-label.
+    */
+  def dupClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .distinct().cache()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("label")).cache()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val prop = edges.join(labels.withColumnRenamed("id", "src"), "src")
+        .select(col("dst").as("id"), col("label"))
+      val next = labels.unionByName(prop)
+        .groupBy("id").agg(min("label").as("label")).cache()
+      converged = next.join(labels.withColumnRenamed("label", "old"), "id")
+        .filter(col("label") =!= col("old")).isEmpty
+      labels.unpersist()
+      labels = next
+      i += 1
+    }
+    edges.unpersist()
+    labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
+  }
+
   /** 64-bit SimHash per doc: sign of the token-weighted bit sums of
     * xxhash64(token). Output: id, simhash.
     */

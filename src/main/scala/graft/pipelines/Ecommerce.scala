@@ -66,6 +66,24 @@ object Ecommerce {
       .withColumn("updated_at",
         expr("created_at + make_interval(0,0,0,0, CAST(ticket_id % 100 - 3 AS INT), 0, 0)"))
 
+  /** Deterministic event-log collection (nested details struct with a
+    * null-able inner extra struct) derived from `events` — lets the P9
+    * null-safe struct traversal and P7 null-timestamp filter run under
+    * the oracle gate. ~10% null timestamps; `extra` present on ~20%.
+    */
+  def eventLogsFromEvents(events: DataFrame): DataFrame =
+    events.select(
+      col("event_id"),
+      when(col("event_id") % 10 === 0, lit(null).cast("timestamp"))
+        .otherwise(col("ts")).as("timestamp"),
+      col("event_type"),
+      struct(
+        concat(lit("/page/"), col("event_id") % 20).as("page"),
+        col("user_id").cast("string").as("user_id"),
+        when(col("event_id") % 5 === 0,
+            struct((col("event_id") % 7 + 500).cast("int").as("error_code")))
+          .otherwise(lit(null)).as("extra")).as("details"))
+
   /** raw → clean user_sessions: deterministic keep-first dedup (A7),
     * temporal sanity filter (P5: start < end < start+24h), derived
     * duration/num_pages/num_actions/session_date (P10, F9, A8, F6) —

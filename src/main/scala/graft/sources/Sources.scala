@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.types._
 
 /** Source operators: raw CSV load (all-TEXT schema-on-write) and
@@ -33,6 +33,15 @@ object Sources {
       .option("header", "true")
       .schema(allStringSchema(cols))
       .csv(path)
+
+  /** S2 over an in-memory line Dataset — same all-TEXT parse semantics
+    * without a filesystem staging step (headerless: a distributed line
+    * set has no stable first row). Lets the CSV capability run under
+    * the oracle gate as a round-trip.
+    */
+  def rawCsvLines(spark: SparkSession, lines: Dataset[String],
+                  cols: Seq[String]): DataFrame =
+    spark.read.schema(allStringSchema(cols)).csv(lines)
 
   /** Session-collection schema (FIXTURES.md §A4 user_sessions). */
   val sessionsSchema: StructType = StructType(Seq(

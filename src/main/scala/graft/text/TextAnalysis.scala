@@ -163,6 +163,33 @@ object TextAnalysis {
         .as("bpe_tokens"))
   }
 
+  /** TF-IDF top-k terms per document: tf = in-doc term count, idf =
+    * ln((N+1)/(df+1)) with document frequency from the corpus, score
+    * rounded to 6 dp (keeps the cross-engine float compare stable), ties
+    * on term name. Shape: one tf groupBy (partial-aggregated), a
+    * term-keyed df aggregate joined back (term domain ≪ corpus), the
+    * 1-row N via broadcast cross join — no driver-side collect — and a
+    * rank-limited window (WindowGroupLimit pushes k before the
+    * exchange).
+    */
+  def tfidfTopTerms(df: DataFrame, idCol: String, textCol: String,
+                    k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = df
+      .select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("dfreq"))
+    val nDocs = df.agg(countDistinct(col(idCol)).as("n_docs"))
+    tf.join(dfreq, "term")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score",
+        round(col("tf") * log((col("n_docs") + 1) / (col("dfreq") + 1.0)), 6))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("score").desc, col("term").asc)))
+      .filter(col("rnk") <= k)
+      .select("doc_id", "term", "tf", "score", "rnk")
+  }
+
   /** Content fingerprint: md5 of whitespace-normalized, lowercased text —
     * the canonical-form key used for exact dedup at corpus scale.
     */

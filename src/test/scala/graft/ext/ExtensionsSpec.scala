@@ -42,6 +42,36 @@ class ExtensionsSpec extends SparkSpec {
       r.getAs[Int]("hamming") == 0))
   }
 
+  test("dupClusters labels every component with its min doc id") {
+    import spark.implicits._
+    // components: {1,2,3} (chain 1-2, 2-3), {7,9}, singleton pairs absent
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("doc_a", "doc_b")
+    val out = NearDup.dupClusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 9L -> 7L))
+    // a longer chain still converges (diameter > 1 round)
+    val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L))
+      .toDF("doc_a", "doc_b")
+    val c = NearDup.dupClusters(chain).collect().map(_.getLong(1)).distinct
+    assert(c.toSeq == Seq(1L))
+  }
+
+  test("tfidfTopTerms ranks rare terms above ubiquitous ones") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "common common rare"),
+      (2L, "common boring"),
+      (3L, "common boring filler")).toDF("doc_id", "text")
+    val out = TextAnalysis.tfidfTopTerms(df, "doc_id", "text", k = 2).collect()
+    val doc1 = out.filter(_.getLong(0) == 1L).sortBy(_.getAs[Int]("rnk"))
+    // "rare" (df=1) outranks "common" (df=3) despite tf 1 vs 2
+    assert(doc1.head.getAs[String]("term") == "rare")
+    // a term present in EVERY doc has idf ln(1)=0 → score 0
+    val commonScores = out.filter(_.getAs[String]("term") == "common")
+      .map(_.getAs[Double]("score"))
+    assert(commonScores.forall(_ == 0.0))
+  }
+
   test("LSH df-cap drops only super-hot buckets, cold pairs survive") {
     // 30 identical docs → every band bucket they occupy holds 30 docs
     // (super-hot, C(30,2) pair expansion); one near-dup pair lives in
