@@ -170,6 +170,24 @@ object SparkEntry {
       graft.sources.Sources.rawCsvLines(s, lines, Seq("event_id", "event_type"))
         .select(col("event_id").cast("long").as("event_id"), col("event_type"))
     }),
+    // S5 document-collection round-trip: rows → JSON-lines → schema-
+    // declared json scan (never inferSchema) incl. a nested struct field
+    "q37_json_collection" -> ((s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.types._
+      val lines = ev(s, d).select(to_json(struct(
+        col("event_id"), col("event_type"),
+        struct(col("user_id"), col("value")).as("meta"))).as("j")).as[String]
+      val schema = StructType(Seq(
+        StructField("event_id", LongType),
+        StructField("event_type", StringType),
+        StructField("meta", StructType(Seq(
+          StructField("user_id", LongType),
+          StructField("value", DoubleType))))))
+      s.read.schema(schema).json(lines)
+        .select(col("event_id"), col("event_type"),
+          col("meta.user_id").as("user_id"), col("meta.value").as("value"))
+    }),
 
     // ---- sorts / set ops / arrays (T1-T3, U1, J3, A8, F12) ----
     "q15_latest_event" -> ((s, d) =>
@@ -636,6 +654,8 @@ object SparkEntry {
         |AS t(fixture, n)""".stripMargin,
     "q36_csv_roundtrip" ->
       """SELECT event_id, event_type FROM events""".stripMargin,
+    "q37_json_collection" ->
+      """SELECT event_id, event_type, user_id, value FROM events""".stripMargin,
     "q30_nutrition_daily" ->
       """SELECT metric, units, CAST(value AS DOUBLE) AS value FROM (VALUES
         |  ('total-fat', 'g', 65), ('saturated-fat', 'g', 21),

@@ -144,8 +144,12 @@ object NearDup {
     * large-star/small-star map-reduce CC) specialized to min-label.
     */
   def dupClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
-    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    // cache the incoming pairs FIRST: the both-directions union references
+    // them twice, and without this the (possibly expensive) pair
+    // generation subtree would execute once per branch
+    val p = pairs.select("doc_a", "doc_b").cache()
+    val edges = p.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionByName(p.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .distinct().cache()
     var labels = edges.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("label")).cache()
@@ -162,6 +166,7 @@ object NearDup {
       labels = next
       i += 1
     }
+    p.unpersist()
     edges.unpersist()
     labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
   }

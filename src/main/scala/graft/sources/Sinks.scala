@@ -43,6 +43,25 @@ object Sinks {
       .partitionBy(partitionCol)
       .parquet(path)
 
+  /** K4: full-row keyed upsert into a parquet target (`ON CONFLICT DO
+    * UPDATE`): incoming wins, existing survives where unclaimed
+    * (`Incremental.upsertByKey`). The merge is pinned with
+    * `localCheckpoint` before writing because the target path is also
+    * the read source — production would stage + atomically swap instead
+    * of relying on executor-local blocks, but the merge/overwrite
+    * semantics are identical.
+    */
+  def upsertReload(incoming: DataFrame, path: String, keys: Seq[String]): Unit = {
+    val spark = incoming.sparkSession
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return truncateReload(incoming, path)
+    val merged = graft.ops.Incremental
+      .upsertByKey(spark.read.parquet(path), incoming, keys)
+      .localCheckpoint(true)
+    merged.write.mode(SaveMode.Overwrite).parquet(path)
+  }
+
   /** K3: append only rows whose key is absent from the existing data.
     * Bootstraps ONLY when the target genuinely does not exist — any
     * other read failure (corrupt footer, permissions, transient FS

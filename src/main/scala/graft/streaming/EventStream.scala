@@ -137,4 +137,21 @@ object EventStream {
       .queryName(queryName)
       .outputMode(OutputMode.Update())
       .start()
+
+  /** The reference's upsert sink (K4, `HW-4/.../iot_temperature.py:
+    * 207-216`) in continuous form: every micro-batch merges into the
+    * parquet target by key via `foreachBatch` — the streaming slot for
+    * read-modify-write sinks that plain appends cannot express. The
+    * checkpoint makes re-delivered batches idempotent: re-upserting the
+    * same rows is a no-op by construction.
+    */
+  def startUpsertSink(df: DataFrame, keys: Seq[String], path: String,
+                      checkpoint: String) =
+    df.writeStream
+      .outputMode(OutputMode.Update())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.sources.Sinks.upsertReload(batch, path, keys)
+      }
+      .start()
 }

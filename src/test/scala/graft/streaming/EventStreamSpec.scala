@@ -99,6 +99,23 @@ class EventStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming upsert sink merges each micro-batch into the parquet target") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_upsert_").toString
+    val mem = MemoryStream[(Long, String)]
+    val q = EventStream.startUpsertSink(
+      mem.toDF().toDF("k", "v"), Seq("k"), s"$dir/data", s"$dir/ckpt")
+    try {
+      mem.addData((1L, "a"), (2L, "b"))
+      q.processAllAvailable()
+      mem.addData((2L, "B"), (3L, "C")) // 2 updated, 3 inserted
+      q.processAllAvailable()
+      val out = spark.read.parquet(s"$dir/data").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(out == Set((1L, "a"), (2L, "B"), (3L, "C")))
+    } finally q.stop()
+  }
+
   test("sessionize batch mode closes on gap and flushes trailing sessions") {
     import spark.implicits._
     val ds = Seq(
