@@ -77,4 +77,46 @@ class PropertySpec extends SparkSpec {
       assert(fp(0) == fp(1) && fp(0) != fp(2))
     }
   }
+
+  test("dupClusters equals a reference union-find on random pair graphs") {
+    val edgeGen = Gen.nonEmptyListOf(
+      Gen.zip(Gen.chooseNum(0L, 25L), Gen.chooseNum(0L, 25L)))
+      .map(_.filter(e => e._1 != e._2))
+    samples(edgeGen, 3).filter(_.nonEmpty).foreach { es =>
+      val out = graft.neardup.NearDup.dupClusters(es.toDF("doc_a", "doc_b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // reference: union-find linking larger root under smaller, so every
+      // root is its component's minimum
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElse(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      es.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expected = es.flatMap(e => Seq(e._1, e._2)).distinct
+        .map(x => x -> find(x)).toMap
+      assert(out == expected, s"edges $es")
+    }
+  }
+
+  test("upsertByKey: idempotent, key-complete, incoming wins") {
+    val kvGen = Gen.nonEmptyListOf(
+      Gen.zip(Gen.chooseNum(0L, 30L), Gen.chooseNum(0L, 1000L)))
+      .map(_.distinctBy(_._1))
+    samples(Gen.zip(kvGen, kvGen), 3).foreach { case (e, i) =>
+      val existing = e.toDF("k", "v"); val incoming = i.toDF("k", "v")
+      val once = graft.ops.Incremental.upsertByKey(existing, incoming, Seq("k"))
+      val onceRows = once.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      // key set is the union; every incoming key carries the incoming value
+      assert(onceRows.map(_._1) == (e.map(_._1) ++ i.map(_._1)).toSet)
+      val iMap = i.toMap
+      assert(onceRows.forall { case (k, v) => iMap.get(k).forall(_ == v) })
+      val twice = graft.ops.Incremental.upsertByKey(once, incoming, Seq("k"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(twice == onceRows)
+    }
+  }
 }
