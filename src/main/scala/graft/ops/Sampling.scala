@@ -1,0 +1,39 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic stratified sampling — the class-rebalancing primitive of
+  * a training-data pipeline (keep all rare-class rows, downsample the
+  * dominant classes to a per-stratum rate).
+  *
+  * The keep/drop decision is a pure-arithmetic spread of the row key
+  * (Knuth multiplicative hashing mod `buckets`), NOT `rand()` or an
+  * engine hash function: the sample is identical across runs, engines
+  * (oracle-replicable), partitionings, and cluster sizes — resampling a
+  * 100 TB corpus yields byte-identical splits, which is what makes
+  * training-data lineage reproducible. Map-only: no shuffle, pipelines
+  * inside the scan stage, and at scale the stratum predicate can push
+  * into partition pruning when data is partitioned by the stratum.
+  */
+object Sampling {
+
+  /** Spread an integral key uniformly over [0, buckets): inner mod keeps
+    * the multiply inside Long range under ANSI overflow checks.
+    */
+  def hashBucket(key: Column, buckets: Int = 100): Column =
+    pmod(pmod(key, lit(1000000007L)) * lit(2654435761L), lit(buckets))
+
+  /** Keep each row of stratum `s` with probability `rates(s)/buckets`
+    * (strata absent from the map use `defaultRate`). Rates are integer
+    * bucket counts so the predicate stays exact integer arithmetic.
+    */
+  def stratifiedSample(df: DataFrame, strataCol: String, keyCol: String,
+                       rates: Map[String, Int], defaultRate: Int = 0,
+                       buckets: Int = 100): DataFrame = {
+    val rate = rates.foldLeft(lit(defaultRate)) { case (acc, (s, r)) =>
+      when(col(strataCol) === s, lit(r)).otherwise(acc)
+    }
+    df.filter(hashBucket(col(keyCol), buckets) < rate)
+  }
+}

@@ -42,6 +42,25 @@ class ExtensionsSpec extends SparkSpec {
       r.getAs[Int]("hamming") == 0))
   }
 
+  test("stratifiedSample: deterministic, subset, rate-proportional") {
+    import graft.ops.Sampling
+    val df = Tables.events(spark, sfDir)
+    val rates = Map("error" -> 100, "click" -> 10)
+    val s1 = Sampling.stratifiedSample(df, "event_type", "event_id", rates)
+    val kept = s1.groupBy("event_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val totals = df.groupBy("event_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kept("error") == totals("error"))     // rate 100 keeps all
+    assert(!kept.contains("view"))               // default rate 0 drops all
+    val clickFrac = kept("click").toDouble / totals("click")
+    assert(clickFrac > 0.02 && clickFrac < 0.25, s"click fraction $clickFrac")
+    // byte-identical on re-run, and a true subset of the input
+    val s2 = Sampling.stratifiedSample(df, "event_type", "event_id", rates)
+    assert(s2.count() == s1.count())
+    assert(s1.join(df, Seq("event_id"), "left_anti").isEmpty)
+  }
+
   test("dupClusters labels every component with its min doc id") {
     import spark.implicits._
     // components: {1,2,3} (chain 1-2, 2-3), {7,9}, singleton pairs absent
