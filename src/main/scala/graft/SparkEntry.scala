@@ -250,15 +250,20 @@ object SparkEntry {
     // ---- north-star extensions: dedup (exact + near) ----
     "x01_dedup_exact" -> ((s, d) =>
       Dedup.exactTextDedup(docs(s, d), "doc_id", "text")),
+    // cacheShingles: the shingle frame feeds sizes + both join sides;
+    // caching it trades one small persisted frame for two re-computations
+    // of the explode+distinct (plan-canonicalized, so repeated catalog
+    // runs reuse one cache entry)
     "x02_jaccard_pairs" -> ((s, d) =>
-      NearDup.jaccardPairs(docs(s, d), "doc_id", "text", k = 3, threshold = 0.2)),
+      NearDup.jaccardPairs(docs(s, d), "doc_id", "text", k = 3, threshold = 0.2,
+        cacheShingles = true)),
     // hot band buckets capped at 200 docs: on this low-entropy corpus the
     // cap drops NO pairs at sf0.01/sf0.1 (sweep-verified) but bounds the
     // C(n,2) bucket expansion that would otherwise dominate at 100 TB
     "x03_minhash_lsh" -> ((s, d) =>
       NearDup.minhashLshPairs(docs(s, d), "doc_id", "text",
         k = 3, numHashes = 16, bands = 4, threshold = 0.2,
-        maxBucketSize = Some(200))),
+        maxBucketSize = Some(200), cacheShingles = true)),
     "x04_simhash_pairs" -> ((s, d) =>
       NearDup.simhashPairs(docs(s, d), "doc_id", "text", maxHamming = 8,
         maxBucketSize = Some(200))),
@@ -267,7 +272,8 @@ object SparkEntry {
     // oracle = recursive-CTE transitive closure over the same pairs
     "x22_dup_clusters" -> ((s, d) =>
       NearDup.dupClusters(
-        NearDup.jaccardPairs(docs(s, d), "doc_id", "text", k = 3, threshold = 0.2))),
+        NearDup.jaccardPairs(docs(s, d), "doc_id", "text", k = 3, threshold = 0.2,
+          cacheShingles = true))),
 
     // ---- north-star extensions: similarity search ----
     "x05_cosine_topk" -> ((s, d) =>

@@ -94,10 +94,12 @@ object NearDup {
     // (band_id, band_hash) inverted index: ONE equi-join on the composite
     // bucket key replaces per-band self-joins + union — one shuffle, and
     // the band id rides in the join key so buckets from different bands
-    // never collide.
+    // never collide. Cached: the frame is tiny (docs × bands) but feeds
+    // the hot-bucket aggregate, the anti join, and BOTH self-join sides —
+    // uncached, the signature aggregation would run once per consumer.
     val bandedAll = sig.select(col("id"), posexplode(array((0 until bands).map { b =>
       hash((b * rows until (b + 1) * rows).map(i => col(s"mh_$i")): _*)
-    }: _*)).as(Seq("band_id", "band_hash")))
+    }: _*)).as(Seq("band_id", "band_hash"))).cache()
     val banded = maxBucketSize match {
       case None => bandedAll
       case Some(cap) =>
@@ -210,10 +212,12 @@ object NearDup {
     val sig = simhash(df, idCol, textCol)
     // (chunk_id, chunk_value) inverted index → single equi-join, as in
     // the MinHash banding; optional hot-bucket cap for low-entropy data.
+    // Cached for the same multi-consumer reason as the MinHash banding —
+    // the 64-column bit-sum signature aggregate is the expensive parent.
     val bandedAll = sig.select(col("id"), col("simhash"),
       posexplode(array((0 until 4).map(c =>
         shiftright(col("simhash"), c * 16).bitwiseAND(lit(0xFFFFL))): _*))
-        .as(Seq("chunk_id", "chunk_val")))
+        .as(Seq("chunk_id", "chunk_val"))).cache()
     val banded = maxBucketSize match {
       case None => bandedAll
       case Some(cap) =>
