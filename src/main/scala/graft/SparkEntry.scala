@@ -302,6 +302,17 @@ object SparkEntry {
     "x12_rolling_hash" -> ((s, d) => TextAnalysis.rollingHash(docs(s, d), "doc_id", "text")),
     "x23_tfidf_terms" -> ((s, d) =>
       TextAnalysis.tfidfTopTerms(docs(s, d), "doc_id", "text", k = 3)),
+    // batch gap-sessionization as window algebra (the relational twin of
+    // the streaming flatMapGroupsWithState sessionizer)
+    "x25_sessionize_batch" -> ((s, d) =>
+      Sessionize.sessionizeBatch(ev(s, d), "user_id", "ts", "value",
+        gapMinutes = 30)),
+    // Spark 4 variant shredding: schema-flexible parse_json +
+    // variant_get — the modern path for payloads whose schema drifts
+    "q38_variant_shred" -> ((s, d) =>
+      ev(s, d).select(
+        col("event_id"),
+        expr("variant_get(parse_json(props), '$.k', 'int')").as("k"))),
     // deterministic class-rebalancing sample: keep all errors/signups,
     // 10% of clicks, 5% of everything else — arithmetic-hash keyed so
     // the oracle reproduces the exact row set
@@ -853,6 +864,28 @@ object SparkEntry {
         |  SELECT e.dst AS id, r.label FROM r JOIN e ON e.src = r.id)
         |SELECT id AS doc_id, CAST(min(label) AS BIGINT) AS cluster_id
         |FROM r GROUP BY id""".stripMargin,
+    "x25_sessionize_batch" ->
+      """WITH f AS (
+        |  SELECT user_id, ts, value,
+        |         CASE WHEN lag(ts) OVER w IS NULL
+        |                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+        |              THEN 1 ELSE 0 END AS brk
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |s AS (
+        |  SELECT user_id, ts, value,
+        |         CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |                             ROWS UNBOUNDED PRECEDING) AS BIGINT)
+        |           AS session_no
+        |  FROM f)
+        |SELECT user_id, session_no, count(*) AS n_events,
+        |       (epoch_us(max(ts)) - epoch_us(min(ts))) / 60000000.0 AS duration_min,
+        |       sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS total_value
+        |FROM s GROUP BY 1, 2""".stripMargin,
+    "q38_variant_shred" ->
+      """SELECT event_id,
+        |       CAST(regexp_extract(props, '"k": (-?[0-9]+)', 1) AS INTEGER) AS k
+        |FROM events""".stripMargin,
     "x24_stratified_sample" ->
       """SELECT event_type, count(*) AS n_kept FROM events
         |WHERE (event_id % 1000000007) * 2654435761 % 100 <

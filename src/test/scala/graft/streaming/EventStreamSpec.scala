@@ -127,4 +127,27 @@ class EventStreamSpec extends SparkSpec {
       .map(o => (o.user_id, o.n_events, o.duration_min, o.total_value)).toSet
     assert(out == Set((1L, 2L, 10.0, 3.0), (1L, 1L, 0.0, 9.0), (2L, 1L, 0.0, 5.0)))
   }
+
+  test("window-algebra sessionization equals the stateful formulation") {
+    import spark.implicits._
+    // same semantics, two very different plans: lag/sum window algebra
+    // (ops.Sessionize) vs flatMapGroupsWithState (EventStream)
+    val rows = Seq(
+      (1L, ts("2024-03-01 10:00:00"), 1.0),
+      (1L, ts("2024-03-01 10:10:00"), 2.0),
+      (1L, ts("2024-03-01 13:00:00"), 9.0),
+      (2L, ts("2024-03-01 12:00:00"), 5.0),
+      (2L, ts("2024-03-01 12:29:00"), 4.0),
+      (3L, ts("2024-03-01 01:00:00"), 7.0))
+    val relational = graft.ops.Sessionize
+      .sessionizeBatch(rows.toDF("user_id", "ts", "value"), "user_id", "ts", "value")
+      .collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("n_events"),
+        r.getAs[Double]("duration_min"), r.getAs[Double]("total_value"))).toSet
+    val stateful = EventStream.sessionize(spark,
+        rows.map(r => EventStream.SessionIn(r._1, r._2, r._3)).toDS())
+      .collect()
+      .map(o => (o.user_id, o.n_events, o.duration_min, o.total_value)).toSet
+    assert(relational == stateful)
+  }
 }
