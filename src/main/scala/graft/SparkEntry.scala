@@ -302,6 +302,12 @@ object SparkEntry {
     "x12_rolling_hash" -> ((s, d) => TextAnalysis.rollingHash(docs(s, d), "doc_id", "text")),
     "x23_tfidf_terms" -> ((s, d) =>
       TextAnalysis.tfidfTopTerms(docs(s, d), "doc_id", "text", k = 3)),
+    // the composed curation pipeline: quality gate → language gate →
+    // fingerprint dedup → deterministic sample, ONE corpus pass + one
+    // dedup shuffle (see pipelines.Curation)
+    "x26_curation_pipeline" -> ((s, d) =>
+      graft.pipelines.Curation.curate(docs(s, d), "doc_id", "text",
+        lang = "en", keepPer100 = 50)),
     // batch gap-sessionization as window algebra (the relational twin of
     // the streaming flatMapGroupsWithState sessionizer)
     "x25_sessionize_batch" -> ((s, d) =>
@@ -864,6 +870,41 @@ object SparkEntry {
         |  SELECT e.dst AS id, r.label FROM r JOIN e ON e.src = r.id)
         |SELECT id AS doc_id, CAST(min(label) AS BIGINT) AS cluster_id
         |FROM r GROUP BY id""".stripMargin,
+    "x26_curation_pipeline" ->
+      """WITH e AS (
+        |  SELECT doc_id,
+        |         md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint,
+        |         list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |                     x -> x <> '') AS toks,
+        |         length(text) AS n_chars,
+        |         length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS n_punct
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, fingerprint,
+        |    len(list_filter(toks, x -> x IN ('the','a','and','of','to'))) AS en_hits,
+        |    len(list_filter(toks, x -> x IN ('der','die','und','das','ein'))) AS de_hits,
+        |    len(list_filter(toks, x -> x IN ('le','la','et','les','des'))) AS fr_hits,
+        |    len(list_filter(toks, x -> x IN ('el','los','y','las','una'))) AS es_hits,
+        |    CASE WHEN len(toks) < 5 THEN 'too_short'
+        |         WHEN n_punct::DOUBLE / greatest(n_chars, 1) > 0.2 THEN 'punct_heavy'
+        |         ELSE 'ok' END AS quality_bucket
+        |  FROM e),
+        |l AS (
+        |  SELECT doc_id, fingerprint, quality_bucket,
+        |    CASE WHEN greatest(en_hits, de_hits, fr_hits, es_hits) = 0 THEN 'und'
+        |         WHEN en_hits = greatest(en_hits, de_hits, fr_hits, es_hits) THEN 'en'
+        |         WHEN de_hits = greatest(en_hits, de_hits, fr_hits, es_hits) THEN 'de'
+        |         WHEN fr_hits = greatest(en_hits, de_hits, fr_hits, es_hits) THEN 'fr'
+        |         ELSE 'es' END AS pred_lang
+        |  FROM g),
+        |d AS (
+        |  SELECT doc_id, fingerprint, pred_lang,
+        |         row_number() OVER (PARTITION BY fingerprint
+        |                            ORDER BY doc_id ASC) AS rn
+        |  FROM l WHERE quality_bucket = 'ok' AND pred_lang = 'en')
+        |SELECT doc_id, fingerprint, pred_lang FROM d
+        |WHERE rn = 1
+        |  AND (doc_id % 1000000007) * 2654435761 % 100 < 50""".stripMargin,
     "x25_sessionize_batch" ->
       """WITH f AS (
         |  SELECT user_id, ts, value,

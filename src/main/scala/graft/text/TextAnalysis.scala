@@ -26,6 +26,19 @@ object TextAnalysis {
   private def hits(toks: Column, words: Seq[String]): Column =
     size(filter(toks, t => t.isInCollection(words)))
 
+  /** Column form of the stopword language ID (see `langId`): argmax of
+    * per-language stopword hits, fixed tie order, 'und' on zero hits.
+    */
+  def predLangCol(text: Column): Column = {
+    val t = tokens(text)
+    val en = hits(t, stop("en")); val de = hits(t, stop("de"))
+    val fr = hits(t, stop("fr")); val es = hits(t, stop("es"))
+    val best = greatest(en, de, fr, es)
+    when(best === 0, "und")
+      .when(en === best, "en").when(de === best, "de")
+      .when(fr === best, "fr").otherwise("es")
+  }
+
   /** Heuristic language ID: count stopword hits per language, argmax with
     * a fixed priority order (en > de > fr > es > unknown) on ties/zero.
     * Deterministic and ANSI-SQL-expressible so the DuckDB oracle can
@@ -35,13 +48,10 @@ object TextAnalysis {
     val t = tokens(col(textCol))
     val en = hits(t, stop("en")); val de = hits(t, stop("de"))
     val fr = hits(t, stop("fr")); val es = hits(t, stop("es"))
-    val best = greatest(en, de, fr, es)
     df.select(
       col(idCol),
       en.as("en_hits"), de.as("de_hits"), fr.as("fr_hits"), es.as("es_hits"),
-      when(best === 0, "und")
-        .when(en === best, "en").when(de === best, "de")
-        .when(fr === best, "fr").otherwise("es").as("pred_lang"))
+      predLangCol(col(textCol)).as("pred_lang"))
   }
 
   /** Per-document distinct character n-gram SETS: (id, lang, grams).
@@ -128,6 +138,20 @@ object TextAnalysis {
     classifyNgram(tri, trainNgramProfiles(tri, profileSize))
   }
 
+  /** Column form of the coarse quality bucket (see `quality`). */
+  def qualityBucketCol(text: Column): Column = {
+    val nTok = size(tokens(text))
+    val nChar = length(text)
+    val nPunct = length(regexp_replace(text, "[^.,!?;:]", ""))
+    when(nTok < 5, "too_short")
+      .when(nPunct.cast("double") / greatest(nChar, lit(1)) > lit(0.2), "punct_heavy")
+      .otherwise("ok")
+  }
+
+  /** Column form of the canonical-text fingerprint (see `fingerprint`). */
+  def fingerprintCol(text: Column): Column =
+    md5(regexp_replace(lower(trim(text)), "\\s+", " "))
+
   /** Quality metrics: token count, char length, mean token length,
     * punctuation ratio, stopword ratio, and a coarse quality bucket.
     */
@@ -145,9 +169,7 @@ object TextAnalysis {
       round(nChar.cast("double") / greatest(nTok, lit(1)), 3).as("chars_per_token"),
       round(nPunct.cast("double") / greatest(nChar, lit(1)), 4).as("punct_ratio"),
       round(nStop.cast("double") / greatest(nTok, lit(1)), 4).as("stopword_ratio"),
-      when(nTok < 5, "too_short")
-        .when(nPunct.cast("double") / greatest(nChar, lit(1)) > lit(0.2), "punct_heavy")
-        .otherwise("ok").as("quality_bucket"))
+      qualityBucketCol(txt).as("quality_bucket"))
   }
 
   /** Token counting two ways: whitespace tokens and a BPE-ish regex
@@ -194,9 +216,7 @@ object TextAnalysis {
     * the canonical-form key used for exact dedup at corpus scale.
     */
   def fingerprint(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.select(
-      col(idCol),
-      md5(regexp_replace(lower(trim(col(textCol))), "\\s+", " ")).as("fingerprint"))
+    df.select(col(idCol), fingerprintCol(col(textCol)).as("fingerprint"))
 
   /** Rolling polynomial hash over tokens (Rabin-Karp style): token hash
     * = base-31 polynomial over the token's code points, document hash =

@@ -13,6 +13,19 @@ class PlanAuditSpec extends SparkSpec {
   private def plan(q: String): String =
     SparkEntry.queries(q)(spark, sfDir).queryExecution.executedPlan.toString
 
+  /** Executed plan with AQE off: `collect` cannot traverse into an
+    * AdaptiveSparkPlanExec root, so node-level assertions (live scan
+    * counts) need the plain tree.
+    */
+  private def planNoAqe(q: String): org.apache.spark.sql.execution.SparkPlan = {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try SparkEntry.queries(q)(spark, sfDir).queryExecution.executedPlan
+    finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  private def liveScans(p: org.apache.spark.sql.execution.SparkPlan) =
+    p.collect { case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+
   test("q20: ship-date filter is pushed into the parquet scan") {
     val p = plan("q20_pricing_summary")
     assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThan(l_shipdate"),
@@ -49,14 +62,10 @@ class PlanAuditSpec extends SparkSpec {
   }
 
   test("x21: train and score share ONE cached gram pass (no corpus re-scan)") {
-    val exec = SparkEntry.queries("x21_langid_ngram")(spark, sfDir)
-      .queryExecution.executedPlan
+    val exec = planNoAqe("x21_langid_ngram")
     // every consumer reads the cached gram frame; the file source appears
     // only INSIDE the cached relation (built once), never as a live scan
-    val liveScans = exec.collect {
-      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
-    }
-    assert(liveScans.isEmpty, s"uncached corpus scans in:\n$exec")
+    assert(liveScans(exec).isEmpty, s"uncached corpus scans in:\n$exec")
     assert(exec.toString.contains("InMemoryTableScan"),
       s"gram frame not cached in:\n$exec")
   }
@@ -64,5 +73,12 @@ class PlanAuditSpec extends SparkSpec {
   test("x03: hot band buckets are dropped via anti join before pair expansion") {
     val p = plan("x03_minhash_lsh")
     assert(p.contains("LeftAnti"), s"no hot-bucket anti join in:\n$p")
+  }
+
+  test("x26: the curation pipeline reads the corpus in exactly ONE pass") {
+    val exec = planNoAqe("x26_curation_pipeline")
+    val scans = liveScans(exec)
+    assert(scans.length == 1,
+      s"curation should be one scan, found ${scans.length} in:\n$exec")
   }
 }
