@@ -55,8 +55,10 @@ object Bench {
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     println(line)
     // also land the line in a file: sbt wraps stdout in [info] noise that
-    // breaks the driver's JSON parse
-    java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH.json"), line + "\n")
+    // breaks the driver's JSON parse. FULL runs only — an arg-filtered
+    // dev run must not overwrite the file with a partial-suite total
+    if (args.isEmpty)
+      java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH.json"), line + "\n")
     spark.stop()
   }
 }

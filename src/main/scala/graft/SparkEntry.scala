@@ -263,10 +263,10 @@ object SparkEntry {
     "x03_minhash_lsh" -> ((s, d) =>
       NearDup.minhashLshPairs(docs(s, d), "doc_id", "text",
         k = 3, numHashes = 16, bands = 4, threshold = 0.2,
-        maxBucketSize = Some(200), cacheShingles = true)),
+        maxBucketSize = Some(200), cacheShingles = true, cacheBands = true)),
     "x04_simhash_pairs" -> ((s, d) =>
       NearDup.simhashPairs(docs(s, d), "doc_id", "text", maxHamming = 8,
-        maxBucketSize = Some(200))),
+        maxBucketSize = Some(200), cacheBands = true)),
     // dup-cluster assignment (connected components of the exact-Jaccard
     // pair graph): the keeper-per-cluster step after pair generation;
     // oracle = recursive-CTE transitive closure over the same pairs
@@ -374,7 +374,11 @@ object SparkEntry {
           sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"))),
 
     // as-of join: each error event enriched with the user's most recent
-    // prior signup (composed union+window as-of; oracle = DuckDB ASOF JOIN)
+    // prior signup (composed union+window as-of; oracle = DuckDB ASOF
+    // JOIN). The tiebreak pins OUR side on duplicate (user, ts) signups;
+    // DuckDB's ASOF tie choice is unspecified, so if a fixture ever
+    // grows such ties this becomes a known compare hazard (none exist
+    // today — verified)
     "x14_asof_join" -> ((s, d) => {
       val events = ev(s, d)
       val errors = events.filter(col("event_type") === "error")

@@ -86,7 +86,8 @@ object NearDup {
                       k: Int = 3, numHashes: Int = 16, bands: Int = 4,
                       threshold: Double = 0.5,
                       maxBucketSize: Option[Int] = None,
-                      cacheShingles: Boolean = false): DataFrame = {
+                      cacheShingles: Boolean = false,
+                      cacheBands: Boolean = false): DataFrame = {
     val rows = numHashes / bands
     val shRaw = shingles(df, idCol, textCol, k)
     val sh = if (cacheShingles) shRaw.cache() else shRaw
@@ -94,12 +95,14 @@ object NearDup {
     // (band_id, band_hash) inverted index: ONE equi-join on the composite
     // bucket key replaces per-band self-joins + union — one shuffle, and
     // the band id rides in the join key so buckets from different bands
-    // never collide. Cached: the frame is tiny (docs × bands) but feeds
-    // the hot-bucket aggregate, the anti join, and BOTH self-join sides —
-    // uncached, the signature aggregation would run once per consumer.
-    val bandedAll = sig.select(col("id"), posexplode(array((0 until bands).map { b =>
+    // never collide. cacheBands (opt-in, same lifecycle contract as
+    // cacheShingles): the frame is tiny (docs × bands) but feeds the
+    // hot-bucket aggregate, the anti join, and BOTH self-join sides —
+    // uncached, the signature aggregation runs once per consumer.
+    val bandedRaw = sig.select(col("id"), posexplode(array((0 until bands).map { b =>
       hash((b * rows until (b + 1) * rows).map(i => col(s"mh_$i")): _*)
-    }: _*)).as(Seq("band_id", "band_hash"))).cache()
+    }: _*)).as(Seq("band_id", "band_hash")))
+    val bandedAll = if (cacheBands) bandedRaw.cache() else bandedRaw
     val banded = maxBucketSize match {
       case None => bandedAll
       case Some(cap) =>
@@ -208,16 +211,18 @@ object NearDup {
     */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 6,
-                   maxBucketSize: Option[Int] = None): DataFrame = {
+                   maxBucketSize: Option[Int] = None,
+                   cacheBands: Boolean = false): DataFrame = {
     val sig = simhash(df, idCol, textCol)
     // (chunk_id, chunk_value) inverted index → single equi-join, as in
     // the MinHash banding; optional hot-bucket cap for low-entropy data.
-    // Cached for the same multi-consumer reason as the MinHash banding —
+    // cacheBands: same multi-consumer rationale as the MinHash banding —
     // the 64-column bit-sum signature aggregate is the expensive parent.
-    val bandedAll = sig.select(col("id"), col("simhash"),
+    val bandedRaw = sig.select(col("id"), col("simhash"),
       posexplode(array((0 until 4).map(c =>
         shiftright(col("simhash"), c * 16).bitwiseAND(lit(0xFFFFL))): _*))
-        .as(Seq("chunk_id", "chunk_val"))).cache()
+        .as(Seq("chunk_id", "chunk_val")))
+    val bandedAll = if (cacheBands) bandedRaw.cache() else bandedRaw
     val banded = maxBucketSize match {
       case None => bandedAll
       case Some(cap) =>

@@ -62,6 +62,11 @@ object Incremental {
     * day column to any key set). One anti-join shuffle + a union; at
     * scale both sides hash-partition on the same keys so AQE can plan
     * the anti join without an extra exchange.
+    *
+    * Multiset on the incoming side: duplicate-keyed incoming rows are ALL
+    * kept (only existing rows are pruned). A sink that promises
+    * one-row-per-key must dedup the batch first — `Sinks.upsertReload`
+    * does.
     */
   def upsertByKey(existing: DataFrame, incoming: DataFrame,
                   keys: Seq[String]): DataFrame =

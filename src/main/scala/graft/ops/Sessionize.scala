@@ -27,6 +27,10 @@ object Sessionize {
     */
   def sessionizeBatch(events: DataFrame, userCol: String, tsCol: String,
                       valueCol: String, gapMinutes: Long = 30): DataFrame = {
+    // tie-safe without a tiebreak column: rows sharing a timestamp have a
+    // zero lag-gap BETWEEN them in any order, so they always land in the
+    // same session, and the session's membership/aggregates do not depend
+    // on how the sort broke the tie
     val byUser = Window.partitionBy(userCol).orderBy(col(tsCol))
     val us = unix_micros(col(tsCol))
     val flagged = events

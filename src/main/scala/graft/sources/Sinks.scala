@@ -45,21 +45,37 @@ object Sinks {
 
   /** K4: full-row keyed upsert into a parquet target (`ON CONFLICT DO
     * UPDATE`): incoming wins, existing survives where unclaimed
-    * (`Incremental.upsertByKey`). The merge is pinned with
-    * `localCheckpoint` before writing because the target path is also
-    * the read source — production would stage + atomically swap instead
-    * of relying on executor-local blocks, but the merge/overwrite
-    * semantics are identical.
+    * (`Incremental.upsertByKey`). Duplicate-keyed rows WITHIN one
+    * incoming batch collapse to a single winner first (which one is
+    * arbitrary, as in any unordered set engine — pre-aggregate upstream
+    * for a deterministic choice), so the target keeps the one-row-per-key
+    * contract.
+    *
+    * Durability: the merge writes to a STAGING directory (so the target
+    * can be read while merging — no lineage pinning needed) and swaps in
+    * via renames, with the old data held in a backup dir until the swap
+    * lands. A crash mid-swap leaves backup + staging intact; the next
+    * call refuses to bootstrap-over them instead of silently truncating
+    * history. (A real lakehouse would use a transactional table format;
+    * this keeps the same read-modify-write semantics on plain parquet.)
     */
   def upsertReload(incoming: DataFrame, path: String, keys: Seq[String]): Unit = {
     val spark = incoming.sparkSession
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) return truncateReload(incoming, path)
-    val merged = graft.ops.Incremental
-      .upsertByKey(spark.read.parquet(path), incoming, keys)
-      .localCheckpoint(true)
-    merged.write.mode(SaveMode.Overwrite).parquet(path)
+    val staging = new org.apache.hadoop.fs.Path(path + "__staging")
+    val backup = new org.apache.hadoop.fs.Path(path + "__backup")
+    require(!fs.exists(backup),
+      s"$backup exists — a prior upsert swap did not complete; recover it " +
+        "(rename back over the target) before upserting again")
+    val batch = incoming.dropDuplicates(keys)
+    if (!fs.exists(p)) return truncateReload(batch, path)
+    graft.ops.Incremental
+      .upsertByKey(spark.read.parquet(path), batch, keys)
+      .write.mode(SaveMode.Overwrite).parquet(staging.toString)
+    require(fs.rename(p, backup), s"could not move $p aside")
+    require(fs.rename(staging, p), s"could not land $staging at $p")
+    fs.delete(backup, true)
   }
 
   /** K3: append only rows whose key is absent from the existing data.

@@ -64,9 +64,14 @@ object EventStream {
     import spark.implicits._
     val streaming = events.isStreaming
     val src = if (streaming) events.withWatermark("ts", lateness) else events
-    val gapMs = gapMinutes * 60000L
+    // exact MICROsecond arithmetic, matching ops.Sessionize.sessionizeBatch
+    // bit-for-bit — ms truncation (ts.getTime) would place gap breaks
+    // differently on sub-millisecond timestamps
+    val gapUs = gapMinutes * 60000000L
+    def micros(t: java.sql.Timestamp): Long =
+      Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000
     def out(user: Long, s: SessionState) =
-      SessionOut(user, s.nEvents, (s.last - s.start) / 60000.0, s.total)
+      SessionOut(user, s.nEvents, (s.last - s.start) / 60000000.0, s.total)
     val timeoutConf =
       if (streaming) GroupStateTimeout.EventTimeTimeout
       else GroupStateTimeout.NoTimeout // batch: timeouts can never fire
@@ -79,13 +84,13 @@ object EventStream {
             state.remove()
             Iterator.single(out(user, s))
           } else {
-            val sorted = rows.toArray.sortBy(_.ts.getTime)
+            val sorted = rows.toArray.sortBy(e => micros(e.ts))
             val closed = List.newBuilder[SessionOut]
             var open = state.getOption
             sorted.foreach { e =>
-              val t = e.ts.getTime
+              val t = micros(e.ts)
               open match {
-                case Some(s) if t - s.last > gapMs =>
+                case Some(s) if t - s.last > gapUs =>
                   closed += out(user, s) // gap exceeded → close, start new
                   open = Some(SessionState(t, t, 1L, e.value))
                 case Some(s) =>
@@ -101,10 +106,13 @@ object EventStream {
             } else {
               open.foreach { s =>
                 state.update(s)
-                // never set a timeout behind the watermark (Spark rejects
-                // it); a very-late session then closes one trigger later
+                // timeout API is millis: round UP so the timeout never
+                // fires early; never set it behind the watermark (Spark
+                // rejects that) — a very-late session then closes one
+                // trigger later
+                val timeoutMs = Math.floorDiv(s.last + gapUs + 999L, 1000L)
                 state.setTimeoutTimestamp(
-                  math.max(s.last + gapMs, state.getCurrentWatermarkMs + 1))
+                  math.max(timeoutMs, state.getCurrentWatermarkMs + 1))
               }
             }
             closed.result().iterator

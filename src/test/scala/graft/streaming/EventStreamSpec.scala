@@ -113,6 +113,15 @@ class EventStreamSpec extends SparkSpec {
       val out = spark.read.parquet(s"$dir/data").collect()
         .map(r => (r.getLong(0), r.getString(1))).toSet
       assert(out == Set((1L, "a"), (2L, "B"), (3L, "C")))
+      // duplicate-keyed rows within ONE batch collapse to a single winner
+      // (one-row-per-key contract), and no swap leftovers remain
+      mem.addData((4L, "x"), (4L, "y"))
+      q.processAllAvailable()
+      val after = spark.read.parquet(s"$dir/data").collect()
+        .map(r => r.getLong(0)).groupBy(identity).view.mapValues(_.length)
+      assert(after(4L) == 1)
+      assert(!new java.io.File(s"$dir/data__backup").exists)
+      assert(!new java.io.File(s"$dir/data__staging").exists)
     } finally q.stop()
   }
 
@@ -138,7 +147,13 @@ class EventStreamSpec extends SparkSpec {
       (1L, ts("2024-03-01 13:00:00"), 9.0),
       (2L, ts("2024-03-01 12:00:00"), 5.0),
       (2L, ts("2024-03-01 12:29:00"), 4.0),
-      (3L, ts("2024-03-01 01:00:00"), 7.0))
+      (3L, ts("2024-03-01 01:00:00"), 7.0),
+      // sub-millisecond boundary: gap = 30min + 800µs, which IS a break
+      // in exact-microsecond arithmetic but exactly 30min under ms
+      // truncation (.0001 and .0009 both truncate to .000) — pins both
+      // formulations to µs precision
+      (4L, ts("2024-03-01 02:00:00.0001"), 1.0),
+      (4L, ts("2024-03-01 02:30:00.0009"), 2.0))
     val relational = graft.ops.Sessionize
       .sessionizeBatch(rows.toDF("user_id", "ts", "value"), "user_id", "ts", "value")
       .collect()
