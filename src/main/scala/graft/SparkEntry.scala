@@ -373,6 +373,50 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"),
           sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"))),
 
+    // cube: all grouping-set combinations in one pass
+    "q39_cube_counts" -> ((s, d) =>
+      Tables.orders(s, d)
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("n"))),
+
+    // window-function surface beyond row_number: lag/lead deltas, dense
+    // rank, quartile bucket — per-user event analytics
+    "q40_window_analytics" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val byUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val byValue = Window.partitionBy("user_id")
+        .orderBy(col("value").desc, col("event_id"))
+      ev(s, d).filter(col("value").isNotNull).select(
+        col("event_id"), col("user_id"),
+        (unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(byUser))
+          .as("us_since_prev"),
+        lead(col("event_id"), 1).over(byUser).as("next_event_id"),
+        dense_rank().over(byValue).as("value_rank"),
+        ntile(4).over(byValue).as("value_quartile"))
+    }),
+
+    // pivot: one column per status, reference's wide-mart shape
+    "q41_status_pivot" -> ((s, d) =>
+      Tables.orders(s, d)
+        .select(date_trunc("month", col("o_orderdate")).cast("date").as("order_month"),
+          col("o_orderstatus"))
+        .groupBy("order_month")
+        .pivot("o_orderstatus", Seq("O", "F", "P"))
+        .agg(count(lit(1)))
+        // empty pivot cells are NULL in Spark but 0 under a FILTER count
+        .select(col("order_month"), coalesce(col("O"), lit(0L)).as("n_open"),
+          coalesce(col("F"), lit(0L)).as("n_filled"),
+          coalesce(col("P"), lit(0L)).as("n_pending"))),
+
+    // grouped exact interpolated percentiles (A1 lifted to per-group)
+    "q42_grouped_percentiles" -> ((s, d) =>
+      ev(s, d).filter(col("value").isNotNull)
+        .groupBy("event_type")
+        .agg(
+          expr("percentile(value, 0.5)").as("p50"),
+          expr("percentile(value, 0.95)").as("p95"),
+          count(lit(1)).as("n"))),
+
     // as-of join: each error event enriched with the user's most recent
     // prior signup (composed union+window as-of; oracle = DuckDB ASOF
     // JOIN). The tiebreak pins OUR side on duplicate (user, ts) signups;
@@ -800,6 +844,30 @@ object SparkEntry {
       """SELECT l_returnflag, l_linestatus, count(*) AS n,
         |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+    "q39_cube_counts" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n
+        |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin,
+    "q40_window_analytics" ->
+      """SELECT event_id, user_id,
+        |       epoch_us(ts) - lag(epoch_us(ts), 1) OVER w AS us_since_prev,
+        |       lead(event_id, 1) OVER w AS next_event_id,
+        |       CAST(dense_rank() OVER v AS INT) AS value_rank,
+        |       CAST(ntile(4) OVER v AS INT) AS value_quartile
+        |FROM events WHERE value IS NOT NULL
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id),
+        |       v AS (PARTITION BY user_id ORDER BY value DESC, event_id)""".stripMargin,
+    "q41_status_pivot" ->
+      """SELECT date_trunc('month', o_orderdate)::DATE AS order_month,
+        |       count(*) FILTER (WHERE o_orderstatus = 'O') AS n_open,
+        |       count(*) FILTER (WHERE o_orderstatus = 'F') AS n_filled,
+        |       count(*) FILTER (WHERE o_orderstatus = 'P') AS n_pending
+        |FROM orders GROUP BY 1""".stripMargin,
+    "q42_grouped_percentiles" ->
+      """SELECT event_type,
+        |       percentile_cont(0.5) WITHIN GROUP (ORDER BY value) AS p50,
+        |       percentile_cont(0.95) WITHIN GROUP (ORDER BY value) AS p95,
+        |       count(*) AS n
+        |FROM events WHERE value IS NOT NULL GROUP BY event_type""".stripMargin,
     "x14_asof_join" ->
       """WITH err AS (
         |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'),
