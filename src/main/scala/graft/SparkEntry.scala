@@ -292,10 +292,11 @@ object SparkEntry {
     // ---- north-star extensions: text analysis ----
     "x08_langid" -> ((s, d) => TextAnalysis.langId(docs(s, d), "doc_id", "text")),
     // char-trigram profile language ID, profiles trained in-plan from the
-    // labeled corpus (rows-only: rank-weighted scoring has no compact
-    // ANSI equivalent)
+    // labeled corpus — pure relational arithmetic end to end, so the
+    // whole train→score→argmax path is replicated by the DuckDB oracle
     "x21_langid_ngram" -> ((s, d) =>
-      TextAnalysis.langIdNgram(docs(s, d), "doc_id", "text", "lang")),
+      TextAnalysis.langIdNgram(docs(s, d), "doc_id", "text", "lang")
+        .withColumnRenamed("id", "doc_id")),
     "x09_text_quality" -> ((s, d) => TextAnalysis.quality(docs(s, d), "doc_id", "text")),
     "x10_token_counts" -> ((s, d) => TextAnalysis.tokenCounts(docs(s, d), "doc_id", "text")),
     "x11_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(docs(s, d), "doc_id", "text")),
@@ -915,6 +916,36 @@ object SparkEntry {
         |JOIN sizes sa ON sa.doc_id = doc_a
         |JOIN sizes sb ON sb.doc_id = doc_b
         |WHERE round(n_common::DOUBLE / (sa.n_sh + sb.n_sh - n_common), 4) >= 0.2""".stripMargin,
+    "x21_langid_ngram" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang, lower(trim(text)) AS t FROM documents),
+        |g AS (
+        |  SELECT doc_id, lang,
+        |         CASE WHEN length(t) >= 3
+        |              THEN list_distinct(list_transform(range(1, length(t) - 1),
+        |                                                i -> t[i:i+2]))
+        |              ELSE [] END AS grams
+        |  FROM d),
+        |e AS (SELECT doc_id, lang, unnest(grams) AS gram FROM g),
+        |prof AS (
+        |  SELECT lang AS p_lang, gram, 201 - rnk AS weight FROM (
+        |    SELECT lang, gram,
+        |           row_number() OVER (PARTITION BY lang
+        |                              ORDER BY count(*) DESC, gram ASC) AS rnk
+        |    FROM e WHERE lang IS NOT NULL GROUP BY lang, gram) t
+        |  WHERE rnk <= 200),
+        |sc AS (
+        |  SELECT doc_id, p_lang, CAST(sum(weight) AS BIGINT) AS score
+        |  FROM e JOIN prof USING (gram) GROUP BY doc_id, p_lang),
+        |best AS (
+        |  SELECT doc_id, p_lang, score FROM (
+        |    SELECT doc_id, p_lang, score,
+        |           row_number() OVER (PARTITION BY doc_id
+        |                              ORDER BY score DESC, p_lang ASC) AS rn
+        |    FROM sc) t WHERE rn = 1)
+        |SELECT g.doc_id, coalesce(best.p_lang, 'und') AS pred_lang,
+        |       coalesce(best.score, 0) AS best_score
+        |FROM g LEFT JOIN best USING (doc_id)""".stripMargin,
     "x22_dup_clusters" ->
       """WITH RECURSIVE toks AS (
         |  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'),
