@@ -288,6 +288,26 @@ object SparkEntry {
     "x20_cosine_ivf" -> ((s, d) =>
       Similarity.cosineTopKIvf(Tables.embeddings(s, d), "vec_id", "embedding",
         col("vec_id") % 50 === 0, nlist = 16, nprobe = 2, k = 5)),
+    // ANN quality gate: IVF mean recall@5 against in-plan brute force —
+    // the oracle expects literal TRUE, so a probe/centroid regression
+    // that tanks recall fails the hash gate instead of hiding in
+    // rows-only. Corpus-level mean (the standard ANN metric — individual
+    // queries near list boundaries legitimately dip); nprobe=4 with one
+    // Lloyd pass clears 0.5 with margin, while the benchmarked x20 keeps
+    // the faster nprobe=2 profile
+    "x27_ann_recall" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val brute = Similarity.cosineTopK(emb, "vec_id", "embedding",
+        col("vec_id") % 50 === 0, k = 5).select("qid", "nid")
+      val ivf = Similarity.cosineTopKIvf(emb, "vec_id", "embedding",
+        col("vec_id") % 50 === 0, nlist = 16, nprobe = 4, k = 5)
+        .select("qid", "nid")
+      val hits = brute.join(ivf, Seq("qid", "nid"), "left_semi")
+        .agg(count(lit(1)).as("hits"))
+      brute.agg(count(lit(1)).as("denom")).crossJoin(hits)
+        .select((col("denom") / lit(5)).cast("long").as("n_queries"),
+          (col("hits") / col("denom") >= 0.5).as("mean_recall_ok"))
+    }),
 
     // ---- north-star extensions: text analysis ----
     "x08_langid" -> ((s, d) => TextAnalysis.langId(docs(s, d), "doc_id", "text")),
@@ -916,6 +936,9 @@ object SparkEntry {
         |JOIN sizes sa ON sa.doc_id = doc_a
         |JOIN sizes sb ON sb.doc_id = doc_b
         |WHERE round(n_common::DOUBLE / (sa.n_sh + sb.n_sh - n_common), 4) >= 0.2""".stripMargin,
+    "x27_ann_recall" ->
+      """SELECT count(*) AS n_queries, TRUE AS mean_recall_ok
+        |FROM embeddings WHERE vec_id % 50 = 0""".stripMargin,
     "x21_langid_ngram" ->
       """WITH d AS (
         |  SELECT doc_id, lang, lower(trim(text)) AS t FROM documents),

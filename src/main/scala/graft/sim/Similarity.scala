@@ -107,31 +107,43 @@ object Similarity {
     * nprobe) instead of O(corpus) — the standard coarse-quantization
     * scale path next to LSH.
     *
-    * Centroids here are a deterministic sample (every corpus/nlist-th
-    * vector by id) — the k-means refinement that a production IVF would
-    * run changes recall, not the plan shape. Both assignment and probing
-    * broadcast the (tiny) centroid set; the corpus is scanned exactly
-    * once for assignment and once per query batch for scoring.
+    * Centroids start as a deterministic sample (hash-spread nlist pick)
+    * and take `refineIters` Lloyd passes — assign the corpus, recompute
+    * each centroid as the element-wise mean of its list (posexplode →
+    * per-(cid, pos) average → re-assembled array). One refinement pass
+    * measurably lifts recall over raw sampled centroids (sampled points
+    * sit at cluster EDGES; means sit at centers). Both assignment and
+    * probing broadcast the (tiny) centroid set; the corpus is scanned
+    * once per Lloyd pass + once for the final assignment.
     */
   def cosineTopKIvf(emb: DataFrame, idCol: String, vecCol: String,
                     queryPred: Column, nlist: Int = 16, nprobe: Int = 2,
-                    k: Int = 5): DataFrame = {
+                    k: Int = 5, refineIters: Int = 1): DataFrame = {
     val corpus = emb.select(col(idCol).as("nid"), asDouble(col(vecCol)).as("nvec"))
     // deterministic hash-spread centroid sample: order by hash(id) and
     // take nlist — compiles to TakeOrderedAndProject (per-partition
     // top-nlist, no global sort, no extra count pass), same centroids at
     // any partitioning, and well-defined for any corpus size
-    val centroids = corpus
+    var centroids = corpus
       .orderBy(pmod(hash(col("nid")), lit(1000003)).asc, col("nid").asc)
       .limit(nlist)
       .select(col("nid").as("cid"), col("nvec").as("cvec"))
-    // inverted lists: each corpus vector → its nearest centroid
-    val assigned = corpus.crossJoin(broadcast(centroids))
+    def assign(cs: DataFrame): DataFrame = corpus.crossJoin(broadcast(cs))
       .select(col("nid"), col("nvec"), col("cid"),
         round(cosine(col("nvec"), col("cvec")), 6).as("csim"))
       .withColumn("rn", row_number().over(
         Window.partitionBy("nid").orderBy(col("csim").desc, col("cid").asc)))
       .filter(col("rn") === 1).drop("rn", "csim")
+    for (_ <- 0 until refineIters) {
+      centroids = assign(centroids)
+        .select(col("cid"), posexplode(col("nvec")).as(Seq("pos", "v")))
+        .groupBy("cid", "pos").agg(avg("v").as("m"))
+        .groupBy("cid")
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+          s => s.getField("m")).as("cvec"))
+    }
+    // inverted lists: each corpus vector → its nearest (refined) centroid
+    val assigned = assign(centroids)
     // queries probe their nprobe nearest centroid lists
     val queries = emb.filter(queryPred)
       .select(col(idCol).as("qid"), asDouble(col(vecCol)).as("qvec"))
