@@ -274,6 +274,15 @@ object SparkEntry {
       NearDup.dupClusters(
         NearDup.jaccardPairs(docs(s, d), "doc_id", "text", k = 3, threshold = 0.2,
           cacheShingles = true))),
+    // the same cluster assignment over the SCALE pair path (capped
+    // MinHash-LSH candidates instead of the exact all-shared-shingle
+    // join) — rows-only (engine hashing), but this is the composition a
+    // 100 TB dedup actually runs
+    "x28_dup_clusters_lsh" -> ((s, d) =>
+      NearDup.dupClusters(
+        NearDup.minhashLshPairs(docs(s, d), "doc_id", "text",
+          k = 3, numHashes = 16, bands = 4, threshold = 0.2,
+          maxBucketSize = Some(200), cacheShingles = true, cacheBands = true))),
 
     // ---- north-star extensions: similarity search ----
     "x05_cosine_topk" -> ((s, d) =>

@@ -75,6 +75,24 @@ class ExtensionsSpec extends SparkSpec {
     assert(c.toSeq == Seq(1L))
   }
 
+  test("edge cases: empty pair graph, empty corpus, degenerate strata") {
+    import spark.implicits._
+    // dupClusters on an empty pair set → empty labels, no infinite loop
+    val noPairs = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+    assert(graft.neardup.NearDup.dupClusters(noPairs).isEmpty)
+    // curation on an empty corpus → empty, not an error
+    val noDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(graft.pipelines.Curation.curate(noDocs, "doc_id", "text").isEmpty)
+    // tfidf on an empty corpus → empty
+    assert(TextAnalysis.tfidfTopTerms(noDocs, "doc_id", "text").isEmpty)
+    // stratified sample with an empty rate map → default rate applies
+    val df = Seq((1L, "a"), (2L, "b")).toDF("k", "s")
+    assert(graft.ops.Sampling.stratifiedSample(df, "s", "k",
+      Map.empty[String, Int], defaultRate = 100).count() == 2)
+    assert(graft.ops.Sampling.stratifiedSample(df, "s", "k",
+      Map.empty[String, Int], defaultRate = 0).isEmpty)
+  }
+
   test("tfidfTopTerms ranks rare terms above ubiquitous ones") {
     import spark.implicits._
     val df = Seq(
