@@ -489,6 +489,15 @@ object SparkEntry {
         col("doc_id") % 100 === 0, k = 3)
     }),
 
+    // resize plumbing: byte-subsample payloads to a budget; the oracle
+    // checks the exact output-size arithmetic (ceil-step subsampling)
+    "q43_resize_stub" -> ((s, d) => {
+      val media = Multimodal.withPayload(docs(s, d), "doc_id", "text")
+      val resized = Multimodal.resizeStub(s, media, target = 64).toDF()
+      media.select(col("doc_id"), length(col("payload")).cast("long").as("orig_bytes"))
+        .join(resized.select(col("doc_id"),
+          length(col("payload")).cast("long").as("resized_bytes")), Seq("doc_id"))
+    }),
     // frame sampling fan-out: per-doc frame counts (rows-only check)
     "x18_frame_sample" -> ((s, d) =>
       Multimodal.frameSample(s,
@@ -1175,6 +1184,15 @@ object SparkEntry {
       """SELECT event_type, count(DISTINCT user_id) AS exact_users,
         |       TRUE AS approx_ok
         |FROM events GROUP BY event_type""".stripMargin,
+    "q43_resize_stub" ->
+      """SELECT doc_id,
+        |       CAST(octet_length(encode(text)) AS BIGINT) AS orig_bytes,
+        |       CAST(CASE WHEN octet_length(encode(text)) <= 64
+        |                 THEN octet_length(encode(text))
+        |                 ELSE (octet_length(encode(text)) - 1)
+        |                      // ((octet_length(encode(text)) + 63) // 64) + 1
+        |            END AS BIGINT) AS resized_bytes
+        |FROM documents""".stripMargin,
     "x18_frame_sample" ->
       """SELECT doc_id,
         |  CAST(least(4, greatest(1, octet_length(encode(text)) // 8)) AS BIGINT)

@@ -71,6 +71,26 @@ object Multimodal {
     }
   }
 
+  /** Resize stub: subsample the payload to AT MOST `target` bytes by
+    * taking every ceil(n/target)-th byte — the image/audio resize slot
+    * (a real implementation swaps in a scaler; the binary→binary
+    * map-only contract and the exact output-size arithmetic are what the
+    * pipeline depends on). Payloads already within budget pass through
+    * untouched.
+    */
+  def resizeStub(spark: SparkSession, media: DataFrame,
+                 target: Int = 64): Dataset[MediaIn] = {
+    import spark.implicits._
+    media.as[MediaIn].map { m =>
+      val n = m.payload.length
+      if (n <= target) m
+      else {
+        val step = (n + target - 1) / target
+        MediaIn(m.doc_id, Iterator.range(0, n, step).map(m.payload).toArray)
+      }
+    }
+  }
+
   case class Embedded(doc_id: Long, embedding: Array[Float])
 
   /** Deterministic fake feature extractor: payload bytes → `dim`-float

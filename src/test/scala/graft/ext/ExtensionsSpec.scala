@@ -288,6 +288,20 @@ class ExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("resizeStub bounds payloads to the byte budget, passes small ones through") {
+    val media = Multimodal.withPayload(
+      Seq((1L, "x" * 500), (2L, "short")).toDF("doc_id", "text"),
+      "doc_id", "text")
+    val out = Multimodal.resizeStub(spark, media, target = 64).collect()
+      .map(m => m.doc_id -> m.payload).toMap
+    assert(out(1L).length <= 64 && out(1L).length > 32) // subsampled, near budget
+    assert(out(2L).sameElements("short".getBytes("UTF-8"))) // untouched
+    // deterministic
+    val again = Multimodal.resizeStub(spark, media, target = 64).collect()
+      .map(m => m.doc_id -> m.payload).toMap
+    assert(out(1L).sameElements(again(1L)))
+  }
+
   test("multimodal decode stub produces deterministic metadata") {
     val media = Multimodal.withPayload(Seq((7L, "abcd")).toDF("doc_id", "text"),
       "doc_id", "text")
