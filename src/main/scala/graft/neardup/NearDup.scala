@@ -191,7 +191,10 @@ object NearDup {
     */
   def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = TextAnalysis.tokens(col(textCol))
-    // For each bit position, sum +1/-1 over tokens, then pack sign bits.
+    // For each bit position, sum +1/-1 over token occurrences, then pack
+    // sign bits. ONE partial-aggregated groupBy straight off the explode:
+    // a (id, token-hash) pre-dedup shuffle was measured SLOWER here — the
+    // extra exchange outweighs evaluating the bit tests per occurrence.
     val h = xxhash64(col("tok"))
     val exploded = df.select(col(idCol).as("id"), explode(toks).as("tok"))
       .select(col("id"), h.as("th"))
@@ -204,6 +207,7 @@ object NearDup {
     exploded.groupBy("id").agg(bitSums.head, bitSums.tail: _*)
       .select(col("id"), packed.as("simhash"))
   }
+
 
   /** SimHash near-dup pairs within `maxHamming`, candidate-bounded by
     * 16-bit chunk banding (any pair with Hamming ≤ 3 shares a chunk;
