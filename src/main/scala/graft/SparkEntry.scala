@@ -326,6 +326,19 @@ object SparkEntry {
     "x21_langid_ngram" -> ((s, d) =>
       TextAnalysis.langIdNgram(docs(s, d), "doc_id", "text", "lang")
         .withColumnRenamed("id", "doc_id")),
+    // the factored train/test path: profiles trained OFFLINE on the even
+    // split (tiny broadcastable frame — at 100 TB you persist this), test
+    // split classified against them — the production inference shape
+    "x30_langid_pretrained" -> ((s, d) => {
+      val all = docs(s, d)
+      val profiles = TextAnalysis.trainNgramProfiles(
+        TextAnalysis.docNgrams(all.filter(col("doc_id") % 2 === 0),
+          "doc_id", "text", "lang"))
+      TextAnalysis.classifyNgram(
+          TextAnalysis.docNgrams(all.filter(col("doc_id") % 2 === 1),
+            "doc_id", "text", "lang"), profiles)
+        .withColumnRenamed("id", "doc_id")
+    }),
     "x09_text_quality" -> ((s, d) => TextAnalysis.quality(docs(s, d), "doc_id", "text")),
     "x10_token_counts" -> ((s, d) => TextAnalysis.tokenCounts(docs(s, d), "doc_id", "text")),
     "x11_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(docs(s, d), "doc_id", "text")),
@@ -395,6 +408,23 @@ object SparkEntry {
         .select(col("event_type"), col("exact_users"),
           (abs(col("approx_users") - col("exact_users")) <=
             col("exact_users") * 0.05).as("approx_ok"))),
+
+    // sketch-quantile gate: approx_percentile (the KLL-style 100 TB
+    // quantile path) must land within the exact p5/p95 neighborhood —
+    // in-plan invariant, literal-TRUE oracle (same pattern as x19/x27)
+    "x29_approx_percentile" -> ((s, d) =>
+      ev(s, d).filter(col("value").isNotNull)
+        .agg(
+          expr("percentile(value, 0.05)").as("__p5"),
+          expr("percentile(value, 0.95)").as("__p95"),
+          expr("approx_percentile(value, 0.05, 1000)").as("__a5"),
+          expr("approx_percentile(value, 0.95, 1000)").as("__a95"),
+          count(lit(1)).as("n"))
+        .select(col("n"),
+          (abs(col("__a5") - col("__p5")) <=
+            (col("__p95") - col("__p5")) * 0.02).as("p5_ok"),
+          (abs(col("__a95") - col("__p95")) <=
+            (col("__p95") - col("__p5")) * 0.02).as("p95_ok"))),
 
     // rollup over the pricing keys — multi-level aggregate in one pass
     "q23_rollup_counts" -> ((s, d) =>
@@ -957,6 +987,9 @@ object SparkEntry {
     "x27_ann_recall" ->
       """SELECT count(*) AS n_queries, TRUE AS mean_recall_ok
         |FROM embeddings WHERE vec_id % 50 = 0""".stripMargin,
+    "x29_approx_percentile" ->
+      """SELECT count(*) AS n, TRUE AS p5_ok, TRUE AS p95_ok
+        |FROM events WHERE value IS NOT NULL""".stripMargin,
     "x21_langid_ngram" ->
       """WITH d AS (
         |  SELECT doc_id, lang, lower(trim(text)) AS t FROM documents),
@@ -987,6 +1020,40 @@ object SparkEntry {
         |SELECT g.doc_id, coalesce(best.p_lang, 'und') AS pred_lang,
         |       coalesce(best.score, 0) AS best_score
         |FROM g LEFT JOIN best USING (doc_id)""".stripMargin,
+    "x30_langid_pretrained" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang, lower(trim(text)) AS t FROM documents),
+        |g AS (
+        |  SELECT doc_id, lang,
+        |         CASE WHEN length(t) >= 3
+        |              THEN list_distinct(list_transform(range(1, length(t) - 1),
+        |                                                i -> t[i:i+2]))
+        |              ELSE [] END AS grams
+        |  FROM d),
+        |etr AS (SELECT doc_id, lang, unnest(grams) AS gram FROM g
+        |        WHERE doc_id % 2 = 0),
+        |ete AS (SELECT doc_id, unnest(grams) AS gram FROM g
+        |        WHERE doc_id % 2 = 1),
+        |prof AS (
+        |  SELECT lang AS p_lang, gram, 201 - rnk AS weight FROM (
+        |    SELECT lang, gram,
+        |           row_number() OVER (PARTITION BY lang
+        |                              ORDER BY count(*) DESC, gram ASC) AS rnk
+        |    FROM etr WHERE lang IS NOT NULL GROUP BY lang, gram) t
+        |  WHERE rnk <= 200),
+        |sc AS (
+        |  SELECT doc_id, p_lang, CAST(sum(weight) AS BIGINT) AS score
+        |  FROM ete JOIN prof USING (gram) GROUP BY doc_id, p_lang),
+        |best AS (
+        |  SELECT doc_id, p_lang, score FROM (
+        |    SELECT doc_id, p_lang, score,
+        |           row_number() OVER (PARTITION BY doc_id
+        |                              ORDER BY score DESC, p_lang ASC) AS rn
+        |    FROM sc) t WHERE rn = 1)
+        |SELECT g.doc_id, coalesce(best.p_lang, 'und') AS pred_lang,
+        |       coalesce(best.score, 0) AS best_score
+        |FROM g LEFT JOIN best USING (doc_id)
+        |WHERE g.doc_id % 2 = 1""".stripMargin,
     "x22_dup_clusters" ->
       """WITH RECURSIVE toks AS (
         |  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'),
