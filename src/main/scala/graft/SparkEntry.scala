@@ -267,6 +267,13 @@ object SparkEntry {
     "x04_simhash_pairs" -> ((s, d) =>
       NearDup.simhashPairs(docs(s, d), "doc_id", "text", maxHamming = 8,
         maxBucketSize = Some(200), cacheBands = true)),
+    // character-5-gram Jaccard pairs: the tokenization-robust dedup
+    // variant (word shingles miss dups with whitespace/punctuation
+    // damage; char grams don't)
+    "x31_char_jaccard" -> ((s, d) =>
+      NearDup.jaccardPairsOver(
+        NearDup.charShingles(docs(s, d), "doc_id", "text", n = 5),
+        threshold = 0.3)),
     // dup-cluster assignment (connected components of the exact-Jaccard
     // pair graph): the keeper-per-cluster step after pair generation;
     // oracle = recursive-CTE transitive closure over the same pairs
@@ -1020,6 +1027,26 @@ object SparkEntry {
         |SELECT g.doc_id, coalesce(best.p_lang, 'und') AS pred_lang,
         |       coalesce(best.score, 0) AS best_score
         |FROM g LEFT JOIN best USING (doc_id)""".stripMargin,
+    "x31_char_jaccard" ->
+      """WITH d AS (
+        |  SELECT doc_id, lower(trim(text)) AS t FROM documents),
+        |sh AS (
+        |  SELECT doc_id, unnest(CASE WHEN length(t) >= 5
+        |    THEN list_distinct(list_transform(range(1, length(t) - 3),
+        |                                      i -> t[i:i+4]))
+        |    ELSE [] END) AS shingle
+        |  FROM d),
+        |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT doc_a, doc_b, n_common,
+        |       round(n_common::DOUBLE / (sa.n_sh + sb.n_sh - n_common), 4) AS jaccard
+        |FROM inter
+        |JOIN sizes sa ON sa.doc_id = doc_a
+        |JOIN sizes sb ON sb.doc_id = doc_b
+        |WHERE round(n_common::DOUBLE / (sa.n_sh + sb.n_sh - n_common), 4) >= 0.3""".stripMargin,
     "x30_langid_pretrained" ->
       """WITH d AS (
         |  SELECT doc_id, lang, lower(trim(text)) AS t FROM documents),

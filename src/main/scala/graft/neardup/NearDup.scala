@@ -37,16 +37,21 @@ object NearDup {
       .distinct()
   }
 
-  /** Exact pairwise Jaccard over the shingle inverted index: only pairs
-    * sharing ≥1 shingle are materialized. Output: doc_a < doc_b, jaccard.
+  /** Distinct character n-grams per doc as an inverted index —
+    * (id, shingle) like `shingles`, but over characters instead of word
+    * windows (the n-gram-Jaccard dedup variant: robust to tokenization
+    * and whitespace damage where word shingles are not). Reuses the
+    * map-only gram-set extraction from `TextAnalysis.docNgrams`.
     */
-  def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
-                   k: Int = 3, threshold: Double = 0.5,
-                   cacheShingles: Boolean = false): DataFrame = {
-    // cacheShingles: opt-in for long-lived jobs that manage the cache
-    // lifecycle; default off so repeated catalog runs don't leak blocks
-    val shRaw = shingles(df, idCol, textCol, k)
-    val sh = if (cacheShingles) shRaw.cache() else shRaw
+  def charShingles(df: DataFrame, idCol: String, textCol: String,
+                   n: Int = 5): DataFrame =
+    TextAnalysis.docNgrams(df, idCol, textCol, idCol, n)
+      .select(col("id"), explode(col("grams")).as("shingle"))
+
+  /** Exact pairwise Jaccard over a prebuilt (id, shingle) inverted
+    * index. Only pairs sharing ≥1 shingle are materialized.
+    */
+  def jaccardPairsOver(sh: DataFrame, threshold: Double): DataFrame = {
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
     val inter = sh.as("a")
       .join(sh.as("b"), col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
@@ -60,6 +65,20 @@ object NearDup {
           (col("n_a") + col("n_b") - col("n_common")), 4))
       .filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "n_common", "jaccard")
+  }
+
+  /** Exact pairwise Jaccard over the WORD-shingle inverted index; see
+    * `jaccardPairsOver` (and `charShingles` for the character-gram
+    * variant). Output: doc_a < doc_b, n_common, jaccard.
+    */
+  def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                   k: Int = 3, threshold: Double = 0.5,
+                   cacheShingles: Boolean = false): DataFrame = {
+    // cacheShingles: opt-in for long-lived jobs that manage the cache
+    // lifecycle; default off so repeated catalog runs don't leak blocks
+    val shRaw = shingles(df, idCol, textCol, k)
+    val sh = if (cacheShingles) shRaw.cache() else shRaw
+    jaccardPairsOver(sh, threshold)
   }
 
   /** MinHash signature: for each of `numHashes` seeded Murmur3 functions,
