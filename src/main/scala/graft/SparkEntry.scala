@@ -269,11 +269,13 @@ object SparkEntry {
         maxBucketSize = Some(200), cacheBands = true)),
     // character-5-gram Jaccard pairs: the tokenization-robust dedup
     // variant (word shingles miss dups with whitespace/punctuation
-    // damage; char grams don't)
+    // damage; char grams don't). The df-cap is NOT optional here: common
+    // substrings appear in nearly every doc and the uncapped pair join is
+    // Σ C(df,2) — measured 874s vs ~2s at sf0.1
     "x31_char_jaccard" -> ((s, d) =>
       NearDup.jaccardPairsOver(
         NearDup.charShingles(docs(s, d), "doc_id", "text", n = 5),
-        threshold = 0.3)),
+        threshold = 0.3, maxDocFreq = Some(100), cacheIndex = true)),
     // dup-cluster assignment (connected components of the exact-Jaccard
     // pair graph): the keeper-per-cluster step after pair generation;
     // oracle = recursive-CTE transitive closure over the same pairs
@@ -1030,12 +1032,17 @@ object SparkEntry {
     "x31_char_jaccard" ->
       """WITH d AS (
         |  SELECT doc_id, lower(trim(text)) AS t FROM documents),
-        |sh AS (
+        |sh0 AS (
         |  SELECT doc_id, unnest(CASE WHEN length(t) >= 5
         |    THEN list_distinct(list_transform(range(1, length(t) - 3),
         |                                      i -> t[i:i+4]))
         |    ELSE [] END) AS shingle
         |  FROM d),
+        |hot AS (
+        |  SELECT shingle FROM sh0 GROUP BY shingle HAVING count(*) > 100),
+        |sh AS (
+        |  SELECT doc_id, shingle FROM sh0
+        |  WHERE NOT EXISTS (SELECT 1 FROM hot WHERE hot.shingle = sh0.shingle)),
         |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
         |inter AS (
         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common

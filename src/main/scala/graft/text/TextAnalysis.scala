@@ -62,18 +62,21 @@ object TextAnalysis {
     * classification.
     */
   def docNgrams(df: DataFrame, idCol: String, textCol: String,
-                labelCol: String, n: Int = 3): DataFrame = {
-    // split to a char array first: element_at on the array is O(1), so
-    // building all grams is O(len·n) — `substring(t, i, n)` instead
-    // re-scans the UTF-8 bytes from the start for every i (O(len²/2))
-    val gram = (0 until n).map(o => "element_at(c, i + " + o + ")").mkString("concat(", ", ", ")")
+                labelCol: String, n: Int = 3): DataFrame =
+    // substring(t, i, n) per position, NOT element_at over a split char
+    // array: Catalyst's projection collapse INLINES the split() into
+    // every element_at reference, and once the tree falls out of
+    // whole-stage codegen (larger n) interpreted eval re-runs the whole
+    // split per gram CHARACTER — observed 400x slower at n=5. substring
+    // re-scans bytes from the start (O(len²/2) per doc) but each scan is
+    // branch-free and codegen-friendly; for corpus-typical doc lengths
+    // this is the fast, inlining-immune form.
     df.select(col(idCol).as("id"), col(labelCol).as("lang"),
-        split(lower(trim(col(textCol))), "").as("c"))
+        lower(trim(col(textCol))).as("t"))
       .select(col("id"), col("lang"),
-        when(size(col("c")) >= n, array_distinct(
-            expr(s"transform(sequence(1, size(c) - ${n - 1}), i -> $gram)")))
+        when(length(col("t")) >= n, array_distinct(
+            expr(s"transform(sequence(1, length(t) - ${n - 1}), i -> substring(t, i, $n))")))
           .otherwise(array().cast("array<string>")).as("grams"))
-  }
 
   /** Per-language n-gram profiles from a labeled `docNgrams` frame: top
     * `profileSize` grams per language by DOCUMENT frequency (grams are
