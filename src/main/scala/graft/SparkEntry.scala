@@ -3,7 +3,8 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.ops._
-import graft.pipelines.Iot
+import graft.pipelines.{Curation, Ecommerce, Iot, PetsNutrition}
+import graft.sources.{Fixtures, Sources}
 import graft.text.TextAnalysis
 import graft.neardup.NearDup
 import graft.sim.Similarity
@@ -31,12 +32,14 @@ object SparkEntry {
 
   private def ev(s: SparkSession, d: String) = Tables.events(s, d)
   private def docs(s: SparkSession, d: String) = Tables.documents(s, d)
+  private def cleanSess(s: SparkSession, d: String) =
+    Ecommerce.cleanSessions(Ecommerce.sessionsFromEvents(ev(s, d)))
 
   /** Fixture payload for the JSON-shredding family (S3/F13/J4/A8/F12) —
     * single source of truth in the pipeline object; the q14 oracle's
     * VALUES are derived from it.
     */
-  private def petsJson = graft.pipelines.PetsNutrition.petsJson
+  private def petsJson = PetsNutrition.petsJson
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- IoT flagship family (SURVEY §3.1: P1-P4, A1, A2, J1, W1, T1) ----
@@ -114,16 +117,15 @@ object SparkEntry {
     }),
     // F15 complete: all 7 daily-value metrics and the full food field set
     // (nutrition_foods target, HW-2/init/init.sql:291-322)
-    "q30_nutrition_daily" -> ((s, d) => graft.pipelines.PetsNutrition.dailyValues(s)),
-    "q31_nutrition_foods" -> ((s, d) => graft.pipelines.PetsNutrition.foods(s)),
+    "q30_nutrition_daily" -> ((s, d) => PetsNutrition.dailyValues(s)),
+    "q31_nutrition_foods" -> ((s, d) => PetsNutrition.foods(s)),
 
     // ---- final-module pipeline under the oracle gate (P5-P7, P9-P10,
     // F9, F11, A9→counts, T3): clean sessions → user-activity mart, and
     // clean tickets → support-efficiency mart, over DuckDB-replicable
     // collections derived from events/orders ----
     "q27_clean_sessions" -> ((s, d) =>
-      graft.pipelines.Ecommerce.cleanSessions(
-          graft.pipelines.Ecommerce.sessionsFromEvents(ev(s, d)))
+      cleanSess(s, d)
         .select("session_id", "user_id", "session_date", "duration_min",
           "num_pages", "num_actions", "device")),
     // NOT cached: the stats + 3 top-1 subtrees re-run the map-only clean
@@ -131,27 +133,24 @@ object SparkEntry {
     // clean frame (cache write+read cost > three vectorized re-scans);
     // at real scale the clean layer is a materialized table anyway
     "q28_mart_user_activity" -> ((s, d) =>
-      graft.pipelines.Ecommerce.martUserActivity(
-        graft.pipelines.Ecommerce.cleanSessions(
-          graft.pipelines.Ecommerce.sessionsFromEvents(ev(s, d))))),
+      Ecommerce.martUserActivity(cleanSess(s, d))),
     "q29_support_efficiency" -> ((s, d) =>
-      graft.pipelines.Ecommerce.martSupportEfficiency(
-        graft.pipelines.Ecommerce.cleanTickets(
-          graft.pipelines.Ecommerce.ticketsFromOrders(Tables.orders(s, d))))),
+      Ecommerce.martSupportEfficiency(
+        Ecommerce.cleanTickets(
+          Ecommerce.ticketsFromOrders(Tables.orders(s, d))))),
     // P9 null-safe nested-struct unwrap + P7 null-timestamp filter
     "q33_clean_event_logs" -> ((s, d) =>
-      graft.pipelines.Ecommerce.cleanEventLogs(
-          graft.pipelines.Ecommerce.eventLogsFromEvents(ev(s, d)))
+      Ecommerce.cleanEventLogs(
+          Ecommerce.eventLogsFromEvents(ev(s, d)))
         .select("event_id", "event_type", "page", "user_id", "error_code",
           "event_date")),
     // K2 surrogate-key generation (INSERT ... RETURNING id equivalent)
     "q34_pets_ids" -> ((s, d) =>
-      graft.pipelines.PetsNutrition.pets(s)
+      PetsNutrition.pets(s)
         .select("pet_id", "name", "species", "birth_year", "photo")),
     // S7/F18 deterministic seed generator: golden cardinalities as the
     // reference's implicit test oracle (seed_mongo.py:27-31)
     "q35_fixture_counts" -> ((s, d) => {
-      import graft.sources.Fixtures
       Seq(
         "user_sessions" -> Fixtures.userSessions(s),
         "event_logs" -> Fixtures.eventLogs(s),
@@ -171,7 +170,7 @@ object SparkEntry {
       val lines = ev(s, d)
         .select(concat_ws(",", col("event_id"), col("event_type")).as("line"))
         .as[String]
-      graft.sources.Sources.rawCsvLines(s, lines, Seq("event_id", "event_type"))
+      Sources.rawCsvLines(s, lines, Seq("event_id", "event_type"))
         .select(col("event_id").cast("long").as("event_id"), col("event_type"))
     }),
     // S5 document-collection round-trip: rows → JSON-lines → schema-
@@ -358,7 +357,7 @@ object SparkEntry {
     // fingerprint dedup → deterministic sample, ONE corpus pass + one
     // dedup shuffle (see pipelines.Curation)
     "x26_curation_pipeline" -> ((s, d) =>
-      graft.pipelines.Curation.curate(docs(s, d), "doc_id", "text",
+      Curation.curate(docs(s, d), "doc_id", "text",
         lang = "en", keepPer100 = 50)),
     // batch gap-sessionization as window algebra (the relational twin of
     // the streaming flatMapGroupsWithState sessionizer)

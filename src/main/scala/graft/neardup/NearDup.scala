@@ -104,12 +104,13 @@ object NearDup {
     */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
                    k: Int = 3, threshold: Double = 0.5,
-                   cacheShingles: Boolean = false): DataFrame = {
+                   cacheShingles: Boolean = false,
+                   maxDocFreq: Option[Int] = None): DataFrame = {
     // cacheShingles: opt-in for long-lived jobs that manage the cache
     // lifecycle; default off so repeated catalog runs don't leak blocks
     val shRaw = shingles(df, idCol, textCol, k)
     val sh = if (cacheShingles) shRaw.cache() else shRaw
-    jaccardPairsOver(sh, threshold)
+    jaccardPairsOver(sh, threshold, maxDocFreq)
   }
 
   /** MinHash signature: for each of `numHashes` seeded Murmur3 functions,
