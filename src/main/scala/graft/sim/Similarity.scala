@@ -73,9 +73,13 @@ object Similarity {
     * code (the earlier per-component expression unrolling produced
     * nbits×dim-term trees that dominated compile time).
     */
-  def lshBucket(vec: Column, dim: Int, nbits: Int = 8): Column = {
+  def lshBucket(vec: Column, dim: Int, nbits: Int = 8,
+                table: Int = 0): Column = {
+    // `table` offsets the hyperplane seeds so independent hash tables
+    // see independent planes (multi-table LSH)
     val bits = (0 until nbits).map { b =>
-      val plane = array((0 until dim).map(i => lit(planeConst(b, i))): _*)
+      val plane = array((0 until dim).map(i =>
+        lit(planeConst(table * nbits + b, i))): _*)
       val d = dot(vec, plane)
       when(d > 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
     }
@@ -167,13 +171,24 @@ object Similarity {
     */
   def embeddingNearDupPairs(emb: DataFrame, idCol: String, vecCol: String,
                             dim: Int, threshold: Double = 0.9,
-                            nbits: Int = 8): DataFrame = {
-    val withBucket = emb.select(col(idCol).as("id"), asDouble(col(vecCol)).as("vec"))
-      .withColumn("bucket", lshBucket(col("vec"), dim, nbits))
-    withBucket.as("a").join(withBucket.as("b"),
-        col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+                            nbits: Int = 8, tables: Int = 1): DataFrame = {
+    // multi-table LSH: a pair is a candidate if it collides in ANY of
+    // `tables` independent hyperplane tables — per-pair hit probability
+    // 1-(1-p^nbits)^tables where p = 1 - angle/pi, so extra tables buy
+    // recall at linear (not quadratic) cost. The (table_id, bucket)
+    // composite join key mirrors the MinHash banding shape; candidates
+    // are verified with the true cosine, so extra tables never admit
+    // false positives.
+    val v = emb.select(col(idCol).as("id"), asDouble(col(vecCol)).as("vec"))
+    val banded = v.select(col("id"), col("vec"),
+      posexplode(array((0 until tables).map(t =>
+        lshBucket(col("vec"), dim, nbits, t)): _*)).as(Seq("table_id", "bucket")))
+    banded.as("a").join(banded.as("b"),
+        col("a.table_id") === col("b.table_id") &&
+          col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         round(cosine(col("a.vec"), col("b.vec")), 6).as("sim"))
       .filter(col("sim") >= threshold)
+      .distinct()
   }
 }
