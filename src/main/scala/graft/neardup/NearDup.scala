@@ -48,10 +48,8 @@ object NearDup {
   def charShingles(df: DataFrame, idCol: String, textCol: String,
                    n: Int = 5): DataFrame =
     df.select(col(idCol).as("id"), lower(trim(col(textCol))).as("t"))
-      .filter(length(col("t")) >= n)
       .select(col("id"), explode(
-        expr(s"transform(sequence(1, length(t) - ${n - 1}), i -> substring(t, i, $n))"))
-        .as("shingle"))
+        graft.functions.CharNGrams.charNGrams(col("t"), n)).as("shingle"))
       .distinct()
 
   /** Exact pairwise Jaccard over a prebuilt (id, shingle) inverted

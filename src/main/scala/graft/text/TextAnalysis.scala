@@ -63,20 +63,18 @@ object TextAnalysis {
     */
   def docNgrams(df: DataFrame, idCol: String, textCol: String,
                 labelCol: String, n: Int = 3): DataFrame =
-    // substring(t, i, n) per position, NOT element_at over a split char
-    // array: Catalyst's projection collapse INLINES the split() into
-    // every element_at reference, and once the tree falls out of
-    // whole-stage codegen (larger n) interpreted eval re-runs the whole
-    // split per gram CHARACTER — observed 400x slower at n=5. substring
-    // re-scans bytes from the start (O(len²/2) per doc) but each scan is
-    // branch-free and codegen-friendly; for corpus-typical doc lengths
-    // this is the fast, inlining-immune form.
+    // native single-pass gram extraction (functions.CharNGrams): one walk
+    // over the UTF-8 bytes per row, O(len·n). The composable substring
+    // form is O(len²/2), and the char-array form is catastrophic under
+    // projection collapse (PLANS.md) — the custom expression is immune to
+    // both. coalesce keeps the empty-array (not null) contract for
+    // null-text docs so they still classify as 'und'.
     df.select(col(idCol).as("id"), col(labelCol).as("lang"),
         lower(trim(col(textCol))).as("t"))
       .select(col("id"), col("lang"),
-        when(length(col("t")) >= n, array_distinct(
-            expr(s"transform(sequence(1, length(t) - ${n - 1}), i -> substring(t, i, $n))")))
-          .otherwise(array().cast("array<string>")).as("grams"))
+        coalesce(array_distinct(
+            graft.functions.CharNGrams.charNGrams(col("t"), n)),
+          array().cast("array<string>")).as("grams"))
 
   /** Per-language n-gram profiles from a labeled `docNgrams` frame: top
     * `profileSize` grams per language by DOCUMENT frequency (grams are
