@@ -12,8 +12,10 @@ import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
   * already-running session use [[GraftFunctions.register]].
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftFunctions.dotProductDescriptor)
+    ext.injectFunction(GraftFunctions.charNGramsDescriptor)
+  }
 }
 
 object GraftFunctions {
@@ -32,10 +34,25 @@ object GraftFunctions {
         Cast(exprs(1), ArrayType(DoubleType)))
     })
 
+  private[functions] val charNGramsDescriptor = (
+    FunctionIdentifier("char_ngrams"),
+    new ExpressionInfo(classOf[CharNGrams].getName, "char_ngrams"),
+    (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+      require(exprs.length == 2, "char_ngrams takes (string, n) arguments")
+      import org.apache.spark.sql.catalyst.expressions.{Cast, Literal}
+      import org.apache.spark.sql.types.StringType
+      val n = exprs(1) match {
+        case Literal(v: Int, _) => v
+        case other => throw new IllegalArgumentException(
+          s"char_ngrams n must be an integer literal, got $other")
+      }
+      CharNGrams(Cast(exprs(0), StringType), n)
+    })
+
   /** Runtime registration for an existing session (idempotent). */
-  def register(spark: SparkSession): Unit = {
-    val (id, info, builder) = dotProductDescriptor
-    spark.sessionState.functionRegistry
-      .registerFunction(id, info, builder)
-  }
+  def register(spark: SparkSession): Unit =
+    Seq(dotProductDescriptor, charNGramsDescriptor).foreach {
+      case (id, info, builder) =>
+        spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+    }
 }

@@ -33,6 +33,13 @@ class CharNGramsSpec extends SparkSpec {
     assert(out(1).isNullAt(0))
   }
 
+  test("char_ngrams is callable from SQL after registration") {
+    GraftFunctions.register(spark)
+    val v = spark.sql("SELECT char_ngrams('abcd', 3) AS g")
+      .collect()(0).getSeq[String](0)
+    assert(v == Seq("abc", "bcd"))
+  }
+
   test("codegen and interpreted paths agree") {
     val df = Seq.tabulate(50)(i => s"doc $i с текстом 語").toDF("t")
     val viaCodegen = df.select(charNGrams(col("t"), 4).as("g")).collect()
