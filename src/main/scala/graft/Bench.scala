@@ -34,6 +34,7 @@ object Bench {
       try SparkEntry.queries(n)(spark, warmDir).count()
       catch { case _: Throwable => () }
     }
+    spark.catalog.clearCache()
     // reps > 1 (dev tuning): report the min of N timed runs per query
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "1").toInt
     val results = names.map { name =>
@@ -45,7 +46,14 @@ object Bench {
             System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false
           }
         // failures are reported as -1, never as a fast "success"
-        if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+        val dt = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+        // cache hygiene, OUTSIDE the timed window: queries that persist
+        // multi-consumer frames (x02/x03/x22/x28/x31, x17, langIdNgram)
+        // would otherwise hand warm blocks to later queries in sorted run
+        // order — and to every rep after the first (CacheManager matches
+        // canonicalized plans) — cross-contaminating per-query times
+        spark.catalog.clearCache()
+        dt
       }
       name -> (if (times.contains(-1.0)) -1.0 else times.min)
     }

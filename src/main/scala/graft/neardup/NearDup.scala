@@ -225,11 +225,21 @@ object NearDup {
       val doubled = labels.as("l1")
         .join(labels.select(col("id").as("label"), col("label").as("label2")), "label")
         .select(col("id"), col("label2").as("label"))
-      val next = labels.unionByName(prop).unionByName(doubled)
-        .groupBy("id").agg(min("label").as("label")).localCheckpoint(true)
-      converged = next.join(labels.withColumnRenamed("label", "old"), "id")
-        .filter(col("label") =!= col("old")).isEmpty
-      labels = next
+      // convergence detection rides IN the round's aggregate: the union is
+      // tagged by source, so the same groupBy that computes the new min
+      // label also recovers the previous one (`own` rows carry it; every
+      // id has exactly one). The old scheme ran a separate next⋈labels
+      // compare job after each round — doubling per-round cost.
+      val next = labels.select(col("id"), col("label"), lit(true).as("own"))
+        .unionByName(prop.withColumn("own", lit(false)))
+        .unionByName(doubled.withColumn("own", lit(false)))
+        .groupBy("id")
+        .agg(min("label").as("label"),
+          min(when(col("own"), col("label"))).as("old"))
+        .localCheckpoint(true)
+      // scans only the just-materialized checkpoint blocks — no join job
+      converged = next.filter(col("label") =!= col("old")).isEmpty
+      labels = next.select("id", "label")
       i += 1
     }
     labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))

