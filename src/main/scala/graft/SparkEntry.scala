@@ -192,6 +192,50 @@ object SparkEntry {
           col("meta.user_id").as("user_id"), col("meta.value").as("value"))
     }),
 
+    // K1 truncate-and-reload under the oracle gate: load a STALE subset,
+    // then reload the full frame over it, and return the read-back. If
+    // the sink appended instead of truncating, the subset rows duplicate
+    // and the row/hash compare fails; the oracle is the identity on the
+    // source columns.
+    "q44_sink_truncate" -> ((s, d) => {
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_q44").toString + "/events_sink"
+      val events = ev(s, d).select("event_id", "event_type", "user_id")
+      graft.sources.Sinks.truncateReload(
+        events.filter(col("event_id") % 5 === 0), tmp)
+      graft.sources.Sinks.truncateReload(events, tmp)
+      s.read.parquet(tmp)
+    }),
+    // K5 windowed delete+rebuild under the oracle gate: full partitioned
+    // load with the last-7-days partitions CORRUPTED (n = -1), then a
+    // dynamic partition-overwrite of just the recomputed window. The
+    // read-back must equal the clean full recompute — proving the
+    // overwrite replaced ONLY the window partitions (a static overwrite
+    // would drop history → missing rows; an append would duplicate).
+    "q45_sink_overwrite_window" -> ((s, d) => {
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_q45").toString + "/daily_sink"
+      val events = ev(s, d)
+      val daily = events.select(to_date(col("ts")).as("day"), col("value"))
+        .groupBy("day")
+        .agg(count(lit(1)).as("n"),
+          count(col("value")).as("__vals"),
+          sum(round(col("value") * 100, 0).cast("long")).as("__cents"))
+        .select(col("day"),
+          (floor(col("__cents") / col("__vals") + 0.5) / 100.0).as("avg_value"),
+          col("n"))
+      val cutoff = events.agg(date_sub(max(to_date(col("ts"))), 7).as("cutoff"))
+      val withCut = daily.crossJoin(broadcast(cutoff))
+      graft.sources.Sinks.partitionedReload(
+        withCut.withColumn("n",
+            when(col("day") >= col("cutoff"), lit(-1L)).otherwise(col("n")))
+          .drop("cutoff"),
+        tmp, "day")
+      graft.sources.Sinks.overwriteWindow(
+        withCut.filter(col("day") >= col("cutoff")).drop("cutoff"), tmp, "day")
+      s.read.parquet(tmp).select("day", "avg_value", "n")
+    }),
+
     // ---- sorts / set ops / arrays (T1-T3, U1, J3, A8, F12) ----
     "q15_latest_event" -> ((s, d) =>
       TopK.latestBy(ev(s, d), "event_id")
@@ -275,6 +319,44 @@ object SparkEntry {
       NearDup.jaccardPairsOver(
         NearDup.charShingles(docs(s, d), "doc_id", "text", n = 5),
         threshold = 0.3, maxDocFreq = Some(100), cacheIndex = true)),
+    // recall gate for the capped MinHash-LSH path (x03, and x28
+    // transitively — identical candidate generation): the banded pairs
+    // must cover ≥70% of the exact-Jaccard pairs at threshold+margin
+    // (0.5 vs the 0.2 operating threshold; banding theory at 16/4 gives
+    // ~88% per-pair hit at j=0.8, and every fixture dup pair sits above
+    // that). One shared shingle frame feeds both sides; n_pairs is
+    // cross-engine-checked, recall_ok has a literal-TRUE oracle — a
+    // banding regression fails the hash gate instead of hiding rows-only
+    "x33_minhash_recall" -> ((s, d) => {
+      val sh = NearDup.shingles(docs(s, d), "doc_id", "text", k = 3).cache()
+      val exact = NearDup.jaccardPairsOver(sh, threshold = 0.5)
+        .select("doc_a", "doc_b")
+      val lsh = NearDup.minhashLshPairsOver(sh, numHashes = 16, bands = 4,
+          threshold = 0.2, maxBucketSize = Some(200), cacheBands = true)
+        .select("doc_a", "doc_b")
+      val hits = exact.join(lsh, Seq("doc_a", "doc_b"), "left_semi")
+        .agg(count(lit(1)).as("hits"))
+      exact.agg(count(lit(1)).as("n_pairs")).crossJoin(hits)
+        .select(col("n_pairs"),
+          (col("hits") / col("n_pairs") >= 0.7).as("recall_ok"))
+    }),
+    // same gate for the SimHash path (x04): 16-bit chunk banding
+    // guarantees hamming ≤ 3 is always caught; near-identical dup pairs
+    // land well inside that, so coverage of the j ≥ 0.5 exact pairs must
+    // stay ≥ 50%
+    "x34_simhash_recall" -> ((s, d) => {
+      val exact = NearDup.jaccardPairs(docs(s, d), "doc_id", "text",
+          k = 3, threshold = 0.5, cacheShingles = true)
+        .select("doc_a", "doc_b")
+      val sim = NearDup.simhashPairs(docs(s, d), "doc_id", "text",
+          maxHamming = 8, maxBucketSize = Some(200), cacheBands = true)
+        .select("doc_a", "doc_b")
+      val hits = exact.join(sim, Seq("doc_a", "doc_b"), "left_semi")
+        .agg(count(lit(1)).as("hits"))
+      exact.agg(count(lit(1)).as("n_pairs")).crossJoin(hits)
+        .select(col("n_pairs"),
+          (col("hits") / col("n_pairs") >= 0.5).as("recall_ok"))
+    }),
     // dup-cluster assignment (connected components of the exact-Jaccard
     // pair graph): the keeper-per-cluster step after pair generation;
     // oracle = recursive-CTE transitive closure over the same pairs
@@ -699,6 +781,14 @@ object SparkEntry {
         |UNION ALL
         |SELECT e.event_id, e.user_id, e.value FROM e
         |WHERE NOT EXISTS (SELECT 1 FROM i WHERE i.event_id = e.event_id)""".stripMargin,
+    "q44_sink_truncate" ->
+      """SELECT event_id, event_type, user_id FROM events""".stripMargin,
+    "q45_sink_overwrite_window" ->
+      """SELECT ts::DATE AS day,
+        |       floor(sum(CAST(round(value * 100) AS BIGINT)) / count(value) + 0.5)
+        |         / 100.0 AS avg_value,
+        |       count(*) AS n
+        |FROM events GROUP BY 1""".stripMargin,
     "q12_json_shred" ->
       """SELECT event_id,
         |       CAST(regexp_extract(props, '"k": (-?[0-9]+)', 1) AS INTEGER) AS k
@@ -1023,6 +1113,44 @@ object SparkEntry {
     "x27_ann_recall" ->
       """SELECT count(*) AS n_queries, TRUE AS mean_recall_ok
         |FROM embeddings WHERE vec_id % 50 = 0""".stripMargin,
+    "x33_minhash_recall" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |                             x -> x <> '') AS t
+        |  FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle
+        |  FROM toks, UNNEST(range(1, len(t) - 1)) AS u(i)
+        |  WHERE len(t) >= 3),
+        |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT count(*) AS n_pairs, TRUE AS recall_ok
+        |FROM inter
+        |JOIN sizes sa ON sa.doc_id = doc_a
+        |JOIN sizes sb ON sb.doc_id = doc_b
+        |WHERE round(n_common::DOUBLE / (sa.n_sh + sb.n_sh - n_common), 4) >= 0.5""".stripMargin,
+    "x34_simhash_recall" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |                             x -> x <> '') AS t
+        |  FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle
+        |  FROM toks, UNNEST(range(1, len(t) - 1)) AS u(i)
+        |  WHERE len(t) >= 3),
+        |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT count(*) AS n_pairs, TRUE AS recall_ok
+        |FROM inter
+        |JOIN sizes sa ON sa.doc_id = doc_a
+        |JOIN sizes sb ON sb.doc_id = doc_b
+        |WHERE round(n_common::DOUBLE / (sa.n_sh + sb.n_sh - n_common), 4) >= 0.5""".stripMargin,
     "x29_approx_percentile" ->
       """SELECT count(*) AS n, TRUE AS p5_ok, TRUE AS p95_ok
         |FROM events WHERE value IS NOT NULL""".stripMargin,

@@ -137,9 +137,20 @@ object NearDup {
                       maxBucketSize: Option[Int] = None,
                       cacheShingles: Boolean = false,
                       cacheBands: Boolean = false): DataFrame = {
-    val rows = numHashes / bands
     val shRaw = shingles(df, idCol, textCol, k)
     val sh = if (cacheShingles) shRaw.cache() else shRaw
+    minhashLshPairsOver(sh, numHashes, bands, threshold, maxBucketSize, cacheBands)
+  }
+
+  /** MinHash+LSH over a prebuilt (id, shingle) inverted index — lets a
+    * caller (e.g. the x33 recall gate) share ONE shingle frame between
+    * the exact-Jaccard baseline and the banded scale path.
+    */
+  def minhashLshPairsOver(sh: DataFrame, numHashes: Int = 16, bands: Int = 4,
+                          threshold: Double = 0.5,
+                          maxBucketSize: Option[Int] = None,
+                          cacheBands: Boolean = false): DataFrame = {
+    val rows = numHashes / bands
     val sig = minhashSignatures(sh, numHashes)
     // (band_id, band_hash) inverted index: ONE equi-join on the composite
     // bucket key replaces per-band self-joins + union — one shuffle, and

@@ -70,6 +70,19 @@ class PlanAuditSpec extends SparkSpec {
       s"gram frame not cached in:\n$exec")
   }
 
+  test("x20: assign partial-aggregates map-side; refined centroids are pinned") {
+    val exec = planNoAqe("x20_cosine_ivf")
+    val p = exec.toString
+    // the per-vector argmax must be an aggregate (map-side combine →
+    // one exchanged row per vector), not a corpus×nlist row_number window
+    assert(p.contains("partial_max_by"), s"assign argmax not partial-agg'd in:\n$p")
+    // the Lloyd-refined centroid frame is localCheckpoint-pinned, so the
+    // final plan reads the corpus exactly twice (assignment + query side)
+    // instead of re-running the refine subtree per consumer
+    assert(liveScans(exec).length == 2,
+      s"refine subtree re-executed (expected 2 live scans) in:\n$exec")
+  }
+
   test("x03: hot band buckets are dropped via anti join before pair expansion") {
     val p = plan("x03_minhash_lsh")
     assert(p.contains("LeftAnti"), s"no hot-bucket anti join in:\n$p")
