@@ -1,6 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, GraftSqlBridge}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
@@ -52,6 +53,17 @@ object NGramOps {
   */
 case class CharNGrams(child: Expression, n: Int) extends UnaryExpression {
   require(n >= 1, s"n-gram size must be positive, got $n")
+
+  // declared input check: a directly-constructed instance over a
+  // non-string child fails at ANALYSIS time instead of a
+  // ClassCastException in interpreted eval / a codegen compile error —
+  // the builder entry points below insert the string cast anyway
+  // (ExpectsInputTypes would be the idiomatic spelling, but its
+  // signature needs AbstractDataType, which is private[sql])
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"char_ngrams requires a STRING child, got ${child.dataType.catalogString}")
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = "char_ngrams"

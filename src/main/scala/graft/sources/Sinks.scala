@@ -65,9 +65,22 @@ object Sinks {
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val staging = new org.apache.hadoop.fs.Path(path + "__staging")
     val backup = new org.apache.hadoop.fs.Path(path + "__backup")
+    // Two distinct crash states leave a backup behind:
+    //  - target MISSING: the swap died between the two renames — the
+    //    backup is the only copy; rename it back over the target.
+    //  - target PRESENT: both renames landed and only the backup delete
+    //    was lost — the target is the MERGED data; verify and delete the
+    //    backup (renaming it back would restore stale pre-merge data,
+    //    and the rename would fail against the existing target anyway).
     require(!fs.exists(backup),
-      s"$backup exists — a prior upsert swap did not complete; recover it " +
-        "(rename back over the target) before upserting again")
+      if (fs.exists(p))
+        s"$backup exists alongside the target — a prior swap COMPLETED " +
+          "but its backup cleanup was lost; verify the target and delete " +
+          "the backup before upserting again"
+      else
+        s"$backup exists and the target is missing — a prior swap died " +
+          "mid-rename; rename the backup back over the target before " +
+          "upserting again")
     val batch = incoming.dropDuplicates(keys)
     if (!fs.exists(p)) return truncateReload(batch, path)
     graft.ops.Incremental

@@ -134,8 +134,16 @@ object TextAnalysis {
     */
   def langIdNgram(df: DataFrame, idCol: String, textCol: String,
                   labelCol: String, n: Int = 3,
-                  profileSize: Int = 200): DataFrame = {
-    val tri = docNgrams(df, idCol, textCol, labelCol, n).cache()
+                  profileSize: Int = 200,
+                  cacheGrams: Boolean = true): DataFrame = {
+    // cacheGrams follows the same opt-out lifecycle contract as
+    // NearDup's cacheShingles/cacheIndex: the cached gram frame feeds
+    // BOTH training and scoring (the whole point — one corpus pass), and
+    // releasing it is the session owner's job (Bench/Verify clearCache
+    // between queries). Long-lived sessions that can't manage the cache
+    // pass cacheGrams = false and pay a second gram pass instead.
+    val triRaw = docNgrams(df, idCol, textCol, labelCol, n)
+    val tri = if (cacheGrams) triRaw.cache() else triRaw
     classifyNgram(tri, trainNgramProfiles(tri, profileSize))
   }
 
@@ -227,6 +235,16 @@ object TextAnalysis {
     * term — the whole chain is plain integer arithmetic the DuckDB
     * oracle replicates exactly (list_reduce over ascii code points).
     * Used as the shift-tolerant fingerprint variant.
+    *
+    * KNOWN COMPARE HAZARD (BMP-only contract): `split(tok, "")` splits
+    * on UTF-16 code units, so astral-plane characters (emoji, rare CJK)
+    * become surrogate-pair halves on the Spark side, while DuckDB's
+    * `string_split(tok, '')` yields whole code points — the two hashes
+    * diverge on such text (both stay internally deterministic; only the
+    * cross-engine equality breaks). The x12 fixture is ASCII, so the
+    * oracle compare is exact there. A code-point-exact cross-engine
+    * variant needs a code-point-value expression (Spark's `ascii` is not
+    * one for multibyte input) — out of scope until a fixture needs it.
     */
   def rollingHash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val m = 1000000007L

@@ -40,6 +40,17 @@ class CharNGramsSpec extends SparkSpec {
     assert(v == Seq("abc", "bcd"))
   }
 
+  test("a non-string child fails at analysis, not at runtime") {
+    import org.apache.spark.sql.GraftSqlBridge
+    val df = Seq(42).toDF("i")
+    val bad = GraftSqlBridge.column(
+      CharNGrams(GraftSqlBridge.expression(col("i")), 3))
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      df.select(bad).collect()
+    }
+    assert(e.getMessage.contains("STRING"), s"unexpected error: ${e.getMessage}")
+  }
+
   test("codegen and interpreted paths agree") {
     val df = Seq.tabulate(50)(i => s"doc $i с текстом 語").toDF("t")
     val viaCodegen = df.select(charNGrams(col("t"), 4).as("g")).collect()
