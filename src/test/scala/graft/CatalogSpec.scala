@@ -15,6 +15,18 @@ class CatalogSpec extends SparkSpec {
       .schema("ts").dataType.typeName == "timestamp")
   }
 
+  test("cache-heavy catalog entries leave no blocks after a harness clearCache") {
+    // the multi-consumer caches (shingle/band/gram/embed frames) are
+    // session-scoped and owned by the harness: Bench/Verify clearCache
+    // between queries. This pins that one sweep actually releases them.
+    Seq("x02_jaccard_pairs", "x17_multimodal_topk", "x21_langid_ngram",
+        "x33_minhash_recall")
+      .foreach(q => SparkEntry.queries(q)(spark, sfDir).count())
+    spark.catalog.clearCache()
+    assert(org.apache.spark.sql.GraftSqlBridge.cacheIsEmpty(spark),
+      "cached plans leaked past clearCache")
+  }
+
   test("the IoT flagship runs as pure SQL and matches the DataFrame result") {
     Catalog.registerTables(spark, sfDir)
     val sqlOut = spark.sql(
