@@ -378,9 +378,27 @@ object SparkEntry {
     "x05_cosine_topk" -> ((s, d) =>
       Similarity.cosineTopK(Tables.embeddings(s, d), "vec_id", "embedding",
         col("vec_id") % 50 === 0, k = 5)),
+    // 8 hash tables: single-table bucketing recalls only ~7-10% of the
+    // true top-5 on these near-uniform vectors; 8 tables reach ~35-48%
+    // (gated by x35) at linear extra cost — the production LSH-ANN shape
     "x06_cosine_lsh" -> ((s, d) =>
       Similarity.cosineTopKLsh(Tables.embeddings(s, d), "vec_id", "embedding",
-        col("nid") % 50 === 0, dim = 64, k = 5, nbits = 6)),
+        col("nid") % 50 === 0, dim = 64, k = 5, nbits = 6, tables = 8)),
+    // recall gate for the bucketed ANN (x06's exact configuration) vs
+    // in-plan brute force — same literal-TRUE-oracle pattern as x27
+    "x35_lsh_ann_recall" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val brute = Similarity.cosineTopK(emb, "vec_id", "embedding",
+        col("vec_id") % 50 === 0, k = 5).select("qid", "nid")
+      val lsh = Similarity.cosineTopKLsh(emb, "vec_id", "embedding",
+          col("nid") % 50 === 0, dim = 64, k = 5, nbits = 6, tables = 8)
+        .select("qid", "nid")
+      val hits = brute.join(lsh, Seq("qid", "nid"), "left_semi")
+        .agg(count(lit(1)).as("hits"))
+      brute.agg(count(lit(1)).as("denom")).crossJoin(hits)
+        .select((col("denom") / lit(5)).cast("long").as("n_queries"),
+          (col("hits") / col("denom") >= 0.2).as("recall_ok"))
+    }),
     // multi-table LSH (8 tables × 4 hyperplanes): single-table recall at
     // this threshold is ~4-11% (measured) — the multi-table profile lifts
     // it to ~65-74% at linear extra cost, gated by x32
@@ -1112,6 +1130,9 @@ object SparkEntry {
         |WHERE round(n_common::DOUBLE / (sa.n_sh + sb.n_sh - n_common), 4) >= 0.2""".stripMargin,
     "x27_ann_recall" ->
       """SELECT count(*) AS n_queries, TRUE AS mean_recall_ok
+        |FROM embeddings WHERE vec_id % 50 = 0""".stripMargin,
+    "x35_lsh_ann_recall" ->
+      """SELECT count(*) AS n_queries, TRUE AS recall_ok
         |FROM embeddings WHERE vec_id % 50 = 0""".stripMargin,
     "x33_minhash_recall" ->
       """WITH toks AS (
