@@ -7,39 +7,57 @@ import org.apache.spark.sql.functions._
   * join key with the same bucket count join WITHOUT a shuffle exchange —
   * the physical-design tool for repeated large-fact joins at 100 TB
   * (pay the shuffle once at write time, never again at read time).
+  * Asserts structurally on the sort-merge-join subtree (not a plan-string
+  * regex) over the real testdata tables, and pins result parity with the
+  * plain shuffling join.
   */
 class BucketingSpec extends SparkSpec {
-  import spark.implicits._
 
   test("join of co-bucketed tables has no shuffle exchange") {
-    val wh = java.nio.file.Files.createTempDirectory("graft_bucket_").toString
+    val wh = java.nio.file.Files.createTempDirectory("graft_bucket_wh").toString
     spark.sql("DROP TABLE IF EXISTS bkt_orders")
-    spark.sql("DROP TABLE IF EXISTS bkt_lines")
-    val orders = spark.range(0, 1000).select(
-      col("id").as("okey"), (col("id") % 7).as("status"))
-    val lines = spark.range(0, 5000).select(
-      (col("id") % 1000).as("okey"), (col("id") % 13).cast("double").as("qty"))
-    orders.write.bucketBy(8, "okey").sortBy("okey")
+    spark.sql("DROP TABLE IF EXISTS bkt_lineitem")
+    val orders = graft.Tables.orders(spark, sfDir)
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    val lineitem = graft.Tables.lineitem(spark, sfDir)
+      .select("l_orderkey", "l_quantity")
+    orders.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
       .option("path", s"$wh/bkt_orders").saveAsTable("bkt_orders")
-    lines.write.bucketBy(8, "okey").sortBy("okey")
-      .option("path", s"$wh/bkt_lines").saveAsTable("bkt_lines")
+    lineitem.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .option("path", s"$wh/bkt_lineitem").saveAsTable("bkt_lineitem")
+    // force a sort-merge join (broadcast would hide the exchange
+    // question) and keep AQE from wrapping the plan tree
     val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
-      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
-      val joined = spark.table("bkt_lines")
-        .join(spark.table("bkt_orders"), "okey")
-        .groupBy("status").agg(sum("qty").as("total"))
-      assert(joined.count() == 7)
-      val plan = joined.queryExecution.executedPlan.toString
-      // the join itself must not re-shuffle either bucketed side; the only
-      // allowed exchange is the one for the final groupBy("status")
-      val shuffles = "Exchange hashpartitioning\\(okey".r
-        .findAllIn(plan).length
-      assert(shuffles == 0, s"unexpected join-side shuffle in plan:\n$plan")
+      val joined = spark.table("bkt_orders")
+        .join(spark.table("bkt_lineitem"),
+          col("o_orderkey") === col("l_orderkey"))
+        .groupBy("o_orderstatus").agg(count(lit(1)).as("n"))
+      val plan = joined.queryExecution.executedPlan
+      val joinSubtree = plan.collectFirst {
+        case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+      }.getOrElse(fail(s"no sort-merge join in:\n$plan"))
+      val joinExchanges = joinSubtree.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      assert(joinExchanges.isEmpty,
+        s"bucketed join still shuffles (${joinExchanges.length} exchanges):\n$plan")
+      // the only exchange in the whole plan is the final 1-column groupBy
+      val allExchanges = plan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      assert(allExchanges.length <= 1, s"unexpected exchanges:\n$plan")
+      // and the result matches the plain (shuffling) join
+      val plain = orders.join(lineitem, col("o_orderkey") === col("l_orderkey"))
+        .groupBy("o_orderstatus").agg(count(lit(1)).as("n"))
+      assert(joined.collect().toSet == plain.collect().toSet)
     } finally {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
       spark.sql("DROP TABLE IF EXISTS bkt_orders")
-      spark.sql("DROP TABLE IF EXISTS bkt_lines")
+      spark.sql("DROP TABLE IF EXISTS bkt_lineitem")
     }
   }
 }
