@@ -45,4 +45,47 @@ class AsofSkewSpec extends SparkSpec {
     val joined = b.join(s, Seq("k", saltCol))
     assert(joined.count() == 3) // every big row matches exactly once
   }
+
+  test("AQE splits a skewed join partition at runtime (the other skew tool)") {
+    // manual salting (Skew.saltJoinSides) is the plan-time answer; AQE's
+    // skew-join split is the RUNTIME answer — with thresholds sized for
+    // test data, a hot key's oversized shuffle partition is split into
+    // parallel sub-partitions, visible as `skew=true` on the SMJ node.
+    val prev = Seq(
+      "spark.sql.adaptive.enabled",
+      "spark.sql.adaptive.coalescePartitions.enabled",
+      "spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.autoBroadcastJoinThreshold"
+    ).map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "8KB")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      import spark.implicits._
+      // one pathologically hot key (90% of rows) + a spread tail
+      val big = spark.range(0, 20000)
+        .select(when(col("id") % 10 =!= 0, lit(7L)).otherwise(col("id")).as("k"),
+          concat(lit("payload_"), col("id")).as(("v")))
+      val dim = spark.range(0, 200).select(col("id").as("k"),
+        concat(lit("name_"), col("id")).as("name"))
+      // aggregate WITHOUT the join key: a groupBy(k) downstream would
+      // require the join's hash partitioning and AQE then (correctly)
+      // refuses to split the skewed partition
+      val joined = big.join(dim, "k").agg(sum(length(col("v"))).as("bytes"))
+      joined.collect() // AQE re-plans during execution
+      val finalPlan = joined.queryExecution.executedPlan.toString
+      assert(finalPlan.contains("skew=true"),
+        s"no skew-split SMJ in final adaptive plan:\n$finalPlan")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
 }
