@@ -99,6 +99,43 @@ class EventStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sessionize runs unchanged on the RocksDB state store (production backend)") {
+    // the default HDFS-backed store keeps all state on the JVM heap; at
+    // real scale (millions of open sessions per executor) the RocksDB
+    // provider is the production choice — state spills off-heap/disk with
+    // incremental checkpoints. Same operator, same results, one conf.
+    implicit val sqlCtx = spark.sqlContext
+    val confKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(confKey)
+    spark.conf.set(confKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val mem = MemoryStream[EventStream.SessionIn]
+    val q = EventStream.sessionize(spark, mem.toDS())
+      .writeStream.format("memory").queryName("sessions_rocks")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        EventStream.SessionIn(1L, ts("2024-03-01 10:00:00"), 1.0),
+        EventStream.SessionIn(1L, ts("2024-03-01 10:10:00"), 2.0),
+        EventStream.SessionIn(2L, ts("2024-03-01 12:00:00"), 5.0))
+      q.processAllAvailable()
+      mem.addData(EventStream.SessionIn(1L, ts("2024-03-01 13:00:00"), 9.0))
+      q.processAllAvailable()
+      val out = spark.sql("SELECT * FROM sessions_rocks").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      // identical to the default-provider test above
+      assert(out.contains((1L, 2L, 10.0, 3.0)))
+      assert(out.contains((2L, 1L, 0.0, 5.0)))
+      assert(out.length == 2)
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) => spark.conf.set(confKey, v)
+        case None => spark.conf.unset(confKey)
+      }
+    }
+  }
+
   test("streaming upsert sink merges each micro-batch into the parquet target") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft_upsert_").toString
@@ -123,6 +160,29 @@ class EventStreamSpec extends SparkSpec {
       assert(!new java.io.File(s"$dir/data__backup").exists)
       assert(!new java.io.File(s"$dir/data__staging").exists)
     } finally q.stop()
+  }
+
+  test("upsert sink restarts from its checkpoint without losing or duplicating") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_restart_").toString
+    val mem = MemoryStream[(Long, String)]
+    val q1 = EventStream.startUpsertSink(
+      mem.toDF().toDF("k", "v"), Seq("k"), s"$dir/data", s"$dir/ckpt")
+    try {
+      mem.addData((1L, "a"), (2L, "b"))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    // restart against the SAME checkpoint: the committed offset means
+    // batch 0 is not re-delivered; new data continues from there
+    mem.addData((2L, "B"), (3L, "c"))
+    val q2 = EventStream.startUpsertSink(
+      mem.toDF().toDF("k", "v"), Seq("k"), s"$dir/data", s"$dir/ckpt")
+    try {
+      q2.processAllAvailable()
+      val out = spark.read.parquet(s"$dir/data").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(out == Set((1L, "a"), (2L, "B"), (3L, "c")))
+    } finally q2.stop()
   }
 
   test("sessionize batch mode closes on gap and flushes trailing sessions") {
