@@ -18,7 +18,8 @@ object Plans {
     spark.sparkContext.setLogLevel("ERROR")
     val names = if (args.nonEmpty) args.toSeq
       else Seq("q01_iot_clean", "q07_order_status_mart", "q20_pricing_summary",
-        "q21_shipping_priority", "q22_revenue_by_nation", "x05_cosine_topk")
+        "q21_shipping_priority", "q22_revenue_by_nation", "x05_cosine_topk",
+        "x20_cosine_ivf")
     names.foreach { n =>
       println(s"\n========== $n ==========")
       SparkEntry.queries(n)(spark, sfDir).explain("formatted")
