@@ -194,6 +194,20 @@ class ExtensionsSpec extends SparkSpec {
     assert(full == brute)
   }
 
+  test("IVF output is identical across input partitionings (argmax determinism)") {
+    // the assignment argmax is a max_by over a (csim, -cid) ordering
+    // struct — distinct per candidate, so which partition sees a row
+    // first can never change the winner. A regression to a
+    // non-deterministic tiebreak shows up as partition-dependent output.
+    val emb = Tables.embeddings(spark, sfDir)
+    def run(parts: Int) = Similarity.cosineTopKIvf(emb.repartition(parts),
+        "vec_id", "embedding", col("vec_id") % 100 === 0,
+        nlist = 8, nprobe = 2, k = 3)
+      .collect().map(r => (r.getAs[Long]("qid"), r.getAs[Long]("nid"),
+        r.getAs[Double]("sim"), r.getAs[Long]("rnk"))).toSet
+    assert(run(1) == run(7))
+  }
+
   test("langId predicts via stopword hits with fixed tie order") {
     val df = Seq((1L, "the cat and the dog of it"), (2L, "der hund und die katze"),
       (3L, "zzz qqq www")).toDF("doc_id", "text")
