@@ -35,8 +35,12 @@ object Bench {
       catch { case _: Throwable => () }
     }
     spark.catalog.clearCache()
-    // reps > 1 (dev tuning): report the min of N timed runs per query
-    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "1").toInt
+    // min-of-N timed runs per query, caches cleared between reps.
+    // Default 3: single-pass timings on this host throw multi-second
+    // outliers (observed x22 14.6s vs 3.9s on consecutive identical
+    // full runs) — the min is the honest per-query cost. Set
+    // SPARK_GRAFT_REPS=1 for a quick dev pass.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
     val results = names.map { name =>
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
