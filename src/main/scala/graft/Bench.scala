@@ -59,7 +59,12 @@ object Bench {
         spark.catalog.clearCache()
         dt
       }
-      name -> (if (times.contains(-1.0)) -1.0 else times.min)
+      // min of the SUCCESSFUL reps: a transient single-rep failure must
+      // not silently drop the query from the total (which would make a
+      // flaky run look FASTER than a clean one); only an all-reps
+      // failure reports -1 (and stderr already carries the exception)
+      val succeeded = times.filter(_ >= 0)
+      name -> (if (succeeded.isEmpty) -1.0 else succeeded.min)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

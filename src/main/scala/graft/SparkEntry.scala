@@ -35,6 +35,38 @@ object SparkEntry {
   private def cleanSess(s: SparkSession, d: String) =
     Ecommerce.cleanSessions(Ecommerce.sessionsFromEvents(ev(s, d)))
 
+  /** Per-day cent-exact average of `value` — the shared daily aggregate
+    * behind q11 (upsert merge) and q45 (partition-overwrite sink).
+    */
+  private def dailyCentAvg(events: DataFrame): DataFrame =
+    events.select(to_date(col("ts")).as("day"), col("value"))
+      .groupBy("day")
+      .agg(count(lit(1)).as("n"),
+        count(col("value")).as("__vals"), // null-ignoring avg denominator
+        sum(round(col("value") * 100, 0).cast("long")).as("__cents"))
+      .select(col("day"),
+        (floor(col("__cents") / col("__vals") + 0.5) / 100.0).as("avg_value"),
+        col("n"))
+
+  /** Fresh sink scratch dir under one JVM-scoped root that a shutdown
+    * hook deletes recursively — repeated bench/verify rounds must not
+    * accumulate parquet copies in the system temp dir.
+    */
+  private lazy val sinkScratchRoot: java.nio.file.Path = {
+    val root = java.nio.file.Files.createTempDirectory("graft_sinks_")
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      import java.nio.file._
+      import java.util.Comparator
+      if (Files.exists(root))
+        Files.walk(root).sorted(Comparator.reverseOrder[Path]())
+          .forEach(p => Files.deleteIfExists(p))
+    }))
+    root
+  }
+  private def sinkScratch(prefix: String): String =
+    java.nio.file.Files
+      .createTempDirectory(sinkScratchRoot, prefix).toString
+
   /** Fixture payload for the JSON-shredding family (S3/F13/J4/A8/F12) —
     * single source of truth in the pipeline object; the q14 oracle's
     * VALUES are derived from it.
@@ -70,14 +102,7 @@ object SparkEntry {
       Incremental.incrementalDailyAvg(ev(s, d), 8)),
     "q11_upsert_merge" -> ((s, d) => {
       val events = ev(s, d)
-      val daily = events.select(to_date(col("ts")).as("day"), col("value"))
-        .groupBy("day")
-        .agg(count(lit(1)).as("n"),
-          count(col("value")).as("__vals"), // null-ignoring avg denominator
-          sum(round(col("value") * 100, 0).cast("long")).as("__cents"))
-        .select(col("day"),
-          (floor(col("__cents") / col("__vals") + 0.5) / 100.0).as("avg_value"),
-          col("n"))
+      val daily = dailyCentAvg(events)
       val cutoff = events.agg(date_sub(max(to_date(col("ts"))), 7).as("cutoff"))
       val incoming = daily.crossJoin(broadcast(cutoff))
         .filter(col("day") >= col("cutoff")).drop("cutoff")
@@ -198,8 +223,7 @@ object SparkEntry {
     // and the row/hash compare fails; the oracle is the identity on the
     // source columns.
     "q44_sink_truncate" -> ((s, d) => {
-      val tmp = java.nio.file.Files
-        .createTempDirectory("graft_q44").toString + "/events_sink"
+      val tmp = sinkScratch("q44") + "/events_sink"
       val events = ev(s, d).select("event_id", "event_type", "user_id")
       graft.sources.Sinks.truncateReload(
         events.filter(col("event_id") % 5 === 0), tmp)
@@ -213,19 +237,13 @@ object SparkEntry {
     // overwrite replaced ONLY the window partitions (a static overwrite
     // would drop history → missing rows; an append would duplicate).
     "q45_sink_overwrite_window" -> ((s, d) => {
-      val tmp = java.nio.file.Files
-        .createTempDirectory("graft_q45").toString + "/daily_sink"
+      val tmp = sinkScratch("q45") + "/daily_sink"
       val events = ev(s, d)
-      val daily = events.select(to_date(col("ts")).as("day"), col("value"))
-        .groupBy("day")
-        .agg(count(lit(1)).as("n"),
-          count(col("value")).as("__vals"),
-          sum(round(col("value") * 100, 0).cast("long")).as("__cents"))
-        .select(col("day"),
-          (floor(col("__cents") / col("__vals") + 0.5) / 100.0).as("avg_value"),
-          col("n"))
       val cutoff = events.agg(date_sub(max(to_date(col("ts"))), 7).as("cutoff"))
-      val withCut = daily.crossJoin(broadcast(cutoff))
+      // pinned (tiny: one row per day): BOTH sink writes consume it, and
+      // unpinned each would re-run the full events scan + aggregate
+      val withCut = dailyCentAvg(events).crossJoin(broadcast(cutoff))
+        .localCheckpoint(true)
       graft.sources.Sinks.partitionedReload(
         withCut.withColumn("n",
             when(col("day") >= col("cutoff"), lit(-1L)).otherwise(col("n")))
@@ -671,6 +689,31 @@ object SparkEntry {
         .groupBy("doc_id").agg(count(lit(1)).as("n_frames"),
           sum(length(col("frame_bytes"))).as("total_bytes")))
   )
+
+  /** DuckDB truth set shared by the x33 (MinHash) and x34 (SimHash)
+    * recall gates: exact word-3-shingle pair count at jaccard ≥ 0.5,
+    * mirroring `NearDup.shingles(k=3)` + `jaccardPairsOver(0.5)`; the
+    * recall boolean itself is the in-plan invariant (literal TRUE here).
+    */
+  private val exactPairsGateSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'),
+      |                             x -> x <> '') AS t
+      |  FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle
+      |  FROM toks, UNNEST(range(1, len(t) - 1)) AS u(i)
+      |  WHERE len(t) >= 3),
+      |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+      |inter AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+      |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT count(*) AS n_pairs, TRUE AS recall_ok
+      |FROM inter
+      |JOIN sizes sa ON sa.doc_id = doc_a
+      |JOIN sizes sb ON sb.doc_id = doc_b
+      |WHERE round(n_common::DOUBLE / (sa.n_sh + sb.n_sh - n_common), 4) >= 0.5""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q01_iot_clean" ->
@@ -1134,44 +1177,12 @@ object SparkEntry {
     "x35_lsh_ann_recall" ->
       """SELECT count(*) AS n_queries, TRUE AS recall_ok
         |FROM embeddings WHERE vec_id % 50 = 0""".stripMargin,
-    "x33_minhash_recall" ->
-      """WITH toks AS (
-        |  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'),
-        |                             x -> x <> '') AS t
-        |  FROM documents),
-        |sh AS (
-        |  SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle
-        |  FROM toks, UNNEST(range(1, len(t) - 1)) AS u(i)
-        |  WHERE len(t) >= 3),
-        |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
-        |inter AS (
-        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
-        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2)
-        |SELECT count(*) AS n_pairs, TRUE AS recall_ok
-        |FROM inter
-        |JOIN sizes sa ON sa.doc_id = doc_a
-        |JOIN sizes sb ON sb.doc_id = doc_b
-        |WHERE round(n_common::DOUBLE / (sa.n_sh + sb.n_sh - n_common), 4) >= 0.5""".stripMargin,
-    "x34_simhash_recall" ->
-      """WITH toks AS (
-        |  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'),
-        |                             x -> x <> '') AS t
-        |  FROM documents),
-        |sh AS (
-        |  SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle
-        |  FROM toks, UNNEST(range(1, len(t) - 1)) AS u(i)
-        |  WHERE len(t) >= 3),
-        |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
-        |inter AS (
-        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
-        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2)
-        |SELECT count(*) AS n_pairs, TRUE AS recall_ok
-        |FROM inter
-        |JOIN sizes sa ON sa.doc_id = doc_a
-        |JOIN sizes sb ON sb.doc_id = doc_b
-        |WHERE round(n_common::DOUBLE / (sa.n_sh + sb.n_sh - n_common), 4) >= 0.5""".stripMargin,
+    // ONE truth-set definition for both banded-path recall gates: the
+    // count of exact word-3-shingle pairs at jaccard ≥ 0.5 (gate
+    // threshold+margin). Shared constant, not pasted twice — a change to
+    // the shingle model or the rounding idiom cannot de-sync the gates.
+    "x33_minhash_recall" -> exactPairsGateSql,
+    "x34_simhash_recall" -> exactPairsGateSql,
     "x29_approx_percentile" ->
       """SELECT count(*) AS n, TRUE AS p5_ok, TRUE AS p95_ok
         |FROM events WHERE value IS NOT NULL""".stripMargin,

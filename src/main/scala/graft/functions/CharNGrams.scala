@@ -60,10 +60,14 @@ case class CharNGrams(child: Expression, n: Int) extends UnaryExpression {
   // the builder entry points below insert the string cast anyway
   // (ExpectsInputTypes would be the idiomatic spelling, but its
   // signature needs AbstractDataType, which is private[sql])
-  override def checkInputDataTypes(): TypeCheckResult =
-    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
-    else TypeCheckResult.TypeCheckFailure(
-      s"char_ngrams requires a STRING child, got ${child.dataType.catalogString}")
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    // accept ANY collation (isInstanceOf, not ==): eval/codegen only
+    // touch UTF8String bytes, and a `STRING COLLATE ...` child worked
+    // before this check existed — the check must not narrow that
+    case _: StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"char_ngrams requires a STRING child, got ${other.catalogString}")
+  }
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = "char_ngrams"

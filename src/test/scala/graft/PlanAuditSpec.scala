@@ -18,9 +18,10 @@ class PlanAuditSpec extends SparkSpec {
     * counts) need the plain tree.
     */
   private def planNoAqe(q: String): org.apache.spark.sql.execution.SparkPlan = {
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try SparkEntry.queries(q)(spark, sfDir).queryExecution.executedPlan
-    finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
 
   private def liveScans(p: org.apache.spark.sql.execution.SparkPlan) =

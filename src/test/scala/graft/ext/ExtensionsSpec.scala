@@ -199,12 +199,17 @@ class ExtensionsSpec extends SparkSpec {
     // struct — distinct per candidate, so which partition sees a row
     // first can never change the winner. A regression to a
     // non-deterministic tiebreak shows up as partition-dependent output.
+    // compare ids and ranks, not the sim VALUE: the Lloyd centroid
+    // avg() accumulates doubles in partition-dependent order, so sim can
+    // legitimately differ by an ulp across partitionings — the argmax
+    // contract under test is about WHICH rows win, absorbed by the
+    // round(...,6) before ranking
     val emb = Tables.embeddings(spark, sfDir)
     def run(parts: Int) = Similarity.cosineTopKIvf(emb.repartition(parts),
         "vec_id", "embedding", col("vec_id") % 100 === 0,
         nlist = 8, nprobe = 2, k = 3)
       .collect().map(r => (r.getAs[Long]("qid"), r.getAs[Long]("nid"),
-        r.getAs[Double]("sim"), r.getAs[Long]("rnk"))).toSet
+        r.getAs[Long]("rnk"))).toSet
     assert(run(1) == run(7))
   }
 

@@ -26,8 +26,11 @@ class BucketingSpec extends SparkSpec {
     lineitem.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
       .option("path", s"$wh/bkt_lineitem").saveAsTable("bkt_lineitem")
     // force a sort-merge join (broadcast would hide the exchange
-    // question) and keep AQE from wrapping the plan tree
+    // question) and keep AQE from wrapping the plan tree; save BOTH
+    // prior values — restoring a hardcoded default would leak state into
+    // sibling specs sharing the session
     val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
@@ -55,7 +58,7 @@ class BucketingSpec extends SparkSpec {
       assert(joined.collect().toSet == plain.collect().toSet)
     } finally {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
-      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
       spark.sql("DROP TABLE IF EXISTS bkt_orders")
       spark.sql("DROP TABLE IF EXISTS bkt_lineitem")
     }
