@@ -98,4 +98,29 @@ class SourcesSpec extends SparkSpec {
     assert(Fixtures.supportTickets(spark)
       .filter(col("created_at") > col("updated_at")).count() > 0)
   }
+
+  test("a day filter on the partitioned layout prunes partitions at the scan") {
+    // THE scan property at 100 TB: a cutoff predicate on the partition
+    // column must reach the file index as a partition filter so
+    // untouched history is never listed or read — not just a row filter
+    // applied after reading everything.
+    val dir = java.nio.file.Files.createTempDirectory("graft_prune_").toString
+    val daily = graft.Tables.events(spark, sfDir)
+      .select(to_date(col("ts")).as("day"), col("value"))
+    Sinks.partitionedReload(daily, s"$dir/t", "day")
+    val nDays = daily.select("day").distinct().count()
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val filtered = spark.read.parquet(s"$dir/t")
+        .filter(col("day") === daily.agg(max("day")).collect()(0).getDate(0))
+      val scan = filtered.queryExecution.executedPlan.collectFirst {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }.getOrElse(fail("no file scan"))
+      assert(scan.partitionFilters.nonEmpty, s"day filter not a partition filter:\n$scan")
+      // the pruned scan must select exactly ONE of the day directories
+      assert(scan.selectedPartitions.partitionCount == 1,
+        s"expected 1 of $nDays partitions, scanned ${scan.selectedPartitions.partitionCount}")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
 }
