@@ -354,9 +354,11 @@ object SparkEntry {
         .select("doc_a", "doc_b")
       val hits = exact.join(lsh, Seq("doc_a", "doc_b"), "left_semi")
         .agg(count(lit(1)).as("hits"))
+      // vacuous truth on an empty truth set (hits/0 is NULL, and a NULL
+      // would hash-mismatch the literal-TRUE oracle on tiny inputs)
       exact.agg(count(lit(1)).as("n_pairs")).crossJoin(hits)
         .select(col("n_pairs"),
-          (col("hits") / col("n_pairs") >= 0.7).as("recall_ok"))
+          coalesce(col("hits") / col("n_pairs") >= 0.7, lit(true)).as("recall_ok"))
     }),
     // same gate for the SimHash path (x04): 16-bit chunk banding
     // guarantees hamming ≤ 3 is always caught; near-identical dup pairs
@@ -373,7 +375,7 @@ object SparkEntry {
         .agg(count(lit(1)).as("hits"))
       exact.agg(count(lit(1)).as("n_pairs")).crossJoin(hits)
         .select(col("n_pairs"),
-          (col("hits") / col("n_pairs") >= 0.5).as("recall_ok"))
+          coalesce(col("hits") / col("n_pairs") >= 0.5, lit(true)).as("recall_ok"))
     }),
     // dup-cluster assignment (connected components of the exact-Jaccard
     // pair graph): the keeper-per-cluster step after pair generation;
