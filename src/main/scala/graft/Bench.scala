@@ -55,10 +55,16 @@ object Bench {
         // multi-consumer frames (x02/x03/x22/x28/x31, x17, langIdNgram)
         // would otherwise hand warm blocks to later queries in sorted run
         // order — and to every rep after the first (CacheManager matches
-        // canonicalized plans) — cross-contaminating per-query times
+        // canonicalized plans) — cross-contaminating per-query times.
+        // Limitation: clearCache() does NOT free localCheckpoint blocks
+        // (x20's pinned centroids, q45's pinned daily frame) — those go
+        // only when the frame is GC'd and ContextCleaner runs; the gc()
+        // below nudges that so checkpoint blocks don't pile up across an
+        // 80-query min-of-N sweep and perturb late queries
         spark.catalog.clearCache()
         dt
       }
+      System.gc()
       // min of the SUCCESSFUL reps: a transient single-rep failure must
       // not silently drop the query from the total (which would make a
       // flaky run look FASTER than a clean one); only an all-reps

@@ -57,9 +57,15 @@ object SparkEntry {
     Runtime.getRuntime.addShutdownHook(new Thread(() => {
       import java.nio.file._
       import java.util.Comparator
-      if (Files.exists(root))
-        Files.walk(root).sorted(Comparator.reverseOrder[Path]())
-          .forEach(p => Files.deleteIfExists(p))
+      // best-effort: close the walk stream, and never let one un-deletable
+      // path (e.g. a file created mid-traversal) abort the rest of cleanup
+      if (Files.exists(root)) {
+        val walk = Files.walk(root)
+        try walk.sorted(Comparator.reverseOrder[Path]())
+          .forEach(p => try Files.deleteIfExists(p) catch { case _: Exception => () })
+        catch { case _: Exception => () }
+        finally walk.close()
+      }
     }))
     root
   }
@@ -354,11 +360,13 @@ object SparkEntry {
         .select("doc_a", "doc_b")
       val hits = exact.join(lsh, Seq("doc_a", "doc_b"), "left_semi")
         .agg(count(lit(1)).as("hits"))
-      // vacuous truth on an empty truth set (hits/0 is NULL, and a NULL
-      // would hash-mismatch the literal-TRUE oracle on tiny inputs)
+      // vacuous truth on an empty truth set: under Spark 4's default ANSI
+      // mode hits/0 THROWS (DIVIDE_BY_ZERO), it does not yield NULL — the
+      // zero case must be branched around, not coalesced after the fact
       exact.agg(count(lit(1)).as("n_pairs")).crossJoin(hits)
         .select(col("n_pairs"),
-          coalesce(col("hits") / col("n_pairs") >= 0.7, lit(true)).as("recall_ok"))
+          when(col("n_pairs") === 0, lit(true))
+            .otherwise(col("hits") / col("n_pairs") >= 0.7).as("recall_ok"))
     }),
     // same gate for the SimHash path (x04): 16-bit chunk banding
     // guarantees hamming ≤ 3 is always caught; near-identical dup pairs
@@ -375,7 +383,8 @@ object SparkEntry {
         .agg(count(lit(1)).as("hits"))
       exact.agg(count(lit(1)).as("n_pairs")).crossJoin(hits)
         .select(col("n_pairs"),
-          coalesce(col("hits") / col("n_pairs") >= 0.5, lit(true)).as("recall_ok"))
+          when(col("n_pairs") === 0, lit(true))
+            .otherwise(col("hits") / col("n_pairs") >= 0.5).as("recall_ok"))
     }),
     // dup-cluster assignment (connected components of the exact-Jaccard
     // pair graph): the keeper-per-cluster step after pair generation;
@@ -415,9 +424,16 @@ object SparkEntry {
         .select("qid", "nid")
       val hits = brute.join(lsh, Seq("qid", "nid"), "left_semi")
         .agg(count(lit(1)).as("hits"))
-      brute.agg(count(lit(1)).as("denom")).crossJoin(hits)
-        .select((col("denom") / lit(5)).cast("long").as("n_queries"),
-          (col("hits") / col("denom") >= 0.2).as("recall_ok"))
+      // n_queries is the oracle's own definition (count of the query
+      // filter), not denom/k — a query with fewer than k brute-force
+      // neighbors must not skew the cross-engine count. The recall
+      // division is branched around zero: ANSI mode throws on x/0.
+      val nq = emb.filter(col("vec_id") % 50 === 0)
+        .agg(count(lit(1)).as("n_queries"))
+      nq.crossJoin(brute.agg(count(lit(1)).as("denom"))).crossJoin(hits)
+        .select(col("n_queries"),
+          when(col("denom") === 0, lit(true))
+            .otherwise(col("hits") / col("denom") >= 0.2).as("recall_ok"))
     }),
     // multi-table LSH (8 tables × 4 hyperplanes): single-table recall at
     // this threshold is ~4-11% (measured) — the multi-table profile lifts
@@ -444,7 +460,8 @@ object SparkEntry {
         .agg(count(lit(1)).as("hits"))
       brute.agg(count(lit(1)).as("n_pairs")).crossJoin(hits)
         .select(col("n_pairs"),
-          (col("hits") / col("n_pairs") >= 0.5).as("recall_ok"))
+          when(col("n_pairs") === 0, lit(true))
+            .otherwise(col("hits") / col("n_pairs") >= 0.5).as("recall_ok"))
     }),
     "x20_cosine_ivf" -> ((s, d) =>
       Similarity.cosineTopKIvf(Tables.embeddings(s, d), "vec_id", "embedding",
@@ -465,9 +482,13 @@ object SparkEntry {
         .select("qid", "nid")
       val hits = brute.join(ivf, Seq("qid", "nid"), "left_semi")
         .agg(count(lit(1)).as("hits"))
-      brute.agg(count(lit(1)).as("denom")).crossJoin(hits)
-        .select((col("denom") / lit(5)).cast("long").as("n_queries"),
-          (col("hits") / col("denom") >= 0.5).as("mean_recall_ok"))
+      // same n_queries definition + ANSI zero-branch as x35
+      val nq = emb.filter(col("vec_id") % 50 === 0)
+        .agg(count(lit(1)).as("n_queries"))
+      nq.crossJoin(brute.agg(count(lit(1)).as("denom"))).crossJoin(hits)
+        .select(col("n_queries"),
+          when(col("denom") === 0, lit(true))
+            .otherwise(col("hits") / col("denom") >= 0.5).as("mean_recall_ok"))
     }),
 
     // ---- north-star extensions: text analysis ----

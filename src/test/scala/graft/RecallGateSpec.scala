@@ -1,0 +1,36 @@
+package graft
+
+/** The five recall/quality gates (x27/x32/x33/x34/x35) must (a) hold on
+  * real testdata and (b) pass VACUOUSLY — not throw — on empty input.
+  * (b) is load-bearing: under Spark 4's default ANSI mode `hits / 0`
+  * raises SparkArithmeticException [DIVIDE_BY_ZERO] instead of yielding
+  * NULL, so the zero-denominator case has to be branched around with
+  * `when(denom === 0, true)`; a coalesce-after-divide guard is dead code.
+  */
+class RecallGateSpec extends SparkSpec {
+
+  private val gates = Seq("x27_ann_recall", "x32_embed_neardup_recall",
+    "x33_minhash_recall", "x34_simhash_recall", "x35_lsh_ann_recall")
+
+  private def gateHolds(name: String, dir: String): Unit = {
+    val rows = SparkEntry.queries(name)(spark, dir).collect()
+    assert(rows.length == 1, s"$name: expected one gate row")
+    val r = rows(0)
+    assert(r.getBoolean(r.length - 1), s"$name: gate boolean is false")
+  }
+
+  test("all five recall gates hold on sf0.001") {
+    gates.foreach(gateHolds(_, sfDir))
+    spark.catalog.clearCache()
+  }
+
+  test("gates are vacuously TRUE, not DIVIDE_BY_ZERO, on empty tables") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_empty_sf_").toString
+    Seq("documents", "embeddings").foreach { t =>
+      Tables.table(spark, sfDir, t).limit(0)
+        .write.mode("overwrite").parquet(s"$dir/$t.parquet")
+    }
+    gates.foreach(gateHolds(_, dir))
+    spark.catalog.clearCache()
+  }
+}
