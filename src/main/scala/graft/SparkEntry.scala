@@ -5,8 +5,8 @@ import org.apache.spark.sql.functions._
 import graft.ops._
 import graft.pipelines.{Curation, Ecommerce, Iot, PetsNutrition}
 import graft.sources.{Fixtures, Sources}
-import graft.text.TextAnalysis
-import graft.neardup.NearDup
+import graft.text.{Pii, TextAnalysis}
+import graft.neardup.{Decontaminate, NearDup}
 import graft.sim.Similarity
 import graft.multimodal.Multimodal
 
@@ -710,7 +710,45 @@ object SparkEntry {
       Multimodal.frameSample(s,
           Multimodal.withPayload(docs(s, d), "doc_id", "text")).toDF()
         .groupBy("doc_id").agg(count(lit(1)).as("n_frames"),
-          sum(length(col("frame_bytes"))).as("total_bytes")))
+          sum(length(col("frame_bytes"))).as("total_bytes"))),
+
+    // ---- training-data curation additions ----
+    // benchmark decontamination: docs with doc_id % 20 == 0 stand in for
+    // the eval set; training docs sharing any word 8-gram with it are
+    // reported with their shared-gram count (the 13-gram-overlap guard
+    // against test-set leakage, n scaled to these shorter fixtures)
+    "x36_decontaminate" -> ((s, d) => {
+      val all = docs(s, d)
+      Decontaminate.report(
+        all.filter(col("doc_id") % 20 =!= 0),
+        all.filter(col("doc_id") % 20 === 0),
+        "doc_id", "text", k = 8)
+    }),
+    // sequence packing: concatenate docs into 512-token training
+    // sequences, packed independently per shard (doc_id % 8) — the
+    // shard-local window is the only shuffle, and shard count is the
+    // scale-out knob
+    "x37_pack_sequences" -> ((s, d) =>
+      Packing.packSequences(docs(s, d), "doc_id", "text",
+        budget = 512, shards = 8)),
+    // PII scrub: deterministic synthetic PII (email / IPv4 / phone built
+    // from doc_id) is appended to each doc, then detected and redacted;
+    // the md5 of the redacted text proves the replacement byte-for-byte
+    // against the oracle's RE2 twin
+    "x38_pii_redact" -> ((s, d) => {
+      val withPii = docs(s, d).select(col("doc_id"), concat(col("text"),
+        lit(" contact user"), col("doc_id").cast("string"),
+        lit("@mail.example.com ip 10."), (col("doc_id") % 250).cast("string"),
+        lit(".0."), (col("doc_id") % 100).cast("string"),
+        lit(" tel +1-555-"),
+        lpad((col("doc_id") % 10000).cast("string"), 4, "0")).as("text"))
+      Pii.redact(withPii, "doc_id", "text")
+    }),
+    // within-doc repetition: duplicate word-2-gram fraction, the
+    // boilerplate/copy-loop quality signal
+    "x39_repetition" -> ((s, d) =>
+      TextAnalysis.repetition(docs(s, d), "doc_id", "text",
+        n = 2, threshold = 0.2))
   )
 
   /** DuckDB truth set shared by the x33 (MinHash) and x34 (SimHash)
@@ -1216,6 +1254,74 @@ object SparkEntry {
         |SELECT count(*) AS n_pairs, TRUE AS recall_ok
         |FROM v a JOIN v b ON a.id < b.id
         |WHERE round(list_cosine_similarity(a.vec, b.vec), 6) >= 0.25""".stripMargin,
+    "x36_decontaminate" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |                             x -> x <> '') AS t
+        |  FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, array_to_string(t[i:i+7], ' ') AS shingle
+        |  FROM toks, UNNEST(range(1, len(t) - 6)) AS u(i)
+        |  WHERE len(t) >= 8),
+        |ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 20 = 0),
+        |tr AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 20 <> 0)
+        |SELECT tr.doc_id, count(*) AS n_shared
+        |FROM tr JOIN ev ON tr.shingle = ev.shingle
+        |GROUP BY tr.doc_id
+        |HAVING count(*) >= 1""".stripMargin,
+    "x37_pack_sequences" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |         len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |                         x -> x <> ''))::BIGINT AS n_tokens
+        |  FROM documents),
+        |a AS (
+        |  SELECT doc_id, n_tokens, doc_id % 8 AS shard,
+        |         sum(n_tokens) OVER (PARTITION BY doc_id % 8 ORDER BY doc_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |           - n_tokens AS start_tok
+        |  FROM toks)
+        |SELECT shard, (start_tok // 512)::BIGINT AS seq_id,
+        |       count(*) AS n_docs, sum(n_tokens)::BIGINT AS seq_tokens,
+        |       min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        |FROM a GROUP BY 1, 2""".stripMargin,
+    "x38_pii_redact" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |         text || ' contact user' || doc_id || '@mail.example.com ip 10.'
+        |           || (doc_id % 250) || '.0.' || (doc_id % 100)
+        |           || ' tel +1-555-' || lpad((doc_id % 10000)::VARCHAR, 4, '0') AS t
+        |  FROM documents)
+        |SELECT doc_id,
+        |  len(regexp_extract_all(t, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}'))::BIGINT AS n_emails,
+        |  len(regexp_extract_all(t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))::BIGINT AS n_ips,
+        |  len(regexp_extract_all(t, '\+\d[\d-]{6,14}\d'))::BIGINT AS n_phones,
+        |  md5(regexp_replace(regexp_replace(regexp_replace(t,
+        |    '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+        |    '\+\d[\d-]{6,14}\d', '<PHONE>', 'g')) AS clean_md5
+        |FROM p""".stripMargin,
+    "x39_repetition" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |                             x -> x <> '') AS t
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id,
+        |         CASE WHEN len(t) >= 2
+        |           THEN list_transform(range(1, len(t)),
+        |                               i -> array_to_string(t[i:i+1], ' '))
+        |           ELSE []::VARCHAR[] END AS grams
+        |  FROM toks)
+        |SELECT doc_id, len(grams)::BIGINT AS n_grams,
+        |  len(list_distinct(grams))::BIGINT AS n_distinct,
+        |  CASE WHEN len(grams) = 0 THEN 0.0
+        |    ELSE round(1 - len(list_distinct(grams))::DOUBLE / len(grams), 4)
+        |  END AS rep_ratio,
+        |  CASE WHEN len(grams) = 0 THEN FALSE
+        |    ELSE round(1 - len(list_distinct(grams))::DOUBLE / len(grams), 4) >= 0.2
+        |  END AS repetitive
+        |FROM g""".stripMargin,
     "x21_langid_ngram" ->
       """WITH d AS (
         |  SELECT doc_id, lang, lower(trim(text)) AS t FROM documents),

@@ -1,0 +1,49 @@
+package graft.neardup
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Benchmark decontamination: flag (and drop) training documents that
+  * share long word n-grams with an evaluation set — the standard guard
+  * against test-set leakage when assembling LLM training corpora
+  * (13-gram overlap in GPT-3's data work; the n is a parameter here).
+  *
+  * Scale design: both sides are reduced to (id, shingle) inverted
+  * indexes (`NearDup.shingles` — distinct word k-grams per doc), and
+  * contamination is ONE equi-join on the shingle key followed by one
+  * partial-aggregated groupBy. The eval index is tiny relative to a
+  * 100 TB training corpus (benchmarks are a few thousand docs), so
+  * Catalyst broadcast-joins it and the training side never shuffles;
+  * with a large eval set the join degrades gracefully to a shuffled
+  * equi-join on the gram key. No cross join at any size.
+  */
+object Decontaminate {
+
+  /** Per-training-doc contamination report: distinct eval-set k-grams
+    * the doc shares, for docs sharing at least `minShared`.
+    * Output: doc_id, n_shared (descending signal, deterministic).
+    */
+  def report(train: DataFrame, eval: DataFrame, idCol: String,
+             textCol: String, k: Int = 8, minShared: Int = 1): DataFrame = {
+    val trainSh = NearDup.shingles(train, idCol, textCol, k)
+    // distinct gram strings only — doc identity on the eval side is
+    // irrelevant to the overlap test, and the dedup keeps the broadcast
+    // side minimal
+    val evalSh = NearDup.shingles(eval, idCol, textCol, k)
+      .select("shingle").distinct()
+    trainSh.join(evalSh, Seq("shingle"), "left_semi")
+      .groupBy(col("id").as("doc_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
+  /** The filtered training set: docs from `train` that share fewer than
+    * `minShared` distinct k-grams with the eval set (anti join on the
+    * report — map-side after the broadcast-friendly overlap join).
+    */
+  def clean(train: DataFrame, eval: DataFrame, idCol: String,
+            textCol: String, k: Int = 8, minShared: Int = 1): DataFrame =
+    train.join(report(train, eval, idCol, textCol, k, minShared)
+        .select(col("doc_id").as(idCol)),
+      Seq(idCol), "left_anti")
+}

@@ -194,6 +194,36 @@ object TextAnalysis {
         .as("bpe_tokens"))
   }
 
+  /** Within-document repetition scoring: the fraction of duplicate word
+    * n-grams (1 − distinct/total), the standard "document is boilerplate
+    * / a copy loop" quality signal in pretraining curation. Map-only:
+    * the gram list and its distinct size are per-row array expressions
+    * (docs are length-bounded, so the O(grams²) `array_distinct` is
+    * fine here, unlike the corpus-wide shingle index) — no shuffle, and
+    * the division is branched around zero because ANSI mode throws on
+    * x/0. Output: id, n_grams, n_distinct, rep_ratio, repetitive.
+    */
+  def repetition(df: DataFrame, idCol: String, textCol: String,
+                 n: Int = 2, threshold: Double = 0.2): DataFrame = {
+    val toks = tokens(col(textCol))
+    // guard BEFORE sequence(): sequence(1, 0) yields a descending range,
+    // not an empty one — short docs must produce zero grams explicitly
+    val grams = when(size(toks) >= n,
+      transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+    df.select(col(idCol), grams.as("grams"))
+      .select(col(idCol),
+        size(col("grams")).cast("long").as("n_grams"),
+        size(array_distinct(col("grams"))).cast("long").as("n_distinct"))
+      .withColumn("rep_ratio",
+        when(col("n_grams") === 0, lit(0.0))
+          .otherwise(round(lit(1.0) -
+            col("n_distinct").cast("double") / col("n_grams"), 4)))
+      .withColumn("repetitive",
+        col("n_grams") =!= 0 && col("rep_ratio") >= threshold)
+  }
+
   /** TF-IDF top-k terms per document: tf = in-doc term count, idf =
     * ln((N+1)/(df+1)) with document frequency from the corpus, score
     * rounded to 6 dp (keeps the cross-engine float compare stable), ties

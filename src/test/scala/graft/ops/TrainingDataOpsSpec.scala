@@ -1,0 +1,79 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.neardup.Decontaminate
+import graft.text.{Pii, TextAnalysis}
+
+/** Hand-checkable fixtures for the training-data curation additions:
+  * decontamination, sequence packing, PII redaction, repetition scoring.
+  */
+class TrainingDataOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val eightGram = "one two three four five six seven eight"
+
+  test("decontaminate flags 8-gram overlap with the eval set and cleans it") {
+    val eval = Seq((100L, s"prefix $eightGram suffix")).toDF("doc_id", "text")
+    val train = Seq(
+      (1L, s"stolen words $eightGram right here"), // shares the 8-gram
+      (2L, "completely unrelated content with no overlap at all whatsoever"))
+      .toDF("doc_id", "text")
+    val rep = Decontaminate.report(train, eval, "doc_id", "text", k = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rep.keySet == Set(1L), s"expected only doc 1 flagged, got $rep")
+    val survivors = Decontaminate.clean(train, eval, "doc_id", "text", k = 8)
+      .select("doc_id").as[Long].collect().toSet
+    assert(survivors == Set(2L))
+  }
+
+  test("packing bins by exclusive prefix sum per shard and conserves tokens") {
+    // one shard (ids all ≡ 1 mod 8), budget 10, token counts 4/4/4/4:
+    // start offsets 0,4,8,12 → seq ids 0,0,0,1 (a doc STARTING inside a
+    // sequence belongs to it even if it straddles the boundary)
+    val docs = Seq(1L, 9L, 17L, 25L)
+      .map(id => (id, "a b c d")).toDF("doc_id", "text")
+    val packed = Packing.packSequences(docs, "doc_id", "text",
+        budget = 10, shards = 8)
+      .orderBy("seq_id").collect()
+    assert(packed.map(r => (r.getLong(r.fieldIndex("seq_id")),
+      r.getLong(r.fieldIndex("n_docs")))).toSeq == Seq((0L, 3L), (1L, 1L)))
+    val total = packed.map(_.getLong(packed.head.fieldIndex("seq_tokens"))).sum
+    assert(total == 16L, "packing must conserve the corpus token count")
+  }
+
+  test("packing shards never mix documents") {
+    val docs = (0L until 64L).map(id => (id, "w x y z")).toDF("doc_id", "text")
+    val bad = Packing.assignments(docs, "doc_id", "text", budget = 8, shards = 4)
+      .filter(col("doc_id") % 4 =!= col("shard")).count()
+    assert(bad == 0)
+  }
+
+  test("pii redaction replaces emails, IPs, and phones byte-for-byte") {
+    val df = Seq(
+      (1L, "write to jane.doe+spam@corp.example.org from 192.168.1.77 or call +1-555-867-5309 now"),
+      (2L, "no pii here, just words and the number 42"))
+      .toDF("doc_id", "text")
+    val red = df.select(col("doc_id"), Pii.redactedCol(col("text")).as("t"))
+      .as[(Long, String)].collect().toMap
+    assert(red(1L) == "write to <EMAIL> from <IP> or call <PHONE> now")
+    assert(red(2L) == "no pii here, just words and the number 42")
+    val counts = Pii.redact(df, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(counts(1L) == ((1L, 1L, 1L)) && counts(2L) == ((0L, 0L, 0L)))
+  }
+
+  test("repetition ratio counts duplicate 2-grams; short docs are exempt") {
+    val df = Seq(
+      (1L, "a b a b a b"), // grams: ab ba ab ba ab → 5 total, 2 distinct
+      (2L, "all words here are different ones"),
+      (3L, "solo")) // < 2 tokens → no grams, never repetitive
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.repetition(df, "doc_id", "text", n = 2, threshold = 0.2)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4))).toMap
+    assert(out(1L) == ((5L, 2L, 0.6, true)))
+    assert(out(2L) == ((5L, 5L, 0.0, false)))
+    assert(out(3L) == ((0L, 0L, 0.0, false)))
+  }
+}
