@@ -748,7 +748,41 @@ object SparkEntry {
     // boilerplate/copy-loop quality signal
     "x39_repetition" -> ((s, d) =>
       TextAnalysis.repetition(docs(s, d), "doc_id", "text",
-        n = 2, threshold = 0.2))
+        n = 2, threshold = 0.2)),
+    // quality gate for the multimodal top-k (x17, the one remaining
+    // ungated rows-only path): x17 is EXACT brute force over the fake
+    // embeds, so the engine-dependent surface is the float32 embed
+    // values and the top-k mechanics — gate those with in-plan
+    // invariants (unit-norm embeddings, exactly k rows per query,
+    // rank-monotone sims, cosine within [-1, 1]), literal-TRUE oracle;
+    // n_queries is cross-engine-counted. All aggregates coalesce to
+    // vacuous TRUE on empty input (null compares, no division)
+    "x40_multimodal_gate" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val emb = Multimodal.fakeEmbed(s,
+        Multimodal.withPayload(docs(s, d), "doc_id", "text")).toDF().cache()
+      val dot = expr("aggregate(zip_with(embedding, embedding, " +
+        "(a, b) -> CAST(a AS DOUBLE) * b), 0D, (acc, x) -> acc + x)")
+      val normOk = emb.agg(
+        coalesce(max(abs(dot - 1.0)) < 1e-3, lit(true)).as("norm_ok"))
+      val topk = Similarity.cosineTopK(emb, "doc_id", "embedding",
+        col("doc_id") % 100 === 0, k = 3)
+      val w = Window.partitionBy("qid").orderBy("rnk")
+      val per = topk.withColumn("prev_sim", lag("sim", 1).over(w))
+        .groupBy("qid").agg(count(lit(1)).as("cnt"),
+          min("sim").as("min_sim"), max("sim").as("max_sim"),
+          max(when(col("prev_sim").isNotNull &&
+            col("sim") > col("prev_sim"), 1).otherwise(0)).as("ooo"))
+      val gates = per.agg(
+        coalesce(min("cnt") === 3 && max("cnt") === 3, lit(true)).as("shape_ok"),
+        coalesce(max("ooo") === 0, lit(true)).as("order_ok"),
+        coalesce(min("min_sim") >= -1.000001 &&
+          max("max_sim") <= 1.000001, lit(true)).as("bounds_ok"))
+      val nq = emb.filter(col("doc_id") % 100 === 0)
+        .agg(count(lit(1)).as("n_queries"))
+      nq.crossJoin(gates).crossJoin(normOk)
+        .select("n_queries", "shape_ok", "norm_ok", "order_ok", "bounds_ok")
+    })
   )
 
   /** DuckDB truth set shared by the x33 (MinHash) and x34 (SimHash)
@@ -1254,6 +1288,10 @@ object SparkEntry {
         |SELECT count(*) AS n_pairs, TRUE AS recall_ok
         |FROM v a JOIN v b ON a.id < b.id
         |WHERE round(list_cosine_similarity(a.vec, b.vec), 6) >= 0.25""".stripMargin,
+    "x40_multimodal_gate" ->
+      """SELECT count(*) AS n_queries, TRUE AS shape_ok, TRUE AS norm_ok,
+        |       TRUE AS order_ok, TRUE AS bounds_ok
+        |FROM documents WHERE doc_id % 100 = 0""".stripMargin,
     "x36_decontaminate" ->
       """WITH toks AS (
         |  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'),

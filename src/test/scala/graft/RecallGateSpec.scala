@@ -10,16 +10,24 @@ package graft
 class RecallGateSpec extends SparkSpec {
 
   private val gates = Seq("x27_ann_recall", "x32_embed_neardup_recall",
-    "x33_minhash_recall", "x34_simhash_recall", "x35_lsh_ann_recall")
+    "x33_minhash_recall", "x34_simhash_recall", "x35_lsh_ann_recall",
+    "x40_multimodal_gate")
 
   private def gateHolds(name: String, dir: String): Unit = {
-    val rows = SparkEntry.queries(name)(spark, dir).collect()
+    val out = SparkEntry.queries(name)(spark, dir)
+    val rows = out.collect()
     assert(rows.length == 1, s"$name: expected one gate row")
     val r = rows(0)
-    assert(r.getBoolean(r.length - 1), s"$name: gate boolean is false")
+    // every boolean column in a gate row is an invariant — all must hold
+    val boolIdx = out.schema.fields.zipWithIndex
+      .collect { case (f, i) if f.dataType.typeName == "boolean" => i }
+    assert(boolIdx.nonEmpty, s"$name: gate row has no boolean columns")
+    boolIdx.foreach { i =>
+      assert(r.getBoolean(i), s"$name: gate ${out.schema(i).name} is false")
+    }
   }
 
-  test("all five recall gates hold on sf0.001") {
+  test("all recall/quality gates hold on sf0.001") {
     gates.foreach(gateHolds(_, sfDir))
     spark.catalog.clearCache()
   }
