@@ -95,4 +95,37 @@ class PlanAuditSpec extends SparkSpec {
     assert(scans.length == 1,
       s"curation should be one scan, found ${scans.length} in:\n$exec")
   }
+
+  private def shuffles(p: org.apache.spark.sql.execution.SparkPlan) =
+    p.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+
+  test("x36: the eval shingle index is broadcast (train side never " +
+    "shuffles for the overlap join)") {
+    val p = plan("x36_decontaminate")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
+      s"eval index not broadcast-semi-joined in:\n$p")
+  }
+
+  test("x37: packing shuffles exactly once — the groupBy reuses the " +
+    "shard partitioning of the window") {
+    val exec = planNoAqe("x37_pack_sequences")
+    val ex = shuffles(exec)
+    assert(ex.length == 1, s"expected 1 exchange, found ${ex.length} in:\n$exec")
+    assert(ex.head.outputPartitioning.toString.contains("shard"),
+      s"exchange not keyed on shard in:\n$exec")
+  }
+
+  test("x38: PII redaction is map-only (zero exchanges)") {
+    val exec = planNoAqe("x38_pii_redact")
+    assert(shuffles(exec).isEmpty, s"PII scrub should not shuffle:\n$exec")
+  }
+
+  test("x39: repetition scoring is map-only — gram stats without explode") {
+    val exec = planNoAqe("x39_repetition")
+    assert(shuffles(exec).isEmpty, s"repetition should not shuffle:\n$exec")
+    assert(!exec.toString.contains("Generate"),
+      s"repetition should not explode grams:\n$exec")
+  }
 }
