@@ -32,6 +32,19 @@ object SparkEntry {
 
   private def ev(s: SparkSession, d: String) = Tables.events(s, d)
   private def docs(s: SparkSession, d: String) = Tables.documents(s, d)
+
+  /** Documents with deterministic synthetic PII (email / IPv4 / phone
+    * derived from doc_id) appended — the shared fixture for the PII
+    * scrub (x38) and the corpus build (x41). Every value is a pure
+    * function of doc_id so the DuckDB oracle rebuilds it byte-for-byte.
+    */
+  private def docsWithPii(s: SparkSession, d: String): DataFrame =
+    docs(s, d).select(col("doc_id"), concat(col("text"),
+      lit(" contact user"), col("doc_id").cast("string"),
+      lit("@mail.example.com ip 10."), (col("doc_id") % 250).cast("string"),
+      lit(".0."), (col("doc_id") % 100).cast("string"),
+      lit(" tel +1-555-"),
+      lpad((col("doc_id") % 10000).cast("string"), 4, "0")).as("text"))
   private def cleanSess(s: SparkSession, d: String) =
     Ecommerce.cleanSessions(Ecommerce.sessionsFromEvents(ev(s, d)))
 
@@ -735,15 +748,8 @@ object SparkEntry {
     // from doc_id) is appended to each doc, then detected and redacted;
     // the md5 of the redacted text proves the replacement byte-for-byte
     // against the oracle's RE2 twin
-    "x38_pii_redact" -> ((s, d) => {
-      val withPii = docs(s, d).select(col("doc_id"), concat(col("text"),
-        lit(" contact user"), col("doc_id").cast("string"),
-        lit("@mail.example.com ip 10."), (col("doc_id") % 250).cast("string"),
-        lit(".0."), (col("doc_id") % 100).cast("string"),
-        lit(" tel +1-555-"),
-        lpad((col("doc_id") % 10000).cast("string"), 4, "0")).as("text"))
-      Pii.redact(withPii, "doc_id", "text")
-    }),
+    "x38_pii_redact" -> ((s, d) =>
+      Pii.redact(docsWithPii(s, d), "doc_id", "text")),
     // within-doc repetition: duplicate word-2-gram fraction, the
     // boilerplate/copy-loop quality signal
     "x39_repetition" -> ((s, d) =>
@@ -782,6 +788,33 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_queries"))
       nq.crossJoin(gates).crossJoin(normOk)
         .select("n_queries", "shape_ok", "norm_ok", "order_ok", "bounds_ok")
+    }),
+    // the flagship composition: the WHOLE training-data build in one
+    // query — PII-redact → quality/lang/repetition gates → benchmark
+    // decontamination (docs with doc_id % 20 == 0 stand in for the eval
+    // set) → fingerprint dedup → 256-token sequence packing. The
+    // injected PII suffixes are unique per doc BEFORE redaction and
+    // identical after it, so the dedup and decontamination results are
+    // only correct if the redaction stage actually ran — the stages are
+    // semantically entangled, not just concatenated
+    "x41_corpus_build" -> ((s, d) => {
+      val withPii = docsWithPii(s, d)
+      Curation.buildCorpus(
+        withPii.filter(col("doc_id") % 20 =!= 0),
+        withPii.filter(col("doc_id") % 20 === 0),
+        "doc_id", "text")
+    }),
+    // domain-mixture rebalancing: downsample every source to the
+    // smallest source's size with data-derived rates — per-source
+    // before/after counts prove the mixture came out uniform-ish and
+    // the kept SET is pinned by the deterministic hash arithmetic
+    "x42_domain_mix" -> ((s, d) => {
+      val kept = Sampling.rebalance(docs(s, d), "source", "doc_id")
+        .groupBy("source").agg(count(lit(1)).as("n_kept"))
+      docs(s, d).groupBy("source").agg(count(lit(1)).as("n_before"))
+        .join(kept, Seq("source"), "left")
+        .select(col("source"), col("n_before"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"))
     })
   )
 
@@ -1292,6 +1325,91 @@ object SparkEntry {
       """SELECT count(*) AS n_queries, TRUE AS shape_ok, TRUE AS norm_ok,
         |       TRUE AS order_ok, TRUE AS bounds_ok
         |FROM documents WHERE doc_id % 100 = 0""".stripMargin,
+    // the full corpus build: every stage's DuckDB twin composed in CTE
+    // order (redact → signals → gates → decontaminate → dedup → pack),
+    // byte-exact because each piece is the already-proven x38/x26/x39/
+    // x36/x37 oracle dialect
+    "x41_corpus_build" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |         regexp_replace(regexp_replace(regexp_replace(
+        |           text || ' contact user' || doc_id || '@mail.example.com ip 10.'
+        |             || (doc_id % 250) || '.0.' || (doc_id % 100)
+        |             || ' tel +1-555-' || lpad((doc_id % 10000)::VARCHAR, 4, '0'),
+        |           '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+        |           '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+        |           '\+\d[\d-]{6,14}\d', '<PHONE>', 'g') AS text
+        |  FROM documents),
+        |e AS (
+        |  SELECT doc_id,
+        |         md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint,
+        |         list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |                     x -> x <> '') AS toks,
+        |         length(text) AS n_chars,
+        |         length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS n_punct
+        |  FROM p),
+        |g AS (
+        |  SELECT doc_id, fingerprint, toks,
+        |    len(list_filter(toks, x -> x IN ('the','a','and','of','to'))) AS en_hits,
+        |    len(list_filter(toks, x -> x IN ('der','die','und','das','ein'))) AS de_hits,
+        |    len(list_filter(toks, x -> x IN ('le','la','et','les','des'))) AS fr_hits,
+        |    len(list_filter(toks, x -> x IN ('el','los','y','las','una'))) AS es_hits,
+        |    CASE WHEN len(toks) < 5 THEN 'too_short'
+        |         WHEN n_punct::DOUBLE / greatest(n_chars, 1) > 0.2 THEN 'punct_heavy'
+        |         ELSE 'ok' END AS quality_bucket,
+        |    CASE WHEN len(toks) >= 2
+        |      THEN list_transform(range(1, len(toks)),
+        |                          i -> array_to_string(toks[i:i+1], ' '))
+        |      ELSE []::VARCHAR[] END AS grams
+        |  FROM e),
+        |gate AS (
+        |  SELECT doc_id, fingerprint, toks FROM g
+        |  WHERE doc_id % 20 <> 0
+        |    AND quality_bucket = 'ok'
+        |    AND CASE WHEN greatest(en_hits, de_hits, fr_hits, es_hits) = 0 THEN 'und'
+        |             WHEN en_hits = greatest(en_hits, de_hits, fr_hits, es_hits) THEN 'en'
+        |             WHEN de_hits = greatest(en_hits, de_hits, fr_hits, es_hits) THEN 'de'
+        |             WHEN fr_hits = greatest(en_hits, de_hits, fr_hits, es_hits) THEN 'fr'
+        |             ELSE 'es' END = 'en'
+        |    AND NOT (len(grams) <> 0 AND
+        |             round(1 - len(list_distinct(grams))::DOUBLE / len(grams), 4) >= 0.2)),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, array_to_string(toks[i:i+7], ' ') AS shingle
+        |  FROM e, UNNEST(range(1, len(toks) - 6)) AS u(i)
+        |  WHERE len(toks) >= 8),
+        |ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 20 = 0),
+        |contam AS (
+        |  SELECT DISTINCT s.doc_id FROM sh s JOIN ev USING (shingle)
+        |  WHERE s.doc_id % 20 <> 0),
+        |dd AS (
+        |  SELECT doc_id, toks,
+        |         row_number() OVER (PARTITION BY fingerprint
+        |                            ORDER BY doc_id ASC) AS rn
+        |  FROM gate
+        |  WHERE doc_id NOT IN (SELECT doc_id FROM contam)),
+        |tk AS (SELECT doc_id, len(toks)::BIGINT AS n_tokens FROM dd WHERE rn = 1),
+        |a AS (
+        |  SELECT doc_id, n_tokens, doc_id % 8 AS shard,
+        |         sum(n_tokens) OVER (PARTITION BY doc_id % 8 ORDER BY doc_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |           - n_tokens AS start_tok
+        |  FROM tk)
+        |SELECT shard, (start_tok // 256)::BIGINT AS seq_id,
+        |       count(*) AS n_docs, sum(n_tokens)::BIGINT AS seq_tokens,
+        |       min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        |FROM a GROUP BY 1, 2""".stripMargin,
+    "x42_domain_mix" ->
+      """WITH c AS (
+        |  SELECT source, count(*) AS n_before FROM documents GROUP BY source),
+        |t AS (SELECT min(n_before) AS n_target FROM c),
+        |k AS (
+        |  SELECT d.source, count(*) AS n_kept
+        |  FROM documents d JOIN c ON d.source = c.source CROSS JOIN t
+        |  WHERE (d.doc_id % 1000000007) * 2654435761 % 100 * c.n_before
+        |          < t.n_target * 100
+        |  GROUP BY d.source)
+        |SELECT c.source, c.n_before, coalesce(k.n_kept, 0) AS n_kept
+        |FROM c LEFT JOIN k USING (source)""".stripMargin,
     "x36_decontaminate" ->
       """WITH toks AS (
         |  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'),

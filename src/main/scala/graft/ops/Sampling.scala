@@ -36,4 +36,26 @@ object Sampling {
     }
     df.filter(hashBucket(col(keyCol), buckets) < rate)
   }
+
+  /** Rebalance a multi-domain corpus to a uniform source mixture: every
+    * domain is deterministically downsampled to (approximately) the size
+    * of the smallest domain — the "don't let the web crawl drown the
+    * books" source-mixing step of a pretraining-data build, with the
+    * target rates DERIVED from the data instead of hand-specified.
+    *
+    * Two passes: a column-pruned stats aggregate (domain → count, a few
+    * rows) is broadcast back onto the corpus, then a map-only integer
+    * keep predicate — keep iff hashBucket(key)·n_domain < n_target·
+    * buckets, so the smallest domain keeps every row and a domain m×
+    * larger keeps ~1/m of its rows. The corpus itself never shuffles,
+    * and the kept set is engine- and partitioning-independent.
+    */
+  def rebalance(df: DataFrame, domainCol: String, keyCol: String,
+                buckets: Int = 100): DataFrame = {
+    val counts = df.groupBy(domainCol).agg(count(lit(1)).as("n_domain"))
+    val rates = counts.crossJoin(counts.agg(min("n_domain").as("n_target")))
+    df.join(broadcast(rates), Seq(domainCol))
+      .filter(hashBucket(col(keyCol), buckets) * col("n_domain") <
+        col("n_target") * buckets)
+  }
 }

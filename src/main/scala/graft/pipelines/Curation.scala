@@ -2,8 +2,9 @@ package graft.pipelines
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import graft.ops.{Dedup, Sampling}
-import graft.text.TextAnalysis
+import graft.neardup.Decontaminate
+import graft.ops.{Dedup, Packing, Sampling}
+import graft.text.{Pii, TextAnalysis}
 
 /** End-to-end corpus curation — the composed training-data pipeline a
   * user of this library actually runs: quality-gate → language-gate →
@@ -38,5 +39,71 @@ object Curation {
     deduped
       .filter(Sampling.hashBucket(col("doc_id")) < keepPer100)
       .select("doc_id", "fingerprint", "pred_lang")
+  }
+
+  /** The full training-corpus build — every curation stage composed the
+    * way a production pretraining pipeline runs them, ending in packed
+    * training sequences:
+    *
+    *   PII-redact → quality/language/repetition gates → benchmark
+    *   decontamination (vs `eval`) → exact fingerprint dedup → pack.
+    *
+    * Stage order matters and is load-bearing: redaction runs FIRST so
+    * every downstream signal (fingerprints, shingles, token counts) sees
+    * the sanitized text — two docs differing only in redacted spans
+    * dedup together, and PII never leaks into the packed output through
+    * a fingerprint or a shingle.
+    *
+    * Scale shape: the redaction and all three gates are column
+    * expressions fused into the train-side scan (no signal joins); the
+    * decontamination is one broadcast-semi overlap join against the
+    * (tiny) eval shingle index; the dedup is one fingerprint exchange;
+    * the packing is one shard-keyed window. The gated train frame is
+    * read twice (shingle index + anti-join left side) and its text is a
+    * 3-deep regex chain that predicate pushdown + projection collapse
+    * would substitute into EVERY downstream tokens()/gram/fingerprint
+    * reference — and since higher-order functions are CodegenFallback,
+    * each of the ~15 references re-runs the interpreted regex chain
+    * per row (jstack showed RegExpReplace.nullSafeEval hot; measured
+    * 69s vs 2.6s at sf0.1). So the clean layer is built as STAGED
+    * projections (text → toks → grams → keep flag, each alias
+    * multi-referenced so CollapseProject keeps the stages) and CACHED
+    * with the keep decision inside the cache — every expensive
+    * expression evaluates exactly once per row and no consumer
+    * predicate can substitute the trees back in past the
+    * InMemoryRelation barrier. Cache release is the session owner's
+    * job (Bench/Verify clearCache between queries); at 100 TB the
+    * clean layer would be a materialized table, exactly like the
+    * reference's staged clean layer.
+    */
+  def buildCorpus(train: DataFrame, eval: DataFrame, idCol: String,
+                  textCol: String, lang: String = "en", shingleK: Int = 8,
+                  budget: Int = 256, shards: Int = 8): DataFrame = {
+    def redacted(df: DataFrame): DataFrame = df.select(
+      col(idCol).as("doc_id"), Pii.redactedCol(col(textCol)).as("text"))
+    // staged projections: text (regex chain), then toks/grams, then the
+    // keep boolean — each non-cheap alias is multi-referenced by the
+    // next stage, so CollapseProject leaves the stages intact and every
+    // base expression evaluates ONCE per row; the keep decision lands
+    // INSIDE the cache so no consumer's predicate can substitute the
+    // expensive trees back in past the InMemoryRelation barrier
+    val cleanTrain = redacted(train)
+      .select(col("doc_id"), col("text"),
+        TextAnalysis.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("text"), col("toks"),
+        TextAnalysis.wordGramsFromToks(col("toks"), 2).as("grams"))
+      .select(col("doc_id"), col("text"),
+        (TextAnalysis.qualityBucketFromToks(col("toks"), col("text")) === "ok" &&
+          TextAnalysis.predLangFromToks(col("toks")) === lang &&
+          !TextAnalysis.repetitiveFromGrams(col("grams"))).as("keep"))
+      .cache()
+    val gated = cleanTrain.filter(col("keep")).select("doc_id", "text")
+    val decon = Decontaminate.clean(gated, redacted(eval),
+      "doc_id", "text", shingleK)
+    val deduped = Dedup.keepFirst(
+      decon.withColumn("fingerprint",
+        TextAnalysis.fingerprintCol(col("text"))),
+      Seq("fingerprint"), Seq(col("doc_id").asc))
+    Packing.packSequences(deduped, "doc_id", "text", budget, shards)
   }
 }

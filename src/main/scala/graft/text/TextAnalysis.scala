@@ -29,10 +29,15 @@ object TextAnalysis {
   /** Column form of the stopword language ID (see `langId`): argmax of
     * per-language stopword hits, fixed tie order, 'und' on zero hits.
     */
-  def predLangCol(text: Column): Column = {
-    val t = tokens(text)
-    val en = hits(t, stop("en")); val de = hits(t, stop("de"))
-    val fr = hits(t, stop("fr")); val es = hits(t, stop("es"))
+  def predLangCol(text: Column): Column = predLangFromToks(tokens(text))
+
+  /** `predLangCol` over an already-tokenized column — use this form when
+    * `toks` is a materialized attribute so the split doesn't re-run per
+    * stopword-list reference (the tree references it ~8 times).
+    */
+  def predLangFromToks(toks: Column): Column = {
+    val en = hits(toks, stop("en")); val de = hits(toks, stop("de"))
+    val fr = hits(toks, stop("fr")); val es = hits(toks, stop("es"))
     val best = greatest(en, de, fr, es)
     when(best === 0, "und")
       .when(en === best, "en").when(de === best, "de")
@@ -148,8 +153,12 @@ object TextAnalysis {
   }
 
   /** Column form of the coarse quality bucket (see `quality`). */
-  def qualityBucketCol(text: Column): Column = {
-    val nTok = size(tokens(text))
+  def qualityBucketCol(text: Column): Column =
+    qualityBucketFromToks(tokens(text), text)
+
+  /** `qualityBucketCol` with the token array supplied as a column. */
+  def qualityBucketFromToks(toks: Column, text: Column): Column = {
+    val nTok = size(toks)
     val nChar = length(text)
     val nPunct = length(regexp_replace(text, "[^.,!?;:]", ""))
     when(nTok < 5, "too_short")
@@ -203,16 +212,42 @@ object TextAnalysis {
     * the division is branched around zero because ANSI mode throws on
     * x/0. Output: id, n_grams, n_distinct, rep_ratio, repetitive.
     */
-  def repetition(df: DataFrame, idCol: String, textCol: String,
-                 n: Int = 2, threshold: Double = 0.2): DataFrame = {
-    val toks = tokens(col(textCol))
-    // guard BEFORE sequence(): sequence(1, 0) yields a descending range,
-    // not an empty one — short docs must produce zero grams explicitly
-    val grams = when(size(toks) >= n,
+  /** Word n-gram list of `text` as a single array expression (empty for
+    * docs shorter than n). Guard BEFORE sequence(): sequence(1, 0)
+    * yields a descending range, not an empty one — short docs must
+    * produce zero grams explicitly.
+    */
+  private[graft] def wordGramsCol(text: Column, n: Int): Column =
+    wordGramsFromToks(tokens(text), n)
+
+  /** Word n-grams from an already-tokenized column. */
+  private[graft] def wordGramsFromToks(toks: Column, n: Int): Column =
+    when(size(toks) >= n,
       transform(sequence(lit(1), size(toks) - (n - 1)),
         i => concat_ws(" ", slice(toks, i, lit(n)))))
       .otherwise(array().cast("array<string>"))
-    df.select(col(idCol), grams.as("grams"))
+
+  /** Column form of the repetition gate (see `repetition`): TRUE when
+    * the duplicate word-n-gram fraction reaches `threshold`. The
+    * left-hand zero guard short-circuits the NaN that 0.0/0.0 would
+    * otherwise feed into the comparison. NOTE for hot paths: this tree
+    * references the gram array three times — feed it a MATERIALIZED
+    * gram column via `repetitiveFromGrams` inside a staged projection,
+    * or the gram build (and the tokenize under it) re-runs per
+    * reference in interpreted HOF eval.
+    */
+  def repetitiveCol(text: Column, n: Int = 2, threshold: Double = 0.2): Column =
+    repetitiveFromGrams(wordGramsCol(text, n), threshold)
+
+  /** The repetition gate over an already-built gram column. */
+  def repetitiveFromGrams(grams: Column, threshold: Double = 0.2): Column =
+    size(grams) =!= 0 &&
+      round(lit(1.0) - size(array_distinct(grams)).cast("double") /
+        size(grams), 4) >= threshold
+
+  def repetition(df: DataFrame, idCol: String, textCol: String,
+                 n: Int = 2, threshold: Double = 0.2): DataFrame = {
+    df.select(col(idCol), wordGramsCol(col(textCol), n).as("grams"))
       .select(col(idCol),
         size(col("grams")).cast("long").as("n_grams"),
         size(array_distinct(col("grams"))).cast("long").as("n_distinct"))

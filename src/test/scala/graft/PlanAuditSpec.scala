@@ -122,6 +122,24 @@ class PlanAuditSpec extends SparkSpec {
     assert(shuffles(exec).isEmpty, s"PII scrub should not shuffle:\n$exec")
   }
 
+  test("x41: the corpus build reads the cached clean layer, not the " +
+    "train parquet, and broadcasts the eval shingle index") {
+    val exec = planNoAqe("x41_corpus_build")
+    val p = exec.toString
+    // the train side must come from the staged InMemoryRelation (the
+    // redact+gate layer evaluates once); live parquet scans belong to
+    // the eval split only
+    assert(p.contains("InMemoryTableScan"), s"clean layer not cached in:\n$p")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
+      s"eval shingle index not broadcast in:\n$p")
+  }
+
+  test("x42: the rebalance rate frame broadcasts; the corpus filter is " +
+    "a broadcast join, not a shuffle") {
+    val p = plan("x42_domain_mix")
+    assert(p.contains("BroadcastHashJoin"), s"rates not broadcast in:\n$p")
+  }
+
   test("x39: repetition scoring is map-only — gram stats without explode") {
     val exec = planNoAqe("x39_repetition")
     assert(shuffles(exec).isEmpty, s"repetition should not shuffle:\n$exec")

@@ -63,6 +63,51 @@ class TrainingDataOpsSpec extends SparkSpec {
     assert(counts(1L) == ((1L, 1L, 1L)) && counts(2L) == ((0L, 0L, 0L)))
   }
 
+  test("buildCorpus composes redact → gates → decontaminate → dedup → pack") {
+    val eval = Seq(
+      (100L, s"prefix $eightGram suffix")).toDF("doc_id", "text")
+    val train = Seq(
+      // keeper: English, clean, unique after redaction
+      (1L, "the quick brown fox jumps over a lazy dog today contact a@b.com"),
+      // same natural text, DIFFERENT email — identical to doc 1 only
+      // after redaction, so surviving as a dup proves redaction ran
+      // before fingerprinting
+      (2L, "the quick brown fox jumps over a lazy dog today contact x.y@z.org"),
+      // shares the eval 8-gram → decontaminated out
+      (3L, s"the story begins $eightGram and ends"),
+      // repetitive boilerplate → repetition gate
+      (4L, "the cat the cat the cat the cat"),
+      // German → language gate
+      (5L, "der hund und die katze das ein haus"),
+      // two tokens → quality gate (too_short)
+      (6L, "tiny doc")).toDF("doc_id", "text")
+    val out = graft.pipelines.Curation
+      .buildCorpus(train, eval, "doc_id", "text", budget = 256, shards = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSet
+    // only doc 1 survives: 12 tokens incl. the redacted <EMAIL>, shard 1
+    assert(out == Set((1L, 0L, 1L, 12L, 1L, 1L)), s"got $out")
+  }
+
+  test("rebalance keeps the smallest domain whole and downsamples the rest") {
+    // 10 book docs vs 200 web docs: books keep all rows, web lands near
+    // the books' size; the kept set is a pure function of the ids
+    val docs = ((0L until 10L).map(id => (id, "books")) ++
+      (1000L until 1200L).map(id => (id, "web"))).toDF("doc_id", "source")
+    val kept = Sampling.rebalance(docs, "source", "doc_id")
+      .groupBy("source").agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kept("books") == 10L, s"smallest domain must keep all rows: $kept")
+    assert(kept("web") <= 30L && kept("web") >= 2L,
+      s"web should downsample toward ~10 rows, got $kept")
+    // determinism: a second run yields the identical id set
+    val ids1 = Sampling.rebalance(docs, "source", "doc_id")
+      .select("doc_id").as[Long].collect().toSet
+    val ids2 = Sampling.rebalance(docs, "source", "doc_id")
+      .select("doc_id").as[Long].collect().toSet
+    assert(ids1 == ids2)
+  }
+
   test("repetition ratio counts duplicate 2-grams; short docs are exempt") {
     val df = Seq(
       (1L, "a b a b a b"), // grams: ab ba ab ba ab → 5 total, 2 distinct
