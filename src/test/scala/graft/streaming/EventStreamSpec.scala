@@ -225,4 +225,44 @@ class EventStreamSpec extends SparkSpec {
       .map(o => (o.user_id, o.n_events, o.duration_min, o.total_value)).toSet
     assert(relational == stateful)
   }
+
+  // fixture for the corpus-curation stream: doc 1 passes every gate;
+  // doc 2 is doc 1 with different PII (same fingerprint after redaction
+  // → deduped); docs 3-5 die at the language / repetition / quality gates
+  private val corpusRows = Seq(
+    (1L, ts("2024-03-01 10:00:00"),
+      "the quick brown fox jumps over a lazy dog today contact a@b.com"),
+    (2L, ts("2024-03-01 10:05:00"),
+      "the quick brown fox jumps over a lazy dog today contact x.y@z.org"),
+    (3L, ts("2024-03-01 10:06:00"), "der hund und die katze das ein haus"),
+    (4L, ts("2024-03-01 10:07:00"), "the cat the cat the cat the cat"),
+    (5L, ts("2024-03-01 10:08:00"), "tiny doc"))
+
+  test("streaming curation gates, redacts, and dedups within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, String)]
+    val q = CorpusStream.curate(mem.toDF().toDF("doc_id", "ts", "text"))
+      .writeStream.format("memory").queryName("curate_test")
+      .outputMode("append").start()
+    try {
+      mem.addData(corpusRows: _*)
+      q.processAllAvailable()
+      val out = spark.sql("SELECT doc_id, text FROM curate_test").collect()
+        .map(r => (r.getLong(0), r.getString(1)))
+      assert(out.map(_._1).toSet == Set(1L), s"expected only doc 1, got $out")
+      assert(out.head._2.endsWith("contact <EMAIL>"), "stream must emit redacted text")
+      // the dup fingerprint arriving later in a NEW batch is still dropped
+      mem.addData((6L, ts("2024-03-01 10:09:00"),
+        "the quick brown fox jumps over a lazy dog today contact late@dup.io"))
+      q.processAllAvailable()
+      assert(spark.sql("SELECT count(*) FROM curate_test").collect()(0).getLong(0) == 1)
+    } finally q.stop()
+  }
+
+  test("batch curation is the deterministic twin of the streaming path") {
+    import spark.implicits._
+    val out = CorpusStream.curate(corpusRows.toDF("doc_id", "ts", "text"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(out == Set(1L))
+  }
 }
