@@ -102,6 +102,62 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("packing conserves tokens, bins by budget, and never mixes shards") {
+    val docsGen = Gen.nonEmptyListOf(Gen.zip(
+      Gen.chooseNum(0L, 500L),
+      Gen.chooseNum(1, 30).map(n => List.fill(n)("w").mkString(" "))))
+      .map(_.distinctBy(_._1))
+    samples(Gen.zip(docsGen, Gen.chooseNum(8, 64)), 3).foreach { case (ds, budget) =>
+      val df = ds.toDF("doc_id", "text")
+      val out = graft.ops.Packing.packSequences(df, "doc_id", "text",
+        budget = budget, shards = 4).collect()
+      val totalTokens = ds.map(_._2.split(" ").length.toLong).sum
+      assert(out.map(_.getAs[Long]("seq_tokens")).sum == totalTokens,
+        s"token count not conserved for budget=$budget docs=$ds")
+      // per-doc assignment equals a local reference implementation of
+      // the exclusive-prefix-sum binning (ids can SKIP bins when a doc
+      // straddles sequences — a start-bin gap is correct, not a bug)
+      val assigns = graft.ops.Packing.assignments(df, "doc_id", "text",
+        budget = budget, shards = 4).collect()
+        .map(r => (r.getAs[Long]("doc_id"),
+          (r.getAs[Long]("shard"), r.getAs[Long]("seq_id"),
+            r.getAs[Long]("start_offset")))).toMap
+      val expected = ds.sortBy(_._1).groupBy(_._1 % 4).flatMap { case (shard, docs) =>
+        var cum = 0L
+        docs.map { case (id, text) =>
+          val n = text.split(" ").length.toLong
+          val start = cum; cum += n
+          id -> ((shard, start / budget, start % budget))
+        }
+      }
+      assert(assigns == expected, s"assignments diverge for budget=$budget docs=$ds")
+    }
+  }
+
+  test("rebalance: smallest domain survives whole; kept set is stable") {
+    val rowsGen = Gen.nonEmptyListOf(Gen.zip(
+      Gen.chooseNum(0L, 300L), Gen.oneOf("a", "b", "c")))
+      .map(_.distinctBy(_._1))
+    samples(rowsGen, 3).foreach { rows =>
+      val df = rows.toDF("doc_id", "source")
+      val kept = graft.ops.Sampling.rebalance(df, "source", "doc_id")
+        .select("doc_id", "source").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+      val sizes = rows.groupBy(_._2).view.mapValues(_.size).toMap
+      val minSize = sizes.values.min
+      // every smallest domain keeps all rows (rate = 100%)
+      sizes.filter(_._2 == minSize).keys.foreach { s =>
+        assert(kept.count(_._2 == s) == minSize, s"domain $s lost rows: $rows")
+      }
+      // kept ⊆ input and deterministic across runs
+      assert(kept.subsetOf(rows.map(r => (r._1, r._2)).toSet))
+      val again = graft.ops.Sampling.rebalance(df, "source", "doc_id")
+        .select("doc_id", "source").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(again == kept)
+    }
+  }
+
   test("upsertByKey: idempotent, key-complete, incoming wins") {
     val kvGen = Gen.nonEmptyListOf(
       Gen.zip(Gen.chooseNum(0L, 30L), Gen.chooseNum(0L, 1000L)))
