@@ -804,6 +804,14 @@ object SparkEntry {
         withPii.filter(col("doc_id") % 20 === 0),
         "doc_id", "text")
     }),
+    // split-packing inventory: the faithful GPT packing where documents
+    // split across sequence boundaries — every 512-token cut of the
+    // shard stream is a sequence, docs contribute spans to every
+    // sequence they overlap, and all seq_tokens are exactly 512 except
+    // each shard's trailing partial (the oracle checks the exact values)
+    "x43_pack_spans" -> ((s, d) =>
+      Packing.packSpans(docs(s, d), "doc_id", "text",
+        budget = 512, shards = 8)),
     // domain-mixture rebalancing: downsample every source to the
     // smallest source's size with data-derived rates — per-source
     // before/after counts prove the mixture came out uniform-ish and
@@ -1398,6 +1406,28 @@ object SparkEntry {
         |       count(*) AS n_docs, sum(n_tokens)::BIGINT AS seq_tokens,
         |       min(doc_id) AS first_doc, max(doc_id) AS last_doc
         |FROM a GROUP BY 1, 2""".stripMargin,
+    "x43_pack_spans" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |         len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |                         x -> x <> ''))::BIGINT AS n_tokens
+        |  FROM documents),
+        |a AS (
+        |  SELECT doc_id, n_tokens, doc_id % 8 AS shard,
+        |         (sum(n_tokens) OVER (PARTITION BY doc_id % 8 ORDER BY doc_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |           - n_tokens)::BIGINT AS start_tok
+        |  FROM toks WHERE n_tokens > 0),
+        |sp AS (
+        |  SELECT shard, doc_id, start_tok, start_tok + n_tokens AS end_tok,
+        |         u.seq_id
+        |  FROM a, UNNEST(range(start_tok // 512,
+        |                       (start_tok + n_tokens - 1) // 512 + 1)) AS u(seq_id))
+        |SELECT shard, seq_id, count(*) AS n_docs,
+        |       sum(least(end_tok, (seq_id + 1) * 512)
+        |           - greatest(start_tok, seq_id * 512))::BIGINT AS seq_tokens,
+        |       min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        |FROM sp GROUP BY 1, 2""".stripMargin,
     "x42_domain_mix" ->
       """WITH c AS (
         |  SELECT source, count(*) AS n_before FROM documents GROUP BY source),

@@ -50,4 +50,42 @@ object Packing {
         sum("n_tokens").as("seq_tokens"),
         min("doc_id").as("first_doc"),
         max("doc_id").as("last_doc"))
+
+  /** Exact packed-sequence inventory with document SPLITTING — the
+    * faithful GPT packing: the shard's token stream is cut every
+    * `budget` tokens, a document contributes a span to EVERY sequence
+    * it overlaps, and every sequence holds exactly `budget` tokens
+    * except the shard's trailing partial. Output per (shard, seq_id):
+    * contributing-doc count, exact token count, first/last doc.
+    *
+    * Scale shape: `assignments`' one shard-keyed window, then a
+    * map-side interval decomposition — each doc explodes into the
+    * sequence bins it overlaps, bounded by ceil(n_tokens/budget)+1
+    * rows per doc — and one partial-aggregated groupBy that reuses the
+    * shard partitioning. Zero-token docs overlap no sequence and are
+    * excluded before the explode (sequence() on a descending range
+    * would throw otherwise).
+    */
+  def packSpans(df: DataFrame, idCol: String, textCol: String,
+                budget: Int = 512, shards: Int = 8): DataFrame = {
+    val b = lit(budget.toLong)
+    assignments(df, idCol, textCol, budget, shards)
+      .filter(col("n_tokens") > 0)
+      .select(col("shard"), col("doc_id"), col("n_tokens"),
+        (col("seq_id") * b + col("start_offset")).as("start_tok"))
+      .withColumn("end_tok", col("start_tok") + col("n_tokens"))
+      .select(col("shard"), col("doc_id"), col("start_tok"), col("end_tok"),
+        explode(sequence(
+          ((col("start_tok") - pmod(col("start_tok"), b)) / b).cast("long"),
+          ((col("end_tok") - lit(1L) -
+            pmod(col("end_tok") - lit(1L), b)) / b).cast("long"))).as("seq_id"))
+      .withColumn("span_tokens",
+        least(col("end_tok"), (col("seq_id") + 1) * b) -
+          greatest(col("start_tok"), col("seq_id") * b))
+      .groupBy("shard", "seq_id")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("span_tokens").as("seq_tokens"),
+        min("doc_id").as("first_doc"),
+        max("doc_id").as("last_doc"))
+  }
 }

@@ -117,6 +117,13 @@ class PlanAuditSpec extends SparkSpec {
       s"exchange not keyed on shard in:\n$exec")
   }
 
+  test("x43: split packing also shuffles exactly once — the span " +
+    "explode and aggregation stay on the shard partitioning") {
+    val exec = planNoAqe("x43_pack_spans")
+    val ex = shuffles(exec)
+    assert(ex.length == 1, s"expected 1 exchange, found ${ex.length} in:\n$exec")
+  }
+
   test("x38: PII redaction is map-only (zero exchanges)") {
     val exec = planNoAqe("x38_pii_redact")
     assert(shuffles(exec).isEmpty, s"PII scrub should not shuffle:\n$exec")

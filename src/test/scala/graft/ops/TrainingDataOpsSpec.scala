@@ -42,6 +42,30 @@ class TrainingDataOpsSpec extends SparkSpec {
     assert(total == 16L, "packing must conserve the corpus token count")
   }
 
+  test("packSpans splits straddling docs and fills every interior sequence") {
+    // one shard, budget 10: doc 1 has 4 tokens [0,4), doc 9 has 25
+    // tokens [4,29) straddling seqs 0-2, doc 17 has 3 tokens [29,32).
+    // seq 0: docs 1+9 (10 tok), seq 1: doc 9 (10 tok), seq 2: docs 9+17
+    // (12 tok? no — seq 2 holds tokens [20,30): 9 from doc 9, 1 from
+    // doc 17 = 10), seq 3: trailing partial [30,32) = 2 tokens of doc 17
+    val docs = Seq(
+      (1L, Seq.fill(4)("a").mkString(" ")),
+      (9L, Seq.fill(25)("b").mkString(" ")),
+      (17L, Seq.fill(3)("c").mkString(" "))).toDF("doc_id", "text")
+    val out = Packing.packSpans(docs, "doc_id", "text", budget = 10, shards = 8)
+      .orderBy("seq_id").collect()
+      .map(r => (r.getLong(r.fieldIndex("seq_id")),
+        r.getLong(r.fieldIndex("n_docs")),
+        r.getLong(r.fieldIndex("seq_tokens")),
+        r.getLong(r.fieldIndex("first_doc")),
+        r.getLong(r.fieldIndex("last_doc")))).toSeq
+    assert(out == Seq(
+      (0L, 2L, 10L, 1L, 9L),
+      (1L, 1L, 10L, 9L, 9L),
+      (2L, 2L, 10L, 9L, 17L),
+      (3L, 1L, 2L, 17L, 17L)), s"got ${out.toList}")
+  }
+
   test("packing shards never mix documents") {
     val docs = (0L until 64L).map(id => (id, "w x y z")).toDF("doc_id", "text")
     val bad = Packing.assignments(docs, "doc_id", "text", budget = 8, shards = 4)
