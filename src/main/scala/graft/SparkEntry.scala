@@ -804,6 +804,26 @@ object SparkEntry {
         withPii.filter(col("doc_id") % 20 === 0),
         "doc_id", "text")
     }),
+    // incremental curation: the daily corpus-refresh job — docs below
+    // the cutoff (doc_id % 10 < 8) are the already-curated table, the
+    // rest is today's increment; the increment is curated independently
+    // and admitted only if its fingerprint is genuinely new
+    // (insertIfAbsent on the dedup key), the reference's K3 pattern
+    // applied to the curation surface. In production the "old" side is
+    // read back from storage, not recomputed — here both sides derive
+    // from the same table so the oracle can replay the whole job; the
+    // old curated frame is cached because union AND anti-join existing
+    // both consume it (harness-released, see README cache contract)
+    "x44_incremental_curation" -> ((s, d) => {
+      val all = docs(s, d)
+      val old = Curation.curate(all.filter(col("doc_id") % 10 < 8),
+        "doc_id", "text", keepPer100 = 100).cache()
+      val fresh = Curation.curate(all.filter(col("doc_id") % 10 >= 8),
+        "doc_id", "text", keepPer100 = 100)
+      val admitted = Dedup.insertIfAbsent(fresh, old, Seq("fingerprint"))
+      old.withColumn("is_new", lit(false))
+        .unionByName(admitted.withColumn("is_new", lit(true)))
+    }),
     // split-packing inventory: the faithful GPT packing where documents
     // split across sequence boundaries — every 512-token cut of the
     // shard stream is a sequence, docs contribute spans to every
@@ -1406,6 +1426,51 @@ object SparkEntry {
         |       count(*) AS n_docs, sum(n_tokens)::BIGINT AS seq_tokens,
         |       min(doc_id) AS first_doc, max(doc_id) AS last_doc
         |FROM a GROUP BY 1, 2""".stripMargin,
+    "x44_incremental_curation" ->
+      """WITH e AS (
+        |  SELECT doc_id,
+        |         md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint,
+        |         list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |                     x -> x <> '') AS toks,
+        |         length(text) AS n_chars,
+        |         length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS n_punct
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, fingerprint,
+        |    len(list_filter(toks, x -> x IN ('the','a','and','of','to'))) AS en_hits,
+        |    len(list_filter(toks, x -> x IN ('der','die','und','das','ein'))) AS de_hits,
+        |    len(list_filter(toks, x -> x IN ('le','la','et','les','des'))) AS fr_hits,
+        |    len(list_filter(toks, x -> x IN ('el','los','y','las','una'))) AS es_hits,
+        |    CASE WHEN len(toks) < 5 THEN 'too_short'
+        |         WHEN n_punct::DOUBLE / greatest(n_chars, 1) > 0.2 THEN 'punct_heavy'
+        |         ELSE 'ok' END AS quality_bucket
+        |  FROM e),
+        |l AS (
+        |  SELECT doc_id, fingerprint,
+        |    CASE WHEN greatest(en_hits, de_hits, fr_hits, es_hits) = 0 THEN 'und'
+        |         WHEN en_hits = greatest(en_hits, de_hits, fr_hits, es_hits) THEN 'en'
+        |         WHEN de_hits = greatest(en_hits, de_hits, fr_hits, es_hits) THEN 'de'
+        |         WHEN fr_hits = greatest(en_hits, de_hits, fr_hits, es_hits) THEN 'fr'
+        |         ELSE 'es' END AS pred_lang
+        |  FROM g WHERE quality_bucket = 'ok'),
+        |gated AS (SELECT * FROM l WHERE pred_lang = 'en'),
+        |old AS (
+        |  SELECT doc_id, fingerprint, pred_lang,
+        |         row_number() OVER (PARTITION BY fingerprint
+        |                            ORDER BY doc_id ASC) AS rn
+        |  FROM gated WHERE doc_id % 10 < 8),
+        |fresh AS (
+        |  SELECT doc_id, fingerprint, pred_lang,
+        |         row_number() OVER (PARTITION BY fingerprint
+        |                            ORDER BY doc_id ASC) AS rn
+        |  FROM gated WHERE doc_id % 10 >= 8)
+        |SELECT doc_id, fingerprint, pred_lang, FALSE AS is_new
+        |FROM old WHERE rn = 1
+        |UNION ALL
+        |SELECT n.doc_id, n.fingerprint, n.pred_lang, TRUE AS is_new
+        |FROM fresh n WHERE rn = 1
+        |  AND NOT EXISTS (SELECT 1 FROM old o
+        |                  WHERE o.fingerprint = n.fingerprint)""".stripMargin,
     "x43_pack_spans" ->
       """WITH toks AS (
         |  SELECT doc_id,

@@ -113,6 +113,26 @@ class TrainingDataOpsSpec extends SparkSpec {
     assert(out == Set((1L, 0L, 1L, 12L, 1L, 1L)), s"got $out")
   }
 
+  test("incremental curation admits only genuinely-new fingerprints") {
+    // the x44 shape: ids with doc_id % 10 < 8 are the existing curated
+    // table, the rest today's increment; doc 18 duplicates doc 1's text
+    // (modulo whitespace) so its fingerprint already exists and it must
+    // NOT be admitted, doc 19 is new content and must come in as is_new
+    val good = "the quick brown fox jumps over a lazy dog today"
+    val all = Seq(
+      (1L, good),
+      (18L, "  " + good.replace(" ", "   ")), // same fingerprint as 1
+      (19L, "a completely different story about the old house and its owners"))
+      .toDF("doc_id", "text")
+    val old = graft.pipelines.Curation.curate(
+      all.filter(col("doc_id") % 10 < 8), "doc_id", "text", keepPer100 = 100)
+    val fresh = graft.pipelines.Curation.curate(
+      all.filter(col("doc_id") % 10 >= 8), "doc_id", "text", keepPer100 = 100)
+    val admitted = Dedup.insertIfAbsent(fresh, old, Seq("fingerprint"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(admitted == Set(19L), s"expected only doc 19 admitted, got $admitted")
+  }
+
   test("rebalance keeps the smallest domain whole and downsamples the rest") {
     // 10 book docs vs 200 web docs: books keep all rows, web lands near
     // the books' size; the kept set is a pure function of the ids
