@@ -804,6 +804,21 @@ object SparkEntry {
         withPii.filter(col("doc_id") % 20 === 0),
         "doc_id", "text")
     }),
+    // token-mass domain mixing: rebalance weighted by token counts
+    // instead of doc counts — the actual training-mixture contract (a
+    // domain of few huge docs is as heavy as one of many small docs);
+    // per-source total vs kept token mass, deterministic keep set
+    "x45_token_mix" -> ((s, d) => {
+      val toks = docs(s, d).select(col("doc_id"), col("source"),
+        size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"))
+      val kept = Sampling.rebalanceBy(toks, "source", "doc_id",
+          col("n_tokens"))
+        .groupBy("source").agg(sum("n_tokens").as("kept_tokens"))
+      toks.groupBy("source").agg(sum("n_tokens").as("total_tokens"))
+        .join(kept, Seq("source"), "left")
+        .select(col("source"), col("total_tokens"),
+          coalesce(col("kept_tokens"), lit(0L)).as("kept_tokens"))
+    }),
     // incremental curation: the daily corpus-refresh job — docs below
     // the cutoff (doc_id % 10 < 8) are the already-curated table, the
     // rest is today's increment; the increment is curated independently
@@ -1426,6 +1441,23 @@ object SparkEntry {
         |       count(*) AS n_docs, sum(n_tokens)::BIGINT AS seq_tokens,
         |       min(doc_id) AS first_doc, max(doc_id) AS last_doc
         |FROM a GROUP BY 1, 2""".stripMargin,
+    "x45_token_mix" ->
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |         len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |                         x -> x <> ''))::BIGINT AS n_tokens
+        |  FROM documents),
+        |c AS (SELECT source, sum(n_tokens)::BIGINT AS m FROM t GROUP BY source),
+        |mt AS (SELECT min(m) AS m_target FROM c),
+        |k AS (
+        |  SELECT t.source, sum(t.n_tokens)::BIGINT AS kept_tokens
+        |  FROM t JOIN c ON t.source = c.source CROSS JOIN mt
+        |  WHERE (t.doc_id % 1000000007) * 2654435761 % 100 * c.m
+        |          < mt.m_target * 100
+        |  GROUP BY t.source)
+        |SELECT c.source, c.m AS total_tokens,
+        |       coalesce(k.kept_tokens, 0) AS kept_tokens
+        |FROM c LEFT JOIN k USING (source)""".stripMargin,
     "x44_incremental_curation" ->
       """WITH e AS (
         |  SELECT doc_id,

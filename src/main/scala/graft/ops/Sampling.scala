@@ -51,11 +51,23 @@ object Sampling {
     * and the kept set is engine- and partitioning-independent.
     */
   def rebalance(df: DataFrame, domainCol: String, keyCol: String,
-                buckets: Int = 100): DataFrame = {
-    val counts = df.groupBy(domainCol).agg(count(lit(1)).as("n_domain"))
-    val rates = counts.crossJoin(counts.agg(min("n_domain").as("n_target")))
+                buckets: Int = 100): DataFrame =
+    rebalanceBy(df, domainCol, keyCol, lit(1L), buckets)
+
+  /** `rebalance` weighted by an arbitrary per-row mass (token counts in
+    * a training mixture: a domain of few huge docs is as heavy as one
+    * of many small docs). Keep-rate per domain = min domain mass /
+    * domain mass; the keep decision stays per-ROW integer arithmetic on
+    * the row key, so the expected KEPT MASS of every domain approaches
+    * the smallest domain's and the sample remains engine- and
+    * partitioning-independent.
+    */
+  def rebalanceBy(df: DataFrame, domainCol: String, keyCol: String,
+                  weight: Column, buckets: Int = 100): DataFrame = {
+    val masses = df.groupBy(domainCol).agg(sum(weight).as("m_domain"))
+    val rates = masses.crossJoin(masses.agg(min("m_domain").as("m_target")))
     df.join(broadcast(rates), Seq(domainCol))
-      .filter(hashBucket(col(keyCol), buckets) * col("n_domain") <
-        col("n_target") * buckets)
+      .filter(hashBucket(col(keyCol), buckets) * col("m_domain") <
+        col("m_target") * buckets)
   }
 }

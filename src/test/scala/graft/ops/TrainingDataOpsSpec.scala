@@ -152,6 +152,21 @@ class TrainingDataOpsSpec extends SparkSpec {
     assert(ids1 == ids2)
   }
 
+  test("rebalanceBy targets token MASS, not doc count") {
+    // books: one 10-token doc (mass 10). web: 100 ten-token docs (mass
+    // 1000, rate 1%). books keep everything; web's kept mass heads
+    // toward ~10 and must stay far below its total
+    val docs = ((0L to 0L).map(id => (id, "books", 10L)) ++
+      (100L until 200L).map(id => (id, "web", 10L)))
+      .toDF("doc_id", "source", "n_tokens")
+    val kept = Sampling.rebalanceBy(docs, "source", "doc_id", col("n_tokens"))
+      .groupBy("source").agg(sum("n_tokens").as("m")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kept("books") == 10L, s"smallest-mass domain must keep all: $kept")
+    assert(kept.getOrElse("web", 0L) <= 200L,
+      s"web kept mass should collapse toward ~10, got $kept")
+  }
+
   test("repetition ratio counts duplicate 2-grams; short docs are exempt") {
     val df = Seq(
       (1L, "a b a b a b"), // grams: ab ba ab ba ab → 5 total, 2 distinct
