@@ -749,6 +749,31 @@ object SparkEntry {
         .groupBy("doc_id").agg(count(lit(1)).as("n_frames"),
           sum(length(col("frame_bytes"))).as("total_bytes"))),
 
+    // frame-level exact dedup: hash every sampled frame and report the
+    // duplicate groups with their keeper — the multimodal twin of exact
+    // text dedup (identical frames across videos collapse to one copy).
+    // Docs with doc_id % 20 == 3 are re-emitted under id+1000000 as
+    // deterministic "re-uploads" so the dup groups are non-vacuous at
+    // every sf (the natural corpus has none at sf0.01); the keeper is
+    // always the original. Frame slicing is deterministic byte
+    // arithmetic over ASCII text, so DuckDB reproduces the md5s exactly
+    "x48_frame_dedup" -> ((s, d) => {
+      val base = docs(s, d)
+      val withReuploads = base.select(col("doc_id"), col("text"))
+        .unionByName(base.filter(col("doc_id") % 20 === 3)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      val frames = Multimodal.frameSample(s,
+        Multimodal.withPayload(withReuploads, "doc_id", "text")).toDF()
+      frames.select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"),
+          md5(col("frame_bytes")).as("h"))
+        .groupBy("h").agg(count(lit(1)).as("n_copies"),
+          min(struct(col("doc_id"), col("frame_idx"))).as("keeper"))
+        .filter(col("n_copies") >= 2)
+        .select(col("h"), col("n_copies"),
+          col("keeper.doc_id").as("keeper_doc"),
+          col("keeper.frame_idx").as("keeper_frame"))
+    }),
+
     // ---- training-data curation additions ----
     // benchmark decontamination: docs with doc_id % 20 == 0 stand in for
     // the eval set; training docs sharing any word 8-gram with it are
@@ -1482,6 +1507,28 @@ object SparkEntry {
         |       count(*) AS n_docs, sum(n_tokens)::BIGINT AS seq_tokens,
         |       min(doc_id) AS first_doc, max(doc_id) AS last_doc
         |FROM a GROUP BY 1, 2""".stripMargin,
+    "x48_frame_dedup" ->
+      """WITH d AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 20 = 3),
+        |b AS (
+        |  SELECT doc_id, text, length(text) AS n,
+        |         least(4, greatest(1, length(text) // 8)) AS fr
+        |  FROM d),
+        |f AS (
+        |  SELECT doc_id, u.i AS frame_idx,
+        |         md5(substring(text, (u.i * n // fr)::INT + 1,
+        |             ((u.i + 1) * n // fr - u.i * n // fr)::INT)) AS h
+        |  FROM b, UNNEST(range(0, fr)) AS u(i))
+        |SELECT h, n_copies, doc_id AS keeper_doc, frame_idx AS keeper_frame
+        |FROM (
+        |  SELECT h, doc_id, frame_idx,
+        |         count(*) OVER (PARTITION BY h) AS n_copies,
+        |         row_number() OVER (PARTITION BY h
+        |                            ORDER BY doc_id, frame_idx) AS rn
+        |  FROM f)
+        |WHERE rn = 1 AND n_copies >= 2""".stripMargin,
     "x46_corpus_stats" ->
       """WITH s AS (
         |  SELECT source,
