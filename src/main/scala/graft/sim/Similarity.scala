@@ -130,57 +130,70 @@ object Similarity {
     * probing broadcast the (tiny) centroid set; the corpus is scanned
     * once per Lloyd pass + once for the final assignment.
     */
-  def cosineTopKIvf(emb: DataFrame, idCol: String, vecCol: String,
-                    queryPred: Column, nlist: Int = 16, nprobe: Int = 2,
-                    k: Int = 5, refineIters: Int = 1): DataFrame = {
-    val corpus = emb.select(col(idCol).as("nid"), asDouble(col(vecCol)).as("nvec"))
-    // deterministic hash-spread centroid sample: order by hash(id) and
-    // take nlist — compiles to TakeOrderedAndProject (per-partition
-    // top-nlist, no global sort, no extra count pass), same centroids at
-    // any partitioning, and well-defined for any corpus size
-    var centroids = corpus
-      .orderBy(pmod(hash(col("nid")), lit(1000003)).asc, col("nid").asc)
-      .limit(nlist)
-      .select(col("nid").as("cid"), col("nvec").as("cvec"))
-    // argmax via max_by over a (csim, -cid) ordering struct — the nlist
-    // candidate rows for a vector are co-located after the broadcast
-    // join, so the agg partial-aggregates map-side and exchanges ONE row
-    // per vector; the row_number window this replaces shuffled and sorted
-    // corpus×nlist rows. Tiebreak (-cid ⇒ min cid on equal csim) matches
-    // the window's (csim desc, cid asc).
-    def assign(cs: DataFrame): DataFrame = corpus.crossJoin(broadcast(cs))
+  /** Corpus→nearest-centroid assignment. Argmax via max_by over a
+    * (csim, -cid) ordering struct — the nlist candidate rows for a
+    * vector are co-located after the broadcast join, so the agg
+    * partial-aggregates map-side and exchanges ONE row per vector; the
+    * row_number window this replaces shuffled and sorted corpus×nlist
+    * rows. Tiebreak (-cid ⇒ min cid on equal csim) matches the
+    * window's (csim desc, cid asc).
+    */
+  private def ivfAssign(corpus: DataFrame, cs: DataFrame): DataFrame =
+    corpus.crossJoin(broadcast(cs))
       .select(col("nid"), col("nvec"), col("cid"),
         round(cosine(col("nvec"), col("cvec")), 6).as("csim"))
       .groupBy("nid")
       .agg(max_by(struct(col("cid"), col("nvec")),
         struct(col("csim"), negate(col("cid")))).as("best"))
       .select(col("nid"), col("best.nvec").as("nvec"), col("best.cid").as("cid"))
+
+  /** IVF coarse quantizer: deterministic hash-spread init (order by
+    * hash(id), take nlist — compiles to TakeOrderedAndProject: per-
+    * partition top-nlist, no global sort, same centroids at any
+    * partitioning) + `refineIters` Lloyd passes. The result is pinned
+    * with an eager localCheckpoint (nlist rows): the post-Lloyd plan
+    * contains a full corpus assign, and BOTH the final assignment and
+    * the query probes consume it — uncheckpointed they would each
+    * re-run the whole refine subtree (measured 9.8× on the bench).
+    */
+  private def ivfTrain(corpus: DataFrame, nlist: Int,
+                       refineIters: Int): DataFrame = {
+    var centroids = corpus
+      .orderBy(pmod(hash(col("nid")), lit(1000003)).asc, col("nid").asc)
+      .limit(nlist)
+      .select(col("nid").as("cid"), col("nvec").as("cvec"))
     for (_ <- 0 until refineIters) {
-      centroids = assign(centroids)
+      centroids = ivfAssign(corpus, centroids)
         .select(col("cid"), posexplode(col("nvec")).as(Seq("pos", "v")))
         .groupBy("cid", "pos").agg(avg("v").as("m"))
         .groupBy("cid")
         .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
           s => s.getField("m")).as("cvec"))
     }
-    // pin the refined centroids (nlist rows): the post-Lloyd plan contains
-    // a full corpus assign, and BOTH the final assignment and the query
-    // probes consume it — uncheckpointed they would each re-run the whole
-    // refine subtree (measured 9.8× on the bench). Eager localCheckpoint
-    // materializes it once and cuts the lineage.
-    centroids = centroids.localCheckpoint(true)
-    // inverted lists: each corpus vector → its nearest (refined) centroid
-    val assigned = assign(centroids)
-    // queries probe their nprobe nearest centroid lists
-    val queries = emb.filter(queryPred)
-      .select(col(idCol).as("qid"), asDouble(col(vecCol)).as("qvec"))
-    val probes = queries.crossJoin(broadcast(centroids))
+    centroids.localCheckpoint(true)
+  }
+
+  /** Each query's `nprobe` nearest centroid lists: (qid, qvec, cid). */
+  private def ivfProbes(queries: DataFrame, centroids: DataFrame,
+                        nprobe: Int): DataFrame =
+    queries.crossJoin(broadcast(centroids))
       .select(col("qid"), col("qvec"), col("cid"),
         round(cosine(col("qvec"), col("cvec")), 6).as("csim"))
       .withColumn("rn", row_number().over(
         Window.partitionBy("qid").orderBy(col("csim").desc, col("cid").asc)))
       .filter(col("rn") <= nprobe).select("qid", "qvec", "cid")
-    val scored = assigned.join(broadcast(probes), Seq("cid"))
+
+  def cosineTopKIvf(emb: DataFrame, idCol: String, vecCol: String,
+                    queryPred: Column, nlist: Int = 16, nprobe: Int = 2,
+                    k: Int = 5, refineIters: Int = 1): DataFrame = {
+    val corpus = emb.select(col(idCol).as("nid"), asDouble(col(vecCol)).as("nvec"))
+    val centroids = ivfTrain(corpus, nlist, refineIters)
+    // inverted lists: each corpus vector → its nearest (refined) centroid
+    val assigned = ivfAssign(corpus, centroids)
+    val queries = emb.filter(queryPred)
+      .select(col(idCol).as("qid"), asDouble(col(vecCol)).as("qvec"))
+    val scored = assigned
+      .join(broadcast(ivfProbes(queries, centroids, nprobe)), Seq("cid"))
       .filter(col("nid") =!= col("qid"))
       .select(col("qid"), col("nid"),
         round(cosine(col("qvec"), col("nvec")), 6).as("sim"))
@@ -236,66 +249,78 @@ object Similarity {
     * train the codebook on a sample and compose this with IVF lists
     * (the API keeps the stages separable for exactly that reason).
     */
-  def cosineTopKPq(emb: DataFrame, idCol: String, vecCol: String,
-                   queryPred: Column, dim: Int, m: Int = 16, ksub: Int = 32,
-                   shortlist: Int = 100, k: Int = 5,
-                   refineIters: Int = 1): DataFrame = {
-    require(dim % m == 0, s"dim $dim must split into $m subspaces")
-    val sub = dim / m
+  /** Unit-normalized (id, vec) frame (zero vectors pass through). */
+  private def unitBase(emb: DataFrame, idCol: String, vecCol: String): DataFrame = {
     val norm = sqrt(dot(col("vec"), col("vec")))
-    val base = emb.select(col(idCol).as("id"), asDouble(col(vecCol)).as("vec"))
+    emb.select(col(idCol).as("id"), asDouble(col(vecCol)).as("vec"))
       .select(col("id"), when(norm === 0, col("vec"))
         .otherwise(transform(col("vec"), x => x / norm)).as("vec"))
-    // (id, msub, svec): the subvector frame both training and encoding read
-    val svecs = base.select(col("id"),
+  }
+
+  /** (id, msub, svec): the subvector frame training and encoding read. */
+  private def pqSvecs(base: DataFrame, m: Int, sub: Int): DataFrame =
+    base.select(col("id"),
       posexplode(transform(sequence(lit(0), lit(m - 1)),
         i => slice(col("vec"), i * sub + 1, lit(sub)))).as(Seq("msub", "svec")))
-    // deterministic per-subspace init: hash-spread ksub subvectors
+
+  /** Per-subspace nearest-centroid assignment: argmin ‖a−b‖² ≡ argmax
+    * (a·b − ‖b‖²/2) with ‖b‖²/2 precomputed per centroid, so the hot
+    * loop runs the NATIVE codegen'd dot product instead of an
+    * interpreted zip_with (HOFs are CodegenFallback — measured ~2× on
+    * the whole query). max_by on (score, -cid): the ksub candidates for
+    * a subvector are co-located after the broadcast join, so the agg
+    * partial-aggregates map-side (IVF discipline).
+    */
+  private def pqNearest(svecs: DataFrame, cb: DataFrame): DataFrame = {
+    val scored = cb.select(col("msub"), col("cid"), col("cvec"),
+      (dot(col("cvec"), col("cvec")) / 2).as("cnorm"))
+    svecs.join(broadcast(scored), Seq("msub"))
+      .select(col("id"), col("msub"), col("svec"), col("cid"),
+        round(dot(col("svec"), col("cvec")) - col("cnorm"), 9).as("score"))
+      .groupBy("id", "msub")
+      .agg(max_by(struct(col("cid"), col("svec")),
+        struct(col("score"), negate(col("cid")))).as("best"))
+      .select(col("id"), col("msub"), col("best.cid").as("cid"),
+        col("best.svec").as("svec"))
+  }
+
+  /** Per-subspace codebooks: deterministic hash-spread init + Lloyd
+    * passes, pinned with an eager localCheckpoint (m·ksub rows) so the
+    * encode and query consumers don't re-run the training subtree.
+    */
+  private def pqCodebook(svecs: DataFrame, ksub: Int,
+                         refineIters: Int): DataFrame = {
     var codebook = svecs.withColumn("rn", row_number().over(
         Window.partitionBy("msub")
           .orderBy(pmod(hash(col("id")), lit(1000003)).asc, col("id").asc)))
       .filter(col("rn") <= ksub)
       .select(col("msub"), (col("rn") - 1).cast("int").as("cid"),
         col("svec").as("cvec"))
-    // Lloyd in each subspace: argmin ‖a−b‖² ≡ argmax (a·b − ‖b‖²/2)
-    // with ‖b‖²/2 precomputed per centroid, so the hot loop runs the
-    // NATIVE codegen'd dot product instead of an interpreted zip_with
-    // (HOFs are CodegenFallback — measured ~2× on the whole query).
-    // max_by on (score, -cid): the ksub candidates for a subvector are
-    // co-located after the broadcast join, so the agg partial-aggregates
-    // map-side (IVF discipline)
-    def nearest(cb: DataFrame): DataFrame = {
-      val scored = cb.select(col("msub"), col("cid"), col("cvec"),
-        (dot(col("cvec"), col("cvec")) / 2).as("cnorm"))
-      svecs.join(broadcast(scored), Seq("msub"))
-        .select(col("id"), col("msub"), col("svec"), col("cid"),
-          round(dot(col("svec"), col("cvec")) - col("cnorm"), 9).as("score"))
-        .groupBy("id", "msub")
-        .agg(max_by(struct(col("cid"), col("svec")),
-          struct(col("score"), negate(col("cid")))).as("best"))
-        .select(col("id"), col("msub"), col("best.cid").as("cid"),
-          col("best.svec").as("svec"))
-    }
     for (_ <- 0 until refineIters) {
-      codebook = nearest(codebook)
+      codebook = pqNearest(svecs, codebook)
         .select(col("msub"), col("cid"), posexplode(col("svec")).as(Seq("pos", "v")))
         .groupBy("msub", "cid", "pos").agg(avg("v").as("mv"))
         .groupBy("msub", "cid")
         .agg(transform(array_sort(collect_list(struct(col("pos"), col("mv")))),
           s => s.getField("mv")).as("cvec"))
     }
-    codebook = codebook.localCheckpoint(true)
-    // encode: m codes per vector, assembled in subspace order
-    val codes = nearest(codebook)
+    codebook.localCheckpoint(true)
+  }
+
+  /** PQ codes per vector, assembled in subspace order: (id, codes). */
+  private def pqEncode(svecs: DataFrame, codebook: DataFrame): DataFrame =
+    pqNearest(svecs, codebook)
       .groupBy("id")
       .agg(transform(array_sort(collect_list(struct(col("msub"), col("cid")))),
         s => s.getField("cid")).as("codes"))
-    // per-query ADC tables: dtab[msub][cid] = inner product of the
-    // query subvector with the centroid (unit-norm vectors ⇒ summed
-    // subspace IPs = cosine estimate)
-    val queries = base.filter(queryPred)
-      .select(col("id").as("qid"), col("vec").as("qvec"))
-    val dtabs = queries.crossJoin(broadcast(codebook))
+
+  /** Per-query ADC tables: dtab[msub][cid] = inner product of the query
+    * subvector with the centroid (unit-norm vectors ⇒ summed subspace
+    * IPs = cosine estimate). Output: (qid, qvec, dtabs).
+    */
+  private def pqDtabs(queries: DataFrame, codebook: DataFrame,
+                      sub: Int): DataFrame =
+    queries.crossJoin(broadcast(codebook))
       .select(col("qid"), col("qvec"), col("msub"), col("cid"),
         dot(slice(col("qvec"), col("msub") * sub + 1, lit(sub)),
           col("cvec")).as("ip"))
@@ -305,14 +330,16 @@ object Similarity {
       .groupBy("qid", "qvec")
       .agg(transform(array_sort(collect_list(struct(col("msub"), col("tab")))),
         s => s.getField("tab")).as("dtabs"))
-    // ADC: score CODES against the broadcast tables, shortlist, then
-    // rerank the shortlist with true vectors for the exact final order
-    val adc = codes.crossJoin(broadcast(dtabs))
-      .filter(col("id") =!= col("qid"))
-      .select(col("qid"), col("qvec"), col("id").as("nid"),
-        round(aggregate(zip_with(col("codes"), col("dtabs"),
-          (c, t) => element_at(t, c.cast("int") + 1)),
-          lit(0.0d), (acc, v) => acc + v), 6).as("sim_pq"))
+
+  /** ADC lookup sum for a (codes, dtabs) row pair. */
+  private def adcSim: Column =
+    round(aggregate(zip_with(col("codes"), col("dtabs"),
+      (c, t) => element_at(t, c.cast("int") + 1)),
+      lit(0.0d), (acc, v) => acc + v), 6)
+
+  /** Shortlist by ADC score, then rerank with TRUE vectors. */
+  private def pqShortlistRerank(adc: DataFrame, base: DataFrame,
+                                shortlist: Int, k: Int): DataFrame = {
     val wShort = Window.partitionBy("qid")
       .orderBy(col("sim_pq").desc, col("nid").asc)
     val short = adc.withColumn("rn", row_number().over(wShort))
@@ -324,5 +351,57 @@ object Similarity {
     val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("nid").asc)
     reranked.withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= k)
+  }
+
+  def cosineTopKPq(emb: DataFrame, idCol: String, vecCol: String,
+                   queryPred: Column, dim: Int, m: Int = 16, ksub: Int = 32,
+                   shortlist: Int = 100, k: Int = 5,
+                   refineIters: Int = 1): DataFrame = {
+    require(dim % m == 0, s"dim $dim must split into $m subspaces")
+    val sub = dim / m
+    val base = unitBase(emb, idCol, vecCol)
+    val svecs = pqSvecs(base, m, sub)
+    val codebook = pqCodebook(svecs, ksub, refineIters)
+    val codes = pqEncode(svecs, codebook)
+    val queries = base.filter(queryPred)
+      .select(col("id").as("qid"), col("vec").as("qvec"))
+    val adc = codes.crossJoin(broadcast(pqDtabs(queries, codebook, sub)))
+      .filter(col("id") =!= col("qid"))
+      .select(col("qid"), col("qvec"), col("id").as("nid"), adcSim.as("sim_pq"))
+    pqShortlistRerank(adc, base, shortlist, k)
+  }
+
+  /** IVF-PQ: the production ANN composition — the coarse quantizer
+    * prunes WHICH vectors a query scores (its `nprobe` inverted lists),
+    * PQ compresses WHAT gets scored (m-byte codes via ADC lookups), and
+    * the exact rerank restores precision on the shortlist. Work per
+    * query is O(nlist + nprobe·corpus/nlist ADC lookups + shortlist
+    * true dots) — both corpus-size terms bounded, which is what the
+    * plain-PQ scaling note demands at 100×. The codes⋈lists join is
+    * one-row-per-vector on both sides and co-partitions by id.
+    */
+  def cosineTopKIvfPq(emb: DataFrame, idCol: String, vecCol: String,
+                      queryPred: Column, dim: Int, nlist: Int = 16,
+                      nprobe: Int = 8, m: Int = 16, ksub: Int = 32,
+                      shortlist: Int = 100, k: Int = 5,
+                      refineIters: Int = 1): DataFrame = {
+    require(dim % m == 0, s"dim $dim must split into $m subspaces")
+    val sub = dim / m
+    val base = unitBase(emb, idCol, vecCol)
+    val corpus = base.select(col("id").as("nid"), col("vec").as("nvec"))
+    val centroids = ivfTrain(corpus, nlist, refineIters)
+    val lists = ivfAssign(corpus, centroids).select("nid", "cid")
+    val svecs = pqSvecs(base, m, sub)
+    val codebook = pqCodebook(svecs, ksub, refineIters)
+    val listed = pqEncode(svecs, codebook)
+      .join(lists, col("id") === col("nid")).select("id", "cid", "codes")
+    val queries = base.filter(queryPred)
+      .select(col("id").as("qid"), col("vec").as("qvec"))
+    val probed = ivfProbes(queries, centroids, nprobe).select("qid", "cid")
+      .join(pqDtabs(queries, codebook, sub), Seq("qid"))
+    val adc = listed.join(broadcast(probed), Seq("cid"))
+      .filter(col("id") =!= col("qid"))
+      .select(col("qid"), col("qvec"), col("id").as("nid"), adcSim.as("sim_pq"))
+    pqShortlistRerank(adc, base, shortlist, k)
   }
 }
