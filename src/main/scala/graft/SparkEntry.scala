@@ -875,6 +875,11 @@ object SparkEntry {
         withPii.filter(col("doc_id") % 20 === 0),
         "doc_id", "text")
     }),
+    // bootstrap quality classifier: rule-label → bag-of-words affinity
+    // weights → score every doc (the distill-a-heuristic pattern);
+    // integer-exact arithmetic end to end, per-doc scores hash-checked
+    "x50_quality_classifier" -> ((s, d) =>
+      TextAnalysis.qualityClassifier(docs(s, d), "doc_id", "text")),
     // the curation dashboard: per-(source × quality × language) doc and
     // token totals with all cube rollups, from ONE corpus pass — the
     // monitoring query a corpus build publishes after every refresh.
@@ -1554,6 +1559,31 @@ object SparkEntry {
         |                            ORDER BY doc_id, frame_idx) AS rn
         |  FROM f)
         |WHERE rn = 1 AND n_copies >= 2""".stripMargin,
+    "x50_quality_classifier" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |                x -> x <> '') AS toks,
+        |    length(text) AS n_chars,
+        |    length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS n_punct
+        |  FROM documents),
+        |lab AS (
+        |  SELECT doc_id, toks,
+        |    (CASE WHEN len(toks) < 5 THEN 'too_short'
+        |          WHEN n_punct::DOUBLE / greatest(n_chars, 1) > 0.2 THEN 'punct_heavy'
+        |          ELSE 'ok' END) = 'ok' AS is_ok
+        |  FROM t),
+        |terms AS (
+        |  SELECT doc_id, is_ok, u.term FROM lab, UNNEST(toks) AS u(term)),
+        |w AS (
+        |  SELECT term,
+        |         (sum(CASE WHEN is_ok THEN 1 ELSE 0 END)::BIGINT + 1) * 1000000
+        |           // (count(*)::BIGINT + 2) - 500000 AS w_micro
+        |  FROM terms GROUP BY term)
+        |SELECT terms.doc_id, sum(w.w_micro)::BIGINT AS score_micro,
+        |       sum(w.w_micro) >= 0 AS pred_ok
+        |FROM terms JOIN w USING (term)
+        |GROUP BY terms.doc_id""".stripMargin,
     "x46_corpus_stats" ->
       """WITH s AS (
         |  SELECT source,

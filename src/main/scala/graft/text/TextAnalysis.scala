@@ -324,4 +324,37 @@ object TextAnalysis {
       (acc, tok) => pmod(acc * lit(131L) + tokHash(tok), lit(m)))
     df.select(col(idCol), h.as("rolling_hash"))
   }
+
+  /** Bootstrap quality classifier — distill the heuristic quality gate
+    * into a bag-of-words affinity model (the CCNet/GPT-3 pattern:
+    * label cheaply with a rule, train a classifier, score everything
+    * with the model). Each term gets a smoothed integer affinity
+    *   w_micro = (n_ok+1)·10⁶ div (n_ok+n_junk+2) − 500000
+    * (positive ⇔ the term co-occurs with rule-passing docs) and a doc's
+    * score is the sum of its term affinities. ALL arithmetic is exact
+    * integer division and long sums — no ln/float, so the score is
+    * byte-identical across engines, partitionings, and summation
+    * orders, and the DuckDB oracle hash-checks every doc's score.
+    *
+    * Scale shape: one exploded-term pass partial-aggregates the weight
+    * table (vocabulary-sized — broadcastable; persist it in production
+    * and skip the train pass on re-score), one term-keyed join + one
+    * per-doc sum scores the corpus. Output: id, score_micro, pred_ok.
+    */
+  def qualityClassifier(df: DataFrame, idCol: String,
+                        textCol: String): DataFrame = {
+    val terms = df.select(col(idCol),
+        (qualityBucketCol(col(textCol)) === "ok").as("is_ok"),
+        explode(tokens(col(textCol))).as("term"))
+    val weights = terms.groupBy("term").agg(
+        sum(when(col("is_ok"), 1L).otherwise(0L)).as("n_ok"),
+        sum(when(!col("is_ok"), 1L).otherwise(0L)).as("n_junk"))
+      .select(col("term"),
+        (expr("(n_ok + 1L) * 1000000L DIV (n_ok + n_junk + 2L)") -
+          500000L).as("w_micro"))
+    terms.join(broadcast(weights), Seq("term"))
+      .groupBy(idCol)
+      .agg(sum("w_micro").as("score_micro"))
+      .withColumn("pred_ok", col("score_micro") >= 0)
+  }
 }

@@ -152,6 +152,21 @@ class TrainingDataOpsSpec extends SparkSpec {
     assert(ids1 == ids2)
   }
 
+  test("quality classifier learns term affinities from the rule labels") {
+    // d1/d2 pass the heuristic gate, d3 is too_short junk. 'bad'/'junk'
+    // occur only in junk → w = (0+1)·10⁶ div 3 − 5·10⁵ = −166667 each,
+    // so d3 scores exactly −333334 and classifies negative; the ok docs
+    // are sums of positive-affinity terms
+    val df = Seq(
+      (1L, "good words appear here often today"),
+      (2L, "good words appear here again tomorrow"),
+      (3L, "bad junk")).toDF("doc_id", "text")
+    val out = TextAnalysis.qualityClassifier(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    assert(out(3L) == ((-333334L, false)), s"junk doc mis-scored: $out")
+    assert(out(1L)._2 && out(2L)._2, s"ok docs must classify positive: $out")
+  }
+
   test("rebalanceBy targets token MASS, not doc count") {
     // books: one 10-token doc (mass 10). web: 100 ten-token docs (mass
     // 1000, rate 1%). books keep everything; web's kept mass heads
