@@ -147,6 +147,15 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), s"rates not broadcast in:\n$p")
   }
 
+  test("x49: the IVF-PQ ADC scan joins codes to broadcast probes on the " +
+    "list key — pruning happens in the join, not a post-filter") {
+    val p = plan("x49_ivfpq_recall")
+    // the codes⋈probes join must be a broadcast hash join keyed on cid:
+    // a query's ADC work is bounded by its nprobe lists by construction
+    assert(p.contains("BroadcastHashJoin [cid"),
+      s"ADC scan not pruned by a cid-keyed broadcast join in:\n$p")
+  }
+
   test("x39: repetition scoring is map-only — gram stats without explode") {
     val exec = planNoAqe("x39_repetition")
     assert(shuffles(exec).isEmpty, s"repetition should not shuffle:\n$exec")
