@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.ops._
 import graft.pipelines.{Curation, Ecommerce, Iot, PetsNutrition}
@@ -85,6 +85,31 @@ object SparkEntry {
   private def sinkScratch(prefix: String): String =
     java.nio.file.Files
       .createTempDirectory(sinkScratchRoot, prefix).toString
+
+  /** Deterministic FIXED-COUNT sample predicate over an integral key:
+    * keeps ~`target` rows regardless of table size by spreading the key
+    * over count/target buckets (Knuth hash, `Sampling.hashBucket`) and
+    * keeping bucket 0. The recall gates' query/probe sets use this so
+    * their brute-force truth passes cost O(target · corpus) — LINEAR in
+    * corpus size — where the old modulo predicates made Q ∝ corpus and
+    * the truth pass quadratic (the one measured super-linear path in
+    * PLANS.md's 10× table). The count() is one metadata-cheap job; the
+    * DuckDB twin recomputes the same bucket arithmetic from count(*),
+    * so n_queries stays cross-engine-checked.
+    */
+  private def fixedCountBuckets(df: DataFrame, target: Long): Int =
+    math.max(1L, df.count() / target).toInt
+
+  private def fixedCountPred(df: DataFrame, keyCol: String, target: Long): Column =
+    Sampling.hashBucket(col(keyCol), fixedCountBuckets(df, target)) === 0
+
+  /** The DuckDB twin of [[fixedCountPred]] as SQL text (same Knuth
+    * spread, same floor-divided bucket count from the same row count).
+    */
+  private def fixedCountPredSql(table: String, keyCol: String,
+                                target: Long): String =
+    s"(($keyCol % 1000000007) * 2654435761) % " +
+      s"(SELECT greatest(count(*) // $target, 1) FROM $table) = 0"
 
   /** Fixture payload for the JSON-shredding family (S3/F13/J4/A8/F12) —
     * single source of truth in the pipeline object; the q14 oracle's
@@ -272,6 +297,40 @@ object SparkEntry {
         withCut.filter(col("day") >= col("cutoff")).drop("cutoff"), tmp, "day")
       s.read.parquet(tmp).select("day", "avg_value", "n")
     }),
+    // K3 insert-if-absent DISK sink under the oracle gate (q09 pins the
+    // anti-join logic; this pins the storage round-trip): seed the target
+    // with the %3 rows, then appendIfAbsent the %2 rows — the %6 overlap
+    // must NOT duplicate. Read-back = rows with event_id %3==0 OR %2==0,
+    // an identity the oracle states directly; an append-without-anti-join
+    // fails the row count, a truncate-instead-of-append loses %3 rows.
+    "q46_sink_append_absent" -> ((s, d) => {
+      val tmp = sinkScratch("q46") + "/events_sink"
+      val events = ev(s, d).select("event_id", "event_type", "user_id")
+      graft.sources.Sinks.truncateReload(
+        events.filter(col("event_id") % 3 === 0), tmp)
+      graft.sources.Sinks.appendIfAbsent(
+        events.filter(col("event_id") % 2 === 0), tmp, Seq("event_id"))
+      s.read.parquet(tmp)
+    }),
+    // K4 upsert DISK sink under the oracle gate (q11/q32 pin the merge
+    // logic; this pins the staging-swap storage round-trip): load the
+    // full frame, then upsert a batch that UPDATES the %4 keys (value
+    // bumped by 1000) and INSERTS fresh keys (+10000000 ids for the %5==1
+    // rows). The read-back must show updated, untouched, and inserted
+    // rows exactly — an incoming-loses merge, a dropped-history swap, or
+    // a double-apply all fail the hash.
+    "q47_sink_upsert_reload" -> ((s, d) => {
+      val tmp = sinkScratch("q47") + "/events_sink"
+      val events = ev(s, d).select("event_id", "event_type", "user_id")
+      graft.sources.Sinks.truncateReload(events, tmp)
+      val updates = events.filter(col("event_id") % 4 === 0)
+        .withColumn("user_id", col("user_id") + 1000L)
+      val inserts = events.filter(col("event_id") % 5 === 1)
+        .withColumn("event_id", col("event_id") + 10000000L)
+      graft.sources.Sinks.upsertReload(updates.unionByName(inserts),
+        tmp, Seq("event_id"))
+      s.read.parquet(tmp)
+    }),
 
     // ---- sorts / set ops / arrays (T1-T3, U1, J3, A8, F12) ----
     "q15_latest_event" -> ((s, d) =>
@@ -365,11 +424,23 @@ object SparkEntry {
     // cross-engine-checked, recall_ok has a literal-TRUE oracle — a
     // banding regression fails the hash gate instead of hiding rows-only
     "x33_minhash_recall" -> ((s, d) => {
+      // FIXED-COUNT probe-side sample (~200 docs at any sf): both the
+      // exact-truth join and the banded candidate join only expand pairs
+      // whose smaller id is sampled, so the gate's cost — and its truth
+      // size (~14 pairs at sf0.01 AND sf0.1, measured) — stays flat as
+      // the corpus grows, while the full enumeration it replaced scaled
+      // with total pair density. Recall over a deterministic pair sample
+      // is exact on that sample, not an estimate of something else.
+      // (NearDup's internal frames spell the key `id`.)
+      val probe = Some(Sampling.hashBucket(col("id"),
+        fixedCountBuckets(docs(s, d), target = 200)) === 0)
       val sh = NearDup.shingles(docs(s, d), "doc_id", "text", k = 3).cache()
-      val exact = NearDup.jaccardPairsOver(sh, threshold = 0.5)
+      val exact = NearDup.jaccardPairsOver(sh, threshold = 0.5,
+          probePred = probe)
         .select("doc_a", "doc_b")
       val lsh = NearDup.minhashLshPairsOver(sh, numHashes = 16, bands = 4,
-          threshold = 0.2, maxBucketSize = Some(200), cacheBands = true)
+          threshold = 0.2, maxBucketSize = Some(200), cacheBands = true,
+          probePred = probe)
         .select("doc_a", "doc_b")
       val hits = exact.join(lsh, Seq("doc_a", "doc_b"), "left_semi")
         .agg(count(lit(1)).as("hits"))
@@ -386,11 +457,15 @@ object SparkEntry {
     // land well inside that, so coverage of the j ≥ 0.5 exact pairs must
     // stay ≥ 50%
     "x34_simhash_recall" -> ((s, d) => {
+      // same fixed-count probe-side sample as x33 (shared truth set)
+      val probe = Some(Sampling.hashBucket(col("id"),
+        fixedCountBuckets(docs(s, d), target = 200)) === 0)
       val exact = NearDup.jaccardPairs(docs(s, d), "doc_id", "text",
-          k = 3, threshold = 0.5, cacheShingles = true)
+          k = 3, threshold = 0.5, cacheShingles = true, probePred = probe)
         .select("doc_a", "doc_b")
       val sim = NearDup.simhashPairs(docs(s, d), "doc_id", "text",
-          maxHamming = 8, maxBucketSize = Some(200), cacheBands = true)
+          maxHamming = 8, maxBucketSize = Some(200), cacheBands = true,
+          probePred = probe)
         .select("doc_a", "doc_b")
       val hits = exact.join(sim, Seq("doc_a", "doc_b"), "left_semi")
         .agg(count(lit(1)).as("hits"))
@@ -425,15 +500,20 @@ object SparkEntry {
     // (gated by x35) at linear extra cost — the production LSH-ANN shape
     "x06_cosine_lsh" -> ((s, d) =>
       Similarity.cosineTopKLsh(Tables.embeddings(s, d), "vec_id", "embedding",
-        col("nid") % 50 === 0, dim = 64, k = 5, nbits = 6, tables = 8)),
-    // recall gate for the bucketed ANN (x06's exact configuration) vs
-    // in-plan brute force — same literal-TRUE-oracle pattern as x27
+        col("vec_id") % 50 === 0, dim = 64, k = 5, nbits = 6, tables = 8)),
+    // recall gate for the bucketed ANN (x06's configuration) vs in-plan
+    // brute force — same literal-TRUE-oracle pattern as x27. The gate's
+    // query set is a FIXED-COUNT sample (~40 queries at any sf), so the
+    // brute truth pass stays linear in corpus size where x06's modulo
+    // predicate would make it quadratic — the examiner must scale even
+    // though the examined operator is the thing under test
     "x35_lsh_ann_recall" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
+      val qp = fixedCountPred(emb, "vec_id", target = 40)
       val brute = Similarity.cosineTopK(emb, "vec_id", "embedding",
-        col("vec_id") % 50 === 0, k = 5).select("qid", "nid")
+        qp, k = 5).select("qid", "nid")
       val lsh = Similarity.cosineTopKLsh(emb, "vec_id", "embedding",
-          col("nid") % 50 === 0, dim = 64, k = 5, nbits = 6, tables = 8)
+          qp, dim = 64, k = 5, nbits = 6, tables = 8)
         .select("qid", "nid")
       val hits = brute.join(lsh, Seq("qid", "nid"), "left_semi")
         .agg(count(lit(1)).as("hits"))
@@ -441,8 +521,7 @@ object SparkEntry {
       // filter), not denom/k — a query with fewer than k brute-force
       // neighbors must not skew the cross-engine count. The recall
       // division is branched around zero: ANSI mode throws on x/0.
-      val nq = emb.filter(col("vec_id") % 50 === 0)
-        .agg(count(lit(1)).as("n_queries"))
+      val nq = emb.filter(qp).agg(count(lit(1)).as("n_queries"))
       nq.crossJoin(brute.agg(count(lit(1)).as("denom"))).crossJoin(hits)
         .select(col("n_queries"),
           when(col("denom") === 0, lit(true))
@@ -458,15 +537,18 @@ object SparkEntry {
     // misalignment) collapses straight through it
     "x47_pq_recall" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
+      // fixed-count query sample (~40 at any sf): the truth pass is
+      // O(queries · corpus) — linear in corpus — where the old modulo
+      // predicate measured 5.7× wall at 10× (PLANS.md)
+      val qp = fixedCountPred(emb, "vec_id", target = 40)
       val brute = Similarity.cosineTopK(emb, "vec_id", "embedding",
-        col("vec_id") % 50 === 0, k = 5).select("qid", "nid")
+        qp, k = 5).select("qid", "nid")
       val pq = Similarity.cosineTopKPq(emb, "vec_id", "embedding",
-          col("id") % 50 === 0, dim = 64, m = 16, ksub = 32,
+          qp, dim = 64, m = 16, ksub = 32,
           shortlist = 100, k = 5).select("qid", "nid")
       val hits = brute.join(pq, Seq("qid", "nid"), "left_semi")
         .agg(count(lit(1)).as("hits"))
-      val nq = emb.filter(col("vec_id") % 50 === 0)
-        .agg(count(lit(1)).as("n_queries"))
+      val nq = emb.filter(qp).agg(count(lit(1)).as("n_queries"))
       nq.crossJoin(brute.agg(count(lit(1)).as("denom"))).crossJoin(hits)
         .select(col("n_queries"),
           when(col("denom") === 0, lit(true))
@@ -480,15 +562,16 @@ object SparkEntry {
     // regression in either stage or in their composition
     "x49_ivfpq_recall" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
+      // fixed-count query sample, as in x47
+      val qp = fixedCountPred(emb, "vec_id", target = 40)
       val brute = Similarity.cosineTopK(emb, "vec_id", "embedding",
-        col("vec_id") % 50 === 0, k = 5).select("qid", "nid")
+        qp, k = 5).select("qid", "nid")
       val ivfpq = Similarity.cosineTopKIvfPq(emb, "vec_id", "embedding",
-          col("id") % 50 === 0, dim = 64, nlist = 16, nprobe = 8,
+          qp, dim = 64, nlist = 16, nprobe = 8,
           m = 16, ksub = 32, shortlist = 100, k = 5).select("qid", "nid")
       val hits = brute.join(ivfpq, Seq("qid", "nid"), "left_semi")
         .agg(count(lit(1)).as("hits"))
-      val nq = emb.filter(col("vec_id") % 50 === 0)
-        .agg(count(lit(1)).as("n_queries"))
+      val nq = emb.filter(qp).agg(count(lit(1)).as("n_queries"))
       nq.crossJoin(brute.agg(count(lit(1)).as("denom"))).crossJoin(hits)
         .select(col("n_queries"),
           when(col("denom") === 0, lit(true))
@@ -534,16 +617,17 @@ object SparkEntry {
     // the faster nprobe=2 profile
     "x27_ann_recall" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
+      // fixed-count query sample, as in x35/x47/x49
+      val qp = fixedCountPred(emb, "vec_id", target = 40)
       val brute = Similarity.cosineTopK(emb, "vec_id", "embedding",
-        col("vec_id") % 50 === 0, k = 5).select("qid", "nid")
+        qp, k = 5).select("qid", "nid")
       val ivf = Similarity.cosineTopKIvf(emb, "vec_id", "embedding",
-        col("vec_id") % 50 === 0, nlist = 16, nprobe = 4, k = 5)
+        qp, nlist = 16, nprobe = 4, k = 5)
         .select("qid", "nid")
       val hits = brute.join(ivf, Seq("qid", "nid"), "left_semi")
         .agg(count(lit(1)).as("hits"))
       // same n_queries definition + ANSI zero-branch as x35
-      val nq = emb.filter(col("vec_id") % 50 === 0)
-        .agg(count(lit(1)).as("n_queries"))
+      val nq = emb.filter(qp).agg(count(lit(1)).as("n_queries"))
       nq.crossJoin(brute.agg(count(lit(1)).as("denom"))).crossJoin(hits)
         .select(col("n_queries"),
           when(col("denom") === 0, lit(true))
@@ -778,7 +862,14 @@ object SparkEntry {
     // deterministic "re-uploads" so the dup groups are non-vacuous at
     // every sf (the natural corpus has none at sf0.01); the keeper is
     // always the original. Frame slicing is deterministic byte
-    // arithmetic over ASCII text, so DuckDB reproduces the md5s exactly
+    // arithmetic over ASCII text, so DuckDB reproduces the md5s exactly.
+    // ASCII-ONLY INVARIANT: Spark slices UTF-8 BYTES (frameSample works
+    // on the binary payload) while the DuckDB twin slices CHARACTERS
+    // (its md5 has no BLOB overload here) — one multi-byte character
+    // would silently desynchronize frame boundaries between engines.
+    // The invariant holds for the driver's fixtures at every sf and is
+    // spec-pinned (FixtureInvariantSpec fails loudly if a future
+    // fixture breaks it).
     "x48_frame_dedup" -> ((s, d) => {
       val base = docs(s, d)
       val withReuploads = base.select(col("doc_id"), col("text"))
@@ -842,8 +933,11 @@ object SparkEntry {
         "(a, b) -> CAST(a AS DOUBLE) * b), 0D, (acc, x) -> acc + x)")
       val normOk = emb.agg(
         coalesce(max(abs(dot - 1.0)) < 1e-3, lit(true)).as("norm_ok"))
+      // fixed-count query sample over the DOCS table (~50 at any sf):
+      // keeps this gate's brute-force pass linear in corpus size
+      val qp = fixedCountPred(docs(s, d), "doc_id", target = 50)
       val topk = Similarity.cosineTopK(emb, "doc_id", "embedding",
-        col("doc_id") % 100 === 0, k = 3)
+        qp, k = 3)
       val w = Window.partitionBy("qid").orderBy("rnk")
       val per = topk.withColumn("prev_sim", lag("sim", 1).over(w))
         .groupBy("qid").agg(count(lit(1)).as("cnt"),
@@ -855,8 +949,7 @@ object SparkEntry {
         coalesce(max("ooo") === 0, lit(true)).as("order_ok"),
         coalesce(min("min_sim") >= -1.000001 &&
           max("max_sim") <= 1.000001, lit(true)).as("bounds_ok"))
-      val nq = emb.filter(col("doc_id") % 100 === 0)
-        .agg(count(lit(1)).as("n_queries"))
+      val nq = emb.filter(qp).agg(count(lit(1)).as("n_queries"))
       nq.crossJoin(gates).crossJoin(normOk)
         .select("n_queries", "shape_ok", "norm_ok", "order_ok", "bounds_ok")
     }),
@@ -957,24 +1050,25 @@ object SparkEntry {
     * recall boolean itself is the in-plan invariant (literal TRUE here).
     */
   private val exactPairsGateSql: String =
-    """WITH toks AS (
-      |  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'),
-      |                             x -> x <> '') AS t
-      |  FROM documents),
-      |sh AS (
-      |  SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle
-      |  FROM toks, UNNEST(range(1, len(t) - 1)) AS u(i)
-      |  WHERE len(t) >= 3),
-      |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
-      |inter AS (
-      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
-      |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-      |  GROUP BY 1, 2)
-      |SELECT count(*) AS n_pairs, TRUE AS recall_ok
-      |FROM inter
-      |JOIN sizes sa ON sa.doc_id = doc_a
-      |JOIN sizes sb ON sb.doc_id = doc_b
-      |WHERE round(n_common::DOUBLE / (sa.n_sh + sb.n_sh - n_common), 4) >= 0.5""".stripMargin
+    s"""WITH toks AS (
+       |  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+       |                             x -> x <> '') AS t
+       |  FROM documents),
+       |sh AS (
+       |  SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle
+       |  FROM toks, UNNEST(range(1, len(t) - 1)) AS u(i)
+       |  WHERE len(t) >= 3),
+       |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+       |inter AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+       |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  WHERE ${fixedCountPredSql("documents", "a.doc_id", 200)}
+       |  GROUP BY 1, 2)
+       |SELECT count(*) AS n_pairs, TRUE AS recall_ok
+       |FROM inter
+       |JOIN sizes sa ON sa.doc_id = doc_a
+       |JOIN sizes sb ON sb.doc_id = doc_b
+       |WHERE round(n_common::DOUBLE / (sa.n_sh + sb.n_sh - n_common), 4) >= 0.5""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q01_iot_clean" ->
@@ -1105,6 +1199,17 @@ object SparkEntry {
         |WHERE NOT EXISTS (SELECT 1 FROM i WHERE i.event_id = e.event_id)""".stripMargin,
     "q44_sink_truncate" ->
       """SELECT event_id, event_type, user_id FROM events""".stripMargin,
+    "q46_sink_append_absent" ->
+      """SELECT event_id, event_type, user_id FROM events
+        |WHERE event_id % 3 = 0 OR event_id % 2 = 0""".stripMargin,
+    "q47_sink_upsert_reload" ->
+      """SELECT event_id, event_type,
+        |       CASE WHEN event_id % 4 = 0 THEN user_id + 1000
+        |            ELSE user_id END AS user_id
+        |FROM events
+        |UNION ALL
+        |SELECT event_id + 10000000, event_type, user_id FROM events
+        |WHERE event_id % 5 = 1""".stripMargin,
     "q45_sink_overwrite_window" ->
       """SELECT ts::DATE AS day,
         |       floor(sum(CAST(round(value * 100) AS BIGINT)) / count(value) + 0.5)
@@ -1433,17 +1538,21 @@ object SparkEntry {
         |JOIN sizes sb ON sb.doc_id = doc_b
         |WHERE round(n_common::DOUBLE / (sa.n_sh + sb.n_sh - n_common), 4) >= 0.2""".stripMargin,
     "x27_ann_recall" ->
-      """SELECT count(*) AS n_queries, TRUE AS mean_recall_ok
-        |FROM embeddings WHERE vec_id % 50 = 0""".stripMargin,
+      s"""SELECT count(*) AS n_queries, TRUE AS mean_recall_ok
+         |FROM embeddings
+         |WHERE ${fixedCountPredSql("embeddings", "vec_id", 40)}""".stripMargin,
     "x35_lsh_ann_recall" ->
-      """SELECT count(*) AS n_queries, TRUE AS recall_ok
-        |FROM embeddings WHERE vec_id % 50 = 0""".stripMargin,
+      s"""SELECT count(*) AS n_queries, TRUE AS recall_ok
+         |FROM embeddings
+         |WHERE ${fixedCountPredSql("embeddings", "vec_id", 40)}""".stripMargin,
     "x47_pq_recall" ->
-      """SELECT count(*) AS n_queries, TRUE AS recall_ok
-        |FROM embeddings WHERE vec_id % 50 = 0""".stripMargin,
+      s"""SELECT count(*) AS n_queries, TRUE AS recall_ok
+         |FROM embeddings
+         |WHERE ${fixedCountPredSql("embeddings", "vec_id", 40)}""".stripMargin,
     "x49_ivfpq_recall" ->
-      """SELECT count(*) AS n_queries, TRUE AS recall_ok
-        |FROM embeddings WHERE vec_id % 50 = 0""".stripMargin,
+      s"""SELECT count(*) AS n_queries, TRUE AS recall_ok
+         |FROM embeddings
+         |WHERE ${fixedCountPredSql("embeddings", "vec_id", 40)}""".stripMargin,
     // ONE truth-set definition for both banded-path recall gates: the
     // count of exact word-3-shingle pairs at jaccard ≥ 0.5 (gate
     // threshold+margin). Shared constant, not pasted twice — a change to
@@ -1461,9 +1570,10 @@ object SparkEntry {
         |FROM v a JOIN v b ON a.id < b.id
         |WHERE round(list_cosine_similarity(a.vec, b.vec), 6) >= 0.25""".stripMargin,
     "x40_multimodal_gate" ->
-      """SELECT count(*) AS n_queries, TRUE AS shape_ok, TRUE AS norm_ok,
-        |       TRUE AS order_ok, TRUE AS bounds_ok
-        |FROM documents WHERE doc_id % 100 = 0""".stripMargin,
+      s"""SELECT count(*) AS n_queries, TRUE AS shape_ok, TRUE AS norm_ok,
+         |       TRUE AS order_ok, TRUE AS bounds_ok
+         |FROM documents
+         |WHERE ${fixedCountPredSql("documents", "doc_id", 50)}""".stripMargin,
     // the full corpus build: every stage's DuckDB twin composed in CTE
     // order (redact → signals → gates → decontaminate → dedup → pack),
     // byte-exact because each piece is the already-proven x38/x26/x39/

@@ -15,6 +15,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftFunctions.dotProductDescriptor)
     ext.injectFunction(GraftFunctions.charNGramsDescriptor)
+    ext.injectFunction(GraftFunctions.adcLookupSumDescriptor)
   }
 }
 
@@ -49,9 +50,21 @@ object GraftFunctions {
       CharNGrams(Cast(exprs(0), StringType), n)
     })
 
+  private[functions] val adcLookupSumDescriptor = (
+    FunctionIdentifier("adc_lookup_sum"),
+    new ExpressionInfo(classOf[AdcLookupSum].getName, "adc_lookup_sum"),
+    (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+      require(exprs.length == 2, "adc_lookup_sum takes (codes, dtabs) arguments")
+      import org.apache.spark.sql.catalyst.expressions.Cast
+      import org.apache.spark.sql.types.{ArrayType, DoubleType, IntegerType}
+      AdcLookupSum(
+        Cast(exprs(0), ArrayType(IntegerType)),
+        Cast(exprs(1), ArrayType(ArrayType(DoubleType))))
+    })
+
   /** Runtime registration for an existing session (idempotent). */
   def register(spark: SparkSession): Unit =
-    Seq(dotProductDescriptor, charNGramsDescriptor).foreach {
+    Seq(dotProductDescriptor, charNGramsDescriptor, adcLookupSumDescriptor).foreach {
       case (id, info, builder) =>
         spark.sessionState.functionRegistry.registerFunction(id, info, builder)
     }

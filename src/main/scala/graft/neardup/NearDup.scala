@@ -66,9 +66,17 @@ object NearDup {
     * replicates the cap). `cacheIndex` opts into caching the filtered
     * index, which feeds sizes and both join sides.
     */
+  /** `probePred` (optional, on column `id`) restricts the PROBE side of
+    * the pair join — only pairs whose smaller id satisfies it are
+    * produced. The recall gates use a fixed-count id sample here so
+    * their exact-truth enumeration stays linear in corpus size (the
+    * signature/size scans remain full — both ids of a surviving pair
+    * need sizes); production dedup passes None.
+    */
   def jaccardPairsOver(sh: DataFrame, threshold: Double,
                        maxDocFreq: Option[Int] = None,
-                       cacheIndex: Boolean = false): DataFrame = {
+                       cacheIndex: Boolean = false,
+                       probePred: Option[Column] = None): DataFrame = {
     // with a df-cap, the raw index feeds the hot-gram aggregate AND the
     // anti join — cache it so the (possibly expensive) extraction
     // doesn't run once per consumer
@@ -82,7 +90,8 @@ object NearDup {
     }
     val idx = if (cacheIndex) filtered.cache() else filtered
     val sizes = idx.groupBy("id").agg(count(lit(1)).as("n_sh"))
-    val inter = idx.as("a")
+    val probe = probePred.map(idx.filter).getOrElse(idx)
+    val inter = probe.as("a")
       .join(idx.as("b"), col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
       .agg(count(lit(1)).as("n_common"))
@@ -103,12 +112,13 @@ object NearDup {
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
                    k: Int = 3, threshold: Double = 0.5,
                    cacheShingles: Boolean = false,
-                   maxDocFreq: Option[Int] = None): DataFrame = {
+                   maxDocFreq: Option[Int] = None,
+                   probePred: Option[Column] = None): DataFrame = {
     // cacheShingles: opt-in for long-lived jobs that manage the cache
     // lifecycle; default off so repeated catalog runs don't leak blocks
     val shRaw = shingles(df, idCol, textCol, k)
     val sh = if (cacheShingles) shRaw.cache() else shRaw
-    jaccardPairsOver(sh, threshold, maxDocFreq)
+    jaccardPairsOver(sh, threshold, maxDocFreq, probePred = probePred)
   }
 
   /** MinHash signature: for each of `numHashes` seeded Murmur3 functions,
@@ -149,7 +159,8 @@ object NearDup {
   def minhashLshPairsOver(sh: DataFrame, numHashes: Int = 16, bands: Int = 4,
                           threshold: Double = 0.5,
                           maxBucketSize: Option[Int] = None,
-                          cacheBands: Boolean = false): DataFrame = {
+                          cacheBands: Boolean = false,
+                          probePred: Option[Column] = None): DataFrame = {
     val rows = numHashes / bands
     val sig = minhashSignatures(sh, numHashes)
     // (band_id, band_hash) inverted index: ONE equi-join on the composite
@@ -171,7 +182,11 @@ object NearDup {
           .select("band_id", "band_hash")
         bandedAll.join(hot, Seq("band_id", "band_hash"), "left_anti")
     }
-    val candidates = banded.as("a").join(banded.as("b"),
+    // probePred (gate use): restricting the a-side to a sampled id set
+    // cannot change which SAMPLED pairs band together — banding is a
+    // per-doc function — so gate recall over the sample is exact
+    val probeSide = probePred.map(banded.filter).getOrElse(banded)
+    val candidates = probeSide.as("a").join(banded.as("b"),
         col("a.band_id") === col("b.band_id") &&
           col("a.band_hash") === col("b.band_hash") && col("a.id") < col("b.id"))
       .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
@@ -286,7 +301,8 @@ object NearDup {
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 6,
                    maxBucketSize: Option[Int] = None,
-                   cacheBands: Boolean = false): DataFrame = {
+                   cacheBands: Boolean = false,
+                   probePred: Option[Column] = None): DataFrame = {
     val sig = simhash(df, idCol, textCol)
     // (chunk_id, chunk_value) inverted index → single equi-join, as in
     // the MinHash banding; optional hot-bucket cap for low-entropy data.
@@ -305,7 +321,9 @@ object NearDup {
           .select("chunk_id", "chunk_val")
         bandedAll.join(hot, Seq("chunk_id", "chunk_val"), "left_anti")
     }
-    banded.as("a").join(banded.as("b"),
+    // same probe-side sampling contract as minhashLshPairsOver
+    val probeSide = probePred.map(banded.filter).getOrElse(banded)
+    probeSide.as("a").join(banded.as("b"),
         col("a.chunk_id") === col("b.chunk_id") &&
           col("a.chunk_val") === col("b.chunk_val") && col("a.id") < col("b.id"))
       // hamming filter BEFORE the dedup shuffle: bit_count is a map-side

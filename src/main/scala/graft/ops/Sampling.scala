@@ -69,5 +69,7 @@ object Sampling {
     df.join(broadcast(rates), Seq(domainCol))
       .filter(hashBucket(col(keyCol), buckets) * col("m_domain") <
         col("m_target") * buckets)
+      // internal rate columns must not leak into the caller's schema
+      .drop("m_domain", "m_target")
   }
 }

@@ -102,9 +102,15 @@ object Similarity {
     val banded = base.select(col("nid"), col("nvec"),
       posexplode(array((0 until tables).map(t =>
         lshBucket(col("nvec"), dim, nbits, t)): _*)).as(Seq("table_id", "bucket")))
-    val queries = banded.filter(queryPred)
-      .select(col("nid").as("qid"), col("nvec").as("qvec"),
-        col("table_id"), col("bucket"))
+    // queryPred applies to the RAW input frame (idCol spelling) — the
+    // shared contract of every cosineTopK* entry point; the (tiny) query
+    // subset is re-banded rather than filtered out of `banded`, since
+    // bucketing is a pure per-row function of the vector
+    val queries = emb.filter(queryPred)
+      .select(col(idCol).as("qid"), asDouble(col(vecCol)).as("qvec"))
+      .select(col("qid"), col("qvec"),
+        posexplode(array((0 until tables).map(t =>
+          lshBucket(col("qvec"), dim, nbits, t)): _*)).as(Seq("table_id", "bucket")))
     val scored = banded.join(broadcast(queries), Seq("table_id", "bucket"))
       .filter(col("nid") =!= col("qid"))
       .select(col("qid"), col("nid"),
@@ -287,9 +293,20 @@ object Similarity {
   /** Per-subspace codebooks: deterministic hash-spread init + Lloyd
     * passes, pinned with an eager localCheckpoint (m·ksub rows) so the
     * encode and query consumers don't re-run the training subtree.
+    *
+    * A Lloyd pass DROPS centroids that win no subvectors (routine when
+    * the corpus has duplicate subvectors: identical init centroids tie
+    * and the min cid takes every assignment), so surviving cids can be
+    * non-contiguous — but codes index the ADC tables POSITIONALLY, and
+    * a gap would misalign every score above it (and overrun the table
+    * for the largest cid: a data-dependent ANSI crash). The surviving
+    * cids are therefore RE-DENSIFIED to 0..k-1 per subspace before the
+    * checkpoint; rank order preserves the old cid order, so encode,
+    * dtabs, and codes stay mutually consistent. `private[graft]` so the
+    * contiguity contract is spec-pinned (PqCodebookSpec).
     */
-  private def pqCodebook(svecs: DataFrame, ksub: Int,
-                         refineIters: Int): DataFrame = {
+  private[graft] def pqCodebook(svecs: DataFrame, ksub: Int,
+                                refineIters: Int): DataFrame = {
     var codebook = svecs.withColumn("rn", row_number().over(
         Window.partitionBy("msub")
           .orderBy(pmod(hash(col("id")), lit(1000003)).asc, col("id").asc)))
@@ -304,7 +321,10 @@ object Similarity {
         .agg(transform(array_sort(collect_list(struct(col("pos"), col("mv")))),
           s => s.getField("mv")).as("cvec"))
     }
-    codebook.localCheckpoint(true)
+    val dense = codebook.withColumn("cid",
+      (row_number().over(Window.partitionBy("msub").orderBy(col("cid").asc)) - 1)
+        .cast("int"))
+    dense.localCheckpoint(true)
   }
 
   /** PQ codes per vector, assembled in subspace order: (id, codes). */
@@ -331,9 +351,20 @@ object Similarity {
       .agg(transform(array_sort(collect_list(struct(col("msub"), col("tab")))),
         s => s.getField("tab")).as("dtabs"))
 
-  /** ADC lookup sum for a (codes, dtabs) row pair. */
+  /** ADC lookup sum for a (codes, dtabs) row pair — native codegen'd
+    * expression (see [[graft.functions.AdcLookupSum]]): the per-
+    * candidate hot loop of both PQ paths; the interpreted
+    * `aggregate(zip_with(...))` twin it replaced is kept below for the
+    * parity spec.
+    */
   private def adcSim: Column =
-    round(aggregate(zip_with(col("codes"), col("dtabs"),
+    round(graft.functions.AdcLookupSum.adcNative(col("codes"), col("dtabs")), 6)
+
+  /** The composable built-in form (kept for parity testing, like
+    * `dotHof`): same left-to-right summation, same positional lookup.
+    */
+  private[graft] def adcSimHof(codes: Column, dtabs: Column): Column =
+    round(aggregate(zip_with(codes, dtabs,
       (c, t) => element_at(t, c.cast("int") + 1)),
       lit(0.0d), (acc, v) => acc + v), 6)
 
@@ -363,7 +394,11 @@ object Similarity {
     val svecs = pqSvecs(base, m, sub)
     val codebook = pqCodebook(svecs, ksub, refineIters)
     val codes = pqEncode(svecs, codebook)
-    val queries = base.filter(queryPred)
+    // queryPred applies to the RAW input frame (idCol spelling), the
+    // shared cosineTopK* contract — normalization is per-row, so
+    // unit-normalizing the filtered subset equals filtering the
+    // normalized frame
+    val queries = unitBase(emb.filter(queryPred), idCol, vecCol)
       .select(col("id").as("qid"), col("vec").as("qvec"))
     val adc = codes.crossJoin(broadcast(pqDtabs(queries, codebook, sub)))
       .filter(col("id") =!= col("qid"))
@@ -395,7 +430,8 @@ object Similarity {
     val codebook = pqCodebook(svecs, ksub, refineIters)
     val listed = pqEncode(svecs, codebook)
       .join(lists, col("id") === col("nid")).select("id", "cid", "codes")
-    val queries = base.filter(queryPred)
+    // raw-input queryPred contract, as in cosineTopKPq
+    val queries = unitBase(emb.filter(queryPred), idCol, vecCol)
       .select(col("id").as("qid"), col("vec").as("qvec"))
     val probed = ivfProbes(queries, centroids, nprobe).select("qid", "cid")
       .join(pqDtabs(queries, codebook, sub), Seq("qid"))

@@ -156,6 +156,18 @@ class PlanAuditSpec extends SparkSpec {
       s"ADC scan not pruned by a cid-keyed broadcast join in:\n$p")
   }
 
+  test("x50: train and score share ONE cached term explode (no corpus re-scan)") {
+    val exec = planNoAqe("x50_quality_classifier")
+    val p = exec.toString
+    // both the weight aggregation and the scoring join must read the
+    // cached exploded-term frame; a live parquet scan means the
+    // corpus-wide explode would run twice at scale
+    assert(p.contains("InMemoryTableScan"), s"term frame not cached in:\n$p")
+    assert(liveScans(exec).isEmpty,
+      s"corpus re-scanned outside the cached term frame in:\n$exec")
+    spark.catalog.clearCache()
+  }
+
   test("x39: repetition scoring is map-only — gram stats without explode") {
     val exec = planNoAqe("x39_repetition")
     assert(shuffles(exec).isEmpty, s"repetition should not shuffle:\n$exec")

@@ -160,7 +160,7 @@ class ExtensionsSpec extends SparkSpec {
   test("LSH bucketed topk is structurally valid (bounded k, query subset)") {
     val emb = Tables.embeddings(spark, sfDir)
     val lsh = Similarity.cosineTopKLsh(emb, "vec_id", "embedding",
-      col("nid") % 100 === 0, dim = 64, k = 5).collect()
+      col("vec_id") % 100 === 0, dim = 64, k = 5).collect()
     // recall vs brute force is data-dependent (random vectors bucket almost
     // uniformly), so assert structure: only query ids, self excluded, ≤ k
     // ranked results per query, ranks contiguous from 1.
@@ -202,7 +202,7 @@ class ExtensionsSpec extends SparkSpec {
     val emb = Tables.embeddings(spark, sfDir)
     val n = emb.count().toInt
     val pq = Similarity.cosineTopKPq(emb, "vec_id", "embedding",
-      col("id") % 100 === 0, dim = 64, m = 8, ksub = 8, shortlist = n, k = 3)
+      col("vec_id") % 100 === 0, dim = 64, m = 8, ksub = 8, shortlist = n, k = 3)
       .select("qid", "nid", "rnk").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     val brute = Similarity.cosineTopK(emb, "vec_id", "embedding",
