@@ -111,6 +111,46 @@ object SparkEntry {
     s"(($keyCol % 1000000007) * 2654435761) % " +
       s"(SELECT greatest(count(*) // $target, 1) FROM $table) = 0"
 
+  /** Adaptive probe-bucket count for the PAIR-recall gates (x33/x34).
+    *
+    * A fixed-count DOC sample can go VACUOUS on pairs: sampling ~200 of
+    * N docs keeps a pair only when its smaller id is sampled, and as N
+    * grows the sampled truth set can hit zero (measured: 14 pairs at
+    * sf0.1, 0 at the synthetic 10× corpus — a TRUE gate that checks
+    * nothing). So start from the power-of-2 bucket count that samples
+    * ~`targetDocs` docs and QUARTER it (4× the probe sample per step)
+    * until the sampled exact truth set has ≥ `gateMinPairs` pairs or the
+    * sample is the whole corpus. Each iteration's join cost is
+    * proportional to the probe side, so the total is < 1.4× the landed
+    * sample's cost — still independent of corpus size whenever per-doc
+    * pair density is (the linear growth model), and NEVER a vacuous
+    * gate.
+    *
+    * Determinism/oracle contract: every chain element divides its
+    * predecessor, which NESTS the samples (x mod 4k = 0 ⇒ x mod k = 0),
+    * so the sampled pair count is non-increasing in k along the chain
+    * and the landed k is exactly "the largest k in the chain with
+    * ≥ gateMinPairs pairs, else 1" — a spelling the DuckDB twin
+    * reproduces in one pass from the full pair set (cheap at oracle
+    * scale).
+    */
+  private val gateMinPairs = 10L
+  private def adaptiveProbeExact(nDocs: Long, targetDocs: Long)
+                                (exactAt: Int => DataFrame): DataFrame = {
+    var k = Integer.highestOneBit(math.max(1L, nDocs / targetDocs).toInt)
+    // quartering (not halving) keeps the iteration count ~log₄ while the
+    // geometric cost sum stays < 1.4× the landed sample's join; the
+    // landed frame is CACHED so the gate's two consumers (n_pairs, hits)
+    // and the loop's own count() share one restricted-join run
+    var ex = exactAt(k).cache()
+    while (k > 1 && ex.count() < gateMinPairs) {
+      ex.unpersist()
+      k = math.max(1, k / 4)
+      ex = exactAt(k).cache()
+    }
+    ex
+  }
+
   /** Fixture payload for the JSON-shredding family (S3/F13/J4/A8/F12) —
     * single source of truth in the pipeline object; the q14 oracle's
     * VALUES are derived from it.
@@ -424,20 +464,24 @@ object SparkEntry {
     // cross-engine-checked, recall_ok has a literal-TRUE oracle — a
     // banding regression fails the hash gate instead of hiding rows-only
     "x33_minhash_recall" -> ((s, d) => {
-      // FIXED-COUNT probe-side sample (~200 docs at any sf): both the
-      // exact-truth join and the banded candidate join only expand pairs
-      // whose smaller id is sampled, so the gate's cost — and its truth
-      // size (~14 pairs at sf0.01 AND sf0.1, measured) — stays flat as
-      // the corpus grows, while the full enumeration it replaced scaled
-      // with total pair density. Recall over a deterministic pair sample
-      // is exact on that sample, not an estimate of something else.
+      // ADAPTIVE probe-side sample: start at ~200 docs and widen until
+      // the exact truth set holds ≥ gateMinPairs pairs (see
+      // adaptiveProbeBuckets — a fixed doc sample measured 0 pairs at
+      // the 10× corpus, a vacuous gate). Both the exact-truth join and
+      // the banded candidate join only expand pairs whose smaller id is
+      // sampled, so the gate cost tracks the landed sample, not total
+      // pair density. Recall over a deterministic pair sample is exact
+      // on that sample, not an estimate of something else.
       // (NearDup's internal frames spell the key `id`.)
-      val probe = Some(Sampling.hashBucket(col("id"),
-        fixedCountBuckets(docs(s, d), target = 200)) === 0)
       val sh = NearDup.shingles(docs(s, d), "doc_id", "text", k = 3).cache()
-      val exact = NearDup.jaccardPairsOver(sh, threshold = 0.5,
-          probePred = probe)
-        .select("doc_a", "doc_b")
+      var landedK = 0
+      val exact = adaptiveProbeExact(docs(s, d).count(), targetDocs = 200)(kk => {
+        landedK = kk
+        NearDup.jaccardPairsOver(sh, threshold = 0.5,
+            probePred = Some(Sampling.hashBucket(col("id"), kk) === 0))
+          .select("doc_a", "doc_b")
+      })
+      val probe = Some(Sampling.hashBucket(col("id"), landedK) === 0)
       val lsh = NearDup.minhashLshPairsOver(sh, numHashes = 16, bands = 4,
           threshold = 0.2, maxBucketSize = Some(200), cacheBands = true,
           probePred = probe)
@@ -457,12 +501,18 @@ object SparkEntry {
     // land well inside that, so coverage of the j ≥ 0.5 exact pairs must
     // stay ≥ 50%
     "x34_simhash_recall" -> ((s, d) => {
-      // same fixed-count probe-side sample as x33 (shared truth set)
-      val probe = Some(Sampling.hashBucket(col("id"),
-        fixedCountBuckets(docs(s, d), target = 200)) === 0)
-      val exact = NearDup.jaccardPairs(docs(s, d), "doc_id", "text",
-          k = 3, threshold = 0.5, cacheShingles = true, probePred = probe)
-        .select("doc_a", "doc_b")
+      // same adaptive probe-side sample as x33 (shared truth-set rule,
+      // landed independently — both engines' spellings must agree, and
+      // they do because the rule is deterministic in the pair set)
+      val sh = NearDup.shingles(docs(s, d), "doc_id", "text", k = 3).cache()
+      var landedK = 0
+      val exact = adaptiveProbeExact(docs(s, d).count(), targetDocs = 200)(kk => {
+        landedK = kk
+        NearDup.jaccardPairsOver(sh, threshold = 0.5,
+            probePred = Some(Sampling.hashBucket(col("id"), kk) === 0))
+          .select("doc_a", "doc_b")
+      })
+      val probe = Some(Sampling.hashBucket(col("id"), landedK) === 0)
       val sim = NearDup.simhashPairs(docs(s, d), "doc_id", "text",
           maxHamming = 8, maxBucketSize = Some(200), cacheBands = true,
           probePred = probe)
@@ -1046,8 +1096,13 @@ object SparkEntry {
 
   /** DuckDB truth set shared by the x33 (MinHash) and x34 (SimHash)
     * recall gates: exact word-3-shingle pair count at jaccard ≥ 0.5,
-    * mirroring `NearDup.shingles(k=3)` + `jaccardPairsOver(0.5)`; the
-    * recall boolean itself is the in-plan invariant (literal TRUE here).
+    * mirroring `NearDup.shingles(k=3)` + `jaccardPairsOver(0.5)`, then
+    * the [[adaptiveProbeExact]] landing rule recomputed from the FULL
+    * pair set (cheap at oracle scale): the landed k is the largest
+    * quartering-chain bucket count with ≥ 10 sampled pairs, else 1 —
+    * identical to the Spark side's descending loop because each chain
+    * element divides its predecessor, nesting the samples. The recall
+    * boolean itself is the in-plan invariant (literal TRUE here).
     */
   private val exactPairsGateSql: String =
     s"""WITH toks AS (
@@ -1062,13 +1117,26 @@ object SparkEntry {
        |inter AS (
        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-       |  WHERE ${fixedCountPredSql("documents", "a.doc_id", 200)}
-       |  GROUP BY 1, 2)
-       |SELECT count(*) AS n_pairs, TRUE AS recall_ok
-       |FROM inter
-       |JOIN sizes sa ON sa.doc_id = doc_a
-       |JOIN sizes sb ON sb.doc_id = doc_b
-       |WHERE round(n_common::DOUBLE / (sa.n_sh + sb.n_sh - n_common), 4) >= 0.5""".stripMargin
+       |  GROUP BY 1, 2),
+       |pairs AS (
+       |  SELECT doc_a FROM inter
+       |  JOIN sizes sa ON sa.doc_id = doc_a
+       |  JOIN sizes sb ON sb.doc_id = doc_b
+       |  WHERE round(n_common::DOUBLE / (sa.n_sh + sb.n_sh - n_common), 4) >= 0.5),
+       |b0 AS (
+       |  SELECT CAST(2 ** floor(log2(greatest(count(*) // 200, 1))) AS BIGINT) AS b
+       |  FROM documents),
+       |ks AS (
+       |  SELECT DISTINCT CAST(greatest(b // (4 ** g), 1) AS BIGINT) AS k
+       |  FROM b0, generate_series(0, 15) AS t(g)),
+       |nk AS (
+       |  SELECT k, (SELECT count(*) FROM pairs
+       |             WHERE ((doc_a % 1000000007) * 2654435761) % k = 0) AS n
+       |  FROM ks),
+       |chosen AS (
+       |  SELECT coalesce(max(k) FILTER (WHERE n >= 10), 1) AS k FROM nk)
+       |SELECT nk.n AS n_pairs, TRUE AS recall_ok
+       |FROM nk JOIN chosen ON nk.k = chosen.k""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q01_iot_clean" ->
