@@ -241,6 +241,13 @@ object SparkEntry {
     // lineage, which measures CHEAPER than materializing the array-heavy
     // clean frame (cache write+read cost > three vectorized re-scans);
     // at real scale the clean layer is a materialized table anyway
+    // the mart consumes the clean layer four times (stats agg + 3
+    // top-1-per-group passes) — deliberately UNcached: each consumer
+    // prunes to a narrow column set against the parquet scan, and
+    // caching the wide array-bearing frame was MEASURED slower (0.85s →
+    // 2.4s at sf0.1; no win at 10×) than the four pruned recomputes.
+    // The staged-cache discipline (x41) pays off only when consumers
+    // need the same expensive wide derivation — here they don't.
     "q28_mart_user_activity" -> ((s, d) =>
       Ecommerce.martUserActivity(cleanSess(s, d))),
     "q29_support_efficiency" -> ((s, d) =>
@@ -542,21 +549,26 @@ object SparkEntry {
           maxBucketSize = Some(200), cacheShingles = true, cacheBands = true))),
 
     // ---- north-star extensions: similarity search ----
+    // Query sets for the ANN family are FIXED-COUNT samples, not corpus
+    // fractions: an ANN workload is "Q queries against an N-vector
+    // index" — Q does not grow with N, and a modulo predicate (the
+    // round-4 spelling) made every one of these quadratic at the 10×
+    // probe (x06 measured 19× wall for 10× data; ~2× after this change)
     "x05_cosine_topk" -> ((s, d) =>
       Similarity.cosineTopK(Tables.embeddings(s, d), "vec_id", "embedding",
-        col("vec_id") % 50 === 0, k = 5)),
+        fixedCountPred(Tables.embeddings(s, d), "vec_id", target = 40), k = 5)),
     // 8 hash tables: single-table bucketing recalls only ~7-10% of the
     // true top-5 on these near-uniform vectors; 8 tables reach ~35-48%
     // (gated by x35) at linear extra cost — the production LSH-ANN shape
     "x06_cosine_lsh" -> ((s, d) =>
       Similarity.cosineTopKLsh(Tables.embeddings(s, d), "vec_id", "embedding",
-        col("vec_id") % 50 === 0, dim = 64, k = 5, nbits = 6, tables = 8)),
+        fixedCountPred(Tables.embeddings(s, d), "vec_id", target = 40),
+        dim = 64, k = 5, nbits = 6, tables = 8)),
     // recall gate for the bucketed ANN (x06's configuration) vs in-plan
     // brute force — same literal-TRUE-oracle pattern as x27. The gate's
-    // query set is a FIXED-COUNT sample (~40 queries at any sf), so the
-    // brute truth pass stays linear in corpus size where x06's modulo
-    // predicate would make it quadratic — the examiner must scale even
-    // though the examined operator is the thing under test
+    // query set is a FIXED-COUNT sample (~40 queries at any sf, same
+    // rule as x06 itself), so the brute truth pass stays linear in
+    // corpus size
     "x35_lsh_ann_recall" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       val qp = fixedCountPred(emb, "vec_id", target = 40)
@@ -657,7 +669,8 @@ object SparkEntry {
     }),
     "x20_cosine_ivf" -> ((s, d) =>
       Similarity.cosineTopKIvf(Tables.embeddings(s, d), "vec_id", "embedding",
-        col("vec_id") % 50 === 0, nlist = 16, nprobe = 2, k = 5)),
+        fixedCountPred(Tables.embeddings(s, d), "vec_id", target = 40),
+        nlist = 16, nprobe = 2, k = 5)),
     // ANN quality gate: IVF mean recall@5 against in-plan brute force —
     // the oracle expects literal TRUE, so a probe/centroid regression
     // that tanks recall fails the hash gate instead of hiding in
@@ -886,7 +899,7 @@ object SparkEntry {
       val emb = Multimodal.fakeEmbed(s,
         Multimodal.withPayload(docs(s, d), "doc_id", "text")).toDF().cache()
       Similarity.cosineTopK(emb, "doc_id", "embedding",
-        col("doc_id") % 100 === 0, k = 3)
+        fixedCountPred(docs(s, d), "doc_id", target = 50), k = 3)
     }),
 
     // resize plumbing: byte-subsample payloads to a budget; the oracle
@@ -2154,9 +2167,9 @@ object SparkEntry {
         |  FROM s)
         |SELECT doc_id, term, tf, score, rnk FROM r WHERE rnk <= 3""".stripMargin,
     "x05_cosine_topk" ->
-      """WITH q AS (
+      s"""WITH q AS (
         |  SELECT vec_id AS qid, embedding::DOUBLE[] AS qvec
-        |  FROM embeddings WHERE vec_id % 50 = 0),
+        |  FROM embeddings WHERE ${fixedCountPredSql("embeddings", "vec_id", 40)}),
         |s AS (
         |  SELECT q.qid, e.vec_id AS nid,
         |         round(list_cosine_similarity(q.qvec, e.embedding::DOUBLE[]), 6) AS sim
