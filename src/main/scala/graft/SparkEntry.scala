@@ -151,6 +151,25 @@ object SparkEntry {
     ex
   }
 
+  /** DuckDB twin of `Similarity.lshBucket`'s hyperplanes: the splitmix64
+    * plane constants are pure functions of (bit, component), so their
+    * exact double values are interpolated into the oracle SQL as literal
+    * arrays (generated HERE, not hand-written) — DuckDB recomputes the
+    * same sign-bit buckets from the same planes, which is what lets the
+    * LSH candidate sets (x06/x07) be hash-compared instead of rows-only.
+    * Shortest-round-trip double formatting re-parses to the identical
+    * bits in any correct reader.
+    */
+  private def lshPlanesSqlValues(tables: Int, nbits: Int, dim: Int): String =
+    (0 until tables).flatMap { t =>
+      (0 until nbits).map { b =>
+        val arr = (0 until dim)
+          .map(i => graft.sim.Similarity.planeConst(t * nbits + b, i))
+          .mkString("[", ", ", "]")
+        s"($t, $b, $arr::DOUBLE[])"
+      }
+    }.mkString(", ")
+
   /** Fixture payload for the JSON-shredding family (S3/F13/J4/A8/F12) —
     * single source of truth in the pipeline object; the q14 oracle's
     * VALUES are derived from it.
@@ -889,8 +908,9 @@ object SparkEntry {
       Multimodal.decodeMeta(s, Multimodal.withPayload(docs(s, d), "doc_id", "text")).toDF()),
 
     // binary → fake-embed → cosine top-k: the multimodal retrieval path
-    // end-to-end (decode stubbed; Spark plumbing real). Hash-derived
-    // vectors → rows-only check. The embedded frame is cached: the
+    // end-to-end (decode stubbed; Spark plumbing real). The fake embed
+    // is exact-integer arithmetic, so the ORACLE re-derives the vectors
+    // byte-for-byte (round 5 — was rows-only). The embedded frame is cached: the
     // broadcast query side and the corpus side of cosineTopK both read
     // it, and uncached each re-runs the mapPartitions embed of the whole
     // corpus (measured 0.73s → 3.13s). Lifecycle: harness-owned
@@ -2180,6 +2200,93 @@ object SparkEntry {
         |                                 ORDER BY sim DESC, nid ASC) AS BIGINT) AS rnk
         |  FROM s)
         |SELECT qid, nid, sim, rnk FROM r WHERE rnk <= 5""".stripMargin,
+    // bucketed LSH-ANN: DuckDB rebuilds the SAME hyperplane buckets from
+    // the interpolated plane literals (lshPlanesSqlValues), so the
+    // candidate set — not just the scoring — is cross-engine-checked
+    "x06_cosine_lsh" ->
+      s"""WITH planes(t, b, plane) AS (VALUES ${lshPlanesSqlValues(8, 6, 64)}),
+        |v AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+        |bands AS (
+        |  SELECT vec_id, t,
+        |         bit_or(CASE WHEN list_dot_product(vec, plane) > 0
+        |                     THEN (1::BIGINT << b) ELSE 0::BIGINT END) AS bucket
+        |  FROM v, planes GROUP BY vec_id, t),
+        |q AS (SELECT vec_id AS qid FROM embeddings
+        |      WHERE ${fixedCountPredSql("embeddings", "vec_id", 40)}),
+        |qb AS (SELECT q.qid, bb.t, bb.bucket
+        |       FROM bands bb JOIN q ON q.qid = bb.vec_id),
+        |cand AS (
+        |  SELECT DISTINCT qb.qid, n.vec_id AS nid
+        |  FROM qb JOIN bands n ON n.t = qb.t AND n.bucket = qb.bucket
+        |                       AND n.vec_id <> qb.qid),
+        |scored AS (
+        |  SELECT c.qid, c.nid,
+        |         round(list_cosine_similarity(vq.vec, vn.vec), 6) AS sim
+        |  FROM cand c
+        |  JOIN v vq ON vq.vec_id = c.qid
+        |  JOIN v vn ON vn.vec_id = c.nid),
+        |r AS (
+        |  SELECT qid, nid, sim,
+        |         CAST(row_number() OVER (PARTITION BY qid
+        |                                 ORDER BY sim DESC, nid ASC) AS BIGINT) AS rnk
+        |  FROM scored)
+        |SELECT qid, nid, sim, rnk FROM r WHERE rnk <= 5""".stripMargin,
+    // embedding near-dup: same literal-plane rebuild (nbits=4, 8 tables),
+    // then the exact verify-filter over the LSH candidate pairs
+    "x07_embedding_neardup" ->
+      s"""WITH planes(t, b, plane) AS (VALUES ${lshPlanesSqlValues(8, 4, 64)}),
+        |v AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+        |bands AS (
+        |  SELECT vec_id, t,
+        |         bit_or(CASE WHEN list_dot_product(vec, plane) > 0
+        |                     THEN (1::BIGINT << b) ELSE 0::BIGINT END) AS bucket
+        |  FROM v, planes GROUP BY vec_id, t),
+        |cand AS (
+        |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+        |  FROM bands a JOIN bands b ON a.t = b.t AND a.bucket = b.bucket
+        |                            AND a.vec_id < b.vec_id),
+        |scored AS (
+        |  SELECT c.id_a, c.id_b,
+        |         round(list_cosine_similarity(va.vec, vb.vec), 6) AS sim
+        |  FROM cand c
+        |  JOIN v va ON va.vec_id = c.id_a
+        |  JOIN v vb ON vb.vec_id = c.id_b)
+        |SELECT id_a, id_b, sim FROM scored WHERE sim >= 0.25""".stripMargin,
+    // multimodal retrieval: DuckDB re-derives Multimodal.fakeEmbed
+    // byte-for-byte — v[i%16] += byte·(1+(i/16)%3) accumulates EXACT
+    // integers (≤ a few 10⁵, far inside float32's 2^24 exact range, so
+    // Spark's sequential float adds are order-independent and equal the
+    // integer sum), the double norm and float division are IEEE-
+    // deterministic from exact inputs, and the ASCII fixture invariant
+    // (FixtureInvariantSpec) makes ord(char) = payload byte. The cosine
+    // + round(6) cross-engine parity is the proven x05 pattern.
+    "x17_multimodal_topk" ->
+      s"""WITH b AS (
+        |  SELECT doc_id, i, ord(substr(text, CAST(i + 1 AS INT), 1)) AS byte
+        |  FROM documents, UNNEST(range(length(text))) AS u(i)),
+        |acc AS (
+        |  SELECT doc_id, i % 16 AS d,
+        |         sum(byte * (1 + ((i // 16) % 3))) AS s
+        |  FROM b GROUP BY 1, 2),
+        |vec AS (SELECT doc_id, list(s ORDER BY d) AS v FROM acc GROUP BY doc_id),
+        |nrm AS (
+        |  SELECT doc_id,
+        |    list_transform(v, x -> CAST(x / greatest(
+        |      sqrt(list_sum(list_transform(v, y -> CAST(y * y AS DOUBLE)))),
+        |      1e-9) AS FLOAT)) AS emb
+        |  FROM vec),
+        |q AS (SELECT doc_id AS qid, emb AS qemb FROM nrm
+        |      WHERE ${fixedCountPredSql("documents", "doc_id", 50)}),
+        |s AS (
+        |  SELECT q.qid, n.doc_id AS nid,
+        |         round(list_cosine_similarity(q.qemb::DOUBLE[], n.emb::DOUBLE[]), 6) AS sim
+        |  FROM q, nrm n WHERE n.doc_id <> q.qid),
+        |r AS (
+        |  SELECT qid, nid, sim,
+        |         CAST(row_number() OVER (PARTITION BY qid
+        |                                 ORDER BY sim DESC, nid ASC) AS BIGINT) AS rnk
+        |  FROM s)
+        |SELECT qid, nid, sim, rnk FROM r WHERE rnk <= 3""".stripMargin,
     "x08_langid" ->
       """WITH t AS (
         |  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'),

@@ -59,7 +59,7 @@ object Similarity {
     * splitmix64-style bit mix of (bit, component) — a pure function, so
     * the same plan (and buckets) reproduce at any scale with no RNG.
     */
-  private def planeConst(b: Int, i: Int): Double = {
+  private[graft] def planeConst(b: Int, i: Int): Double = {
     var z = (b.toLong << 32 | i.toLong) + 0x9E3779B97F4A7C15L
     z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
     z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
