@@ -170,6 +170,78 @@ object SparkEntry {
       }
     }.mkString(", ")
 
+  /** DuckDB twin of the PORTABLE MinHash+LSH pair generation
+    * (`NearDup.minhashLshPairs(..., portable = true)`): the 60-bit
+    * md5-nibble base rebuilt with strpos arithmetic, the same
+    * splitmix64-derived affine coefficients interpolated as literals
+    * (computed by `NearDup.portableCoef`, never hand-written), the same
+    * 31/97 polynomial band keys, 200-doc hot-bucket cap, and exact
+    * shingle-Jaccard verification at the given threshold. Shared by the
+    * x03 pair oracle and the x28 connected-components oracle — one truth
+    * definition, so the two cannot de-sync. Produces CTEs `toks sh hb mh
+    * bands hot b2 cand sizes inter p`; `p` is (doc_a, doc_b, jaccard).
+    */
+  private val minhashPortablePairCtes: String = {
+    val coefs = (0 until 16).map(i =>
+      s"($i, ${graft.neardup.NearDup.portableCoef(i, 0)}, ${graft.neardup.NearDup.portableCoef(i, 1)})")
+      .mkString(", ")
+    s"""seeds(seed, a, b) AS (VALUES $coefs),
+      |toks AS (
+      |  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+      |                             x -> x <> '') AS t
+      |  FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle
+      |  FROM toks, UNNEST(range(1, len(t) - 1)) AS u(i)
+      |  WHERE len(t) >= 3),
+      |hx AS (SELECT doc_id, substr(md5(shingle), 1, 15) AS hx FROM sh),
+      |hb AS (
+      |  SELECT doc_id,
+      |         list_sum(list_transform(range(1, 16), j ->
+      |           (strpos('0123456789abcdef', substr(hx, CAST(j AS INT), 1)) - 1)::BIGINT
+      |             << CAST((15 - j) * 4 AS INT)))::BIGINT % 2147483647 AS hb
+      |  FROM hx),
+      |mh AS (
+      |  SELECT doc_id, s.seed AS seed, min((s.a * hb + s.b) % 2147483647) AS mh
+      |  FROM hb, seeds s
+      |  GROUP BY doc_id, s.seed),
+      |bands AS (
+      |  SELECT doc_id, seed // 4 AS band_id,
+      |         (sum(mh * CASE seed % 4 WHEN 0 THEN 29791 WHEN 1 THEN 961
+      |                                 WHEN 2 THEN 31 ELSE 1 END) % 2147483647)
+      |           * 2147483647
+      |         + (sum(mh * CASE seed % 4 WHEN 0 THEN 912673 WHEN 1 THEN 9409
+      |                                   WHEN 2 THEN 97 ELSE 1 END) % 2147483647) AS band_hash
+      |  FROM mh GROUP BY doc_id, seed // 4),
+      |hot AS (
+      |  SELECT band_id, band_hash FROM bands
+      |  GROUP BY band_id, band_hash HAVING count(*) > 200),
+      |b2 AS (
+      |  SELECT doc_id, band_id, band_hash FROM bands
+      |  WHERE NOT EXISTS (SELECT 1 FROM hot
+      |                    WHERE hot.band_id = bands.band_id
+      |                      AND hot.band_hash = bands.band_hash)),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM b2 a JOIN b2 b ON a.band_id = b.band_id
+      |                     AND a.band_hash = b.band_hash
+      |                     AND a.doc_id < b.doc_id),
+      |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+      |inter AS (
+      |  SELECT c.doc_a, c.doc_b, count(*) AS n_common
+      |  FROM cand c
+      |  JOIN sh sa ON sa.doc_id = c.doc_a
+      |  JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+      |  GROUP BY 1, 2),
+      |p AS (
+      |  SELECT i.doc_a, i.doc_b,
+      |         round(i.n_common::DOUBLE / (sa.n_sh + sb.n_sh - i.n_common), 4) AS jaccard
+      |  FROM inter i
+      |  JOIN sizes sa ON sa.doc_id = i.doc_a
+      |  JOIN sizes sb ON sb.doc_id = i.doc_b
+      |  WHERE round(i.n_common::DOUBLE / (sa.n_sh + sb.n_sh - i.n_common), 4) >= 0.2)""".stripMargin
+  }
+
   /** Fixture payload for the JSON-shredding family (S3/F13/J4/A8/F12) —
     * single source of truth in the pipeline object; the q14 oracle's
     * VALUES are derived from it.
@@ -464,14 +536,24 @@ object SparkEntry {
         cacheShingles = true)),
     // hot band buckets capped at 200 docs: on this low-entropy corpus the
     // cap drops NO pairs at sf0.01/sf0.1 (sweep-verified) but bounds the
-    // C(n,2) bucket expansion that would otherwise dominate at 100 TB
+    // C(n,2) pair expansion that would otherwise dominate at 100 TB.
+    // portable = true: md5-base affine slot hashes + polynomial band
+    // keys (NearDup.portableBase/portableCoef) let the DuckDB oracle
+    // rebuild the SAME band buckets, so the LSH candidate SET is
+    // hash-checked (round 5 — was rows-only under engine murmur); the
+    // murmur production default stays gated by x33.
     "x03_minhash_lsh" -> ((s, d) =>
       NearDup.minhashLshPairs(docs(s, d), "doc_id", "text",
         k = 3, numHashes = 16, bands = 4, threshold = 0.2,
-        maxBucketSize = Some(200), cacheShingles = true, cacheBands = true)),
+        maxBucketSize = Some(200), cacheShingles = true, cacheBands = true,
+        portable = true)),
+    // portable = true: 60-bit md5-nibble signatures (NearDup.simhash) —
+    // the oracle recomputes every signature bit-for-bit, so buckets,
+    // hamming distances, and the pair set are all cross-engine-checked
+    // (was rows-only under xxhash64, which only x34's gate covered)
     "x04_simhash_pairs" -> ((s, d) =>
       NearDup.simhashPairs(docs(s, d), "doc_id", "text", maxHamming = 8,
-        maxBucketSize = Some(200), cacheBands = true)),
+        maxBucketSize = Some(200), cacheBands = true, portable = true)),
     // character-5-gram Jaccard pairs: the tokenization-robust dedup
     // variant (word shingles miss dups with whitespace/punctuation
     // damage; char grams don't). The df-cap is NOT optional here: common
@@ -559,13 +641,16 @@ object SparkEntry {
           cacheShingles = true))),
     // the same cluster assignment over the SCALE pair path (capped
     // MinHash-LSH candidates instead of the exact all-shared-shingle
-    // join) — rows-only (engine hashing), but this is the composition a
-    // 100 TB dedup actually runs
+    // join) — the composition a 100 TB dedup actually runs. portable
+    // hashing (as in x03) makes the candidate pairs — and therefore the
+    // whole cluster assignment — oracle-checked via the recursive-CTE CC
+    // twin (round 5 — was rows-only)
     "x28_dup_clusters_lsh" -> ((s, d) =>
       NearDup.dupClusters(
         NearDup.minhashLshPairs(docs(s, d), "doc_id", "text",
           k = 3, numHashes = 16, bands = 4, threshold = 0.2,
-          maxBucketSize = Some(200), cacheShingles = true, cacheBands = true))),
+          maxBucketSize = Some(200), cacheShingles = true, cacheBands = true,
+          portable = true))),
 
     // ---- north-star extensions: similarity search ----
     // Query sets for the ANN family are FIXED-COUNT samples, not corpus
@@ -1638,6 +1723,52 @@ object SparkEntry {
         |JOIN sizes sa ON sa.doc_id = doc_a
         |JOIN sizes sb ON sb.doc_id = doc_b
         |WHERE round(n_common::DOUBLE / (sa.n_sh + sb.n_sh - n_common), 4) >= 0.2""".stripMargin,
+    // portable MinHash+LSH: DuckDB rebuilds the SAME md5-base affine
+    // slot hashes and polynomial band keys (minhashPortablePairCtes), so
+    // the banded candidate set — not just the Jaccard verification — is
+    // cross-engine-checked
+    "x03_minhash_lsh" ->
+      s"""WITH $minhashPortablePairCtes
+        |SELECT doc_a, doc_b, jaccard FROM p""".stripMargin,
+    // portable SimHash: 60-bit md5-nibble signatures recomputed bit-for-
+    // bit (strpos-decoded nibbles), then the same 15-bit chunk banding,
+    // 200-doc hot cap, and Hamming <= 8 verification as the Spark side
+    "x04_simhash_pairs" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |                             x -> x <> '') AS t
+        |  FROM documents),
+        |tok AS (SELECT doc_id, u.tok AS tok FROM toks, UNNEST(t) AS u(tok)),
+        |h AS (SELECT doc_id, substr(md5(tok), 1, 15) AS hx FROM tok),
+        |bits AS (
+        |  SELECT doc_id, u.b AS b,
+        |         CASE WHEN ((strpos('0123456789abcdef',
+        |                            substr(hx, CAST(15 - u.b // 4 AS INT), 1)) - 1)
+        |                    >> (u.b % 4)) & 1 = 1 THEN 1 ELSE -1 END AS s
+        |  FROM h, UNNEST(range(60)) AS u(b)),
+        |sums AS (SELECT doc_id, b, sum(s) AS t FROM bits GROUP BY doc_id, b),
+        |sig AS (
+        |  SELECT doc_id,
+        |         sum(CASE WHEN t > 0 THEN (1::BIGINT << b) ELSE 0::BIGINT END) AS simhash
+        |  FROM sums GROUP BY doc_id),
+        |ch AS (
+        |  SELECT doc_id, simhash, u.c AS chunk_id,
+        |         (simhash >> CAST(u.c * 15 AS INT)) & 32767 AS chunk_val
+        |  FROM sig, UNNEST(range(4)) AS u(c)),
+        |hot AS (
+        |  SELECT chunk_id, chunk_val FROM ch
+        |  GROUP BY chunk_id, chunk_val HAVING count(*) > 200),
+        |c2 AS (
+        |  SELECT doc_id, simhash, chunk_id, chunk_val FROM ch
+        |  WHERE NOT EXISTS (SELECT 1 FROM hot
+        |                    WHERE hot.chunk_id = ch.chunk_id
+        |                      AND hot.chunk_val = ch.chunk_val))
+        |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+        |FROM c2 a JOIN c2 b ON a.chunk_id = b.chunk_id
+        |                   AND a.chunk_val = b.chunk_val
+        |                   AND a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.simhash, b.simhash)) <= 8""".stripMargin,
     "x27_ann_recall" ->
       s"""SELECT count(*) AS n_queries, TRUE AS mean_recall_ok
          |FROM embeddings
@@ -2097,6 +2228,19 @@ object SparkEntry {
         |  JOIN sizes sa ON sa.doc_id = doc_a
         |  JOIN sizes sb ON sb.doc_id = doc_b
         |  WHERE round(n_common::DOUBLE / (sa.n_sh + sb.n_sh - n_common), 4) >= 0.2),
+        |e AS (SELECT doc_a AS src, doc_b AS dst FROM p
+        |      UNION SELECT doc_b, doc_a FROM p),
+        |r AS (
+        |  SELECT src AS id, src AS label FROM e
+        |  UNION
+        |  SELECT e.dst AS id, r.label FROM r JOIN e ON e.src = r.id)
+        |SELECT id AS doc_id, CAST(min(label) AS BIGINT) AS cluster_id
+        |FROM r GROUP BY id""".stripMargin,
+    // CC over the PORTABLE LSH candidate pairs: the same md5-prefix pair
+    // truth as x03 (one shared CTE constant — the two cannot de-sync),
+    // closed by the x22 recursive-CTE component oracle
+    "x28_dup_clusters_lsh" ->
+      s"""WITH RECURSIVE $minhashPortablePairCtes,
         |e AS (SELECT doc_a AS src, doc_b AS dst FROM p
         |      UNION SELECT doc_b, doc_a FROM p),
         |r AS (

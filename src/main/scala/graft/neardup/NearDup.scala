@@ -121,13 +121,85 @@ object NearDup {
     jaccardPairsOver(sh, threshold, maxDocFreq, probePred = probePred)
   }
 
-  /** MinHash signature: for each of `numHashes` seeded Murmur3 functions,
+  /** Cross-engine-portable hashing (the `portable = true` paths).
+    *
+    * Engine hashes (Spark murmur3/xxhash64) are JVM-internal, so a
+    * DuckDB oracle can't rebuild their band buckets — those paths can
+    * only ever be rows-only-checked. The portable scheme derives
+    * everything from md5 (bit-identical in every engine) plus integer
+    * arithmetic that is exact in both engines:
+    *
+    *  - `portableBase(s)`: the first 15 hex nibbles of md5(s) as a
+    *    60-bit non-negative long. 15 nibbles (not 16) keeps every value
+    *    and shift strictly inside the positive signed-64 range, so no
+    *    engine ever hits sign/overflow divergence. ONE md5 per row —
+    *    the seeded variants below are cheap affine maps, not re-hashes
+    *    (an md5-per-seed draft measured 6× slower at sf0.1).
+    *  - MinHash slots: `(a_i * (base % P) + b_i) % P` with
+    *    P = 2147483647 (2^31-1) and splitmix64-derived coefficients in
+    *    [1, P-1] (`portableCoef`). Products stay < 2^62: ANSI-safe.
+    *  - Band keys: two degree-(rows-1) polynomials of the slot values
+    *    (bases 31 and 97) mod P, packed as `c1 * P + c2` — a 62-bit key,
+    *    collision-negligible, pure integer ops both engines.
+    *
+    * Production default stays murmur/xxhash (cheaper, no cryptographic
+    * work); portable is what the x03/x04/x28 catalog entries run so the
+    * LSH candidate SETS are oracle-checked end-to-end.
+    */
+  val PortableP = 2147483647L // 2^31 - 1
+
+  def portableBase(s: Column): Column =
+    conv(substring(md5(s), 1, 15), 16, 10).cast("long")
+
+  /** Affine coefficient for the i-th portable minhash function: a
+    * splitmix64 finalizer step reduced into [1, P-1]. Pure function of
+    * (i, which) — the oracle SQL interpolates the same values as
+    * literals (computed here, never hand-written).
+    */
+  def portableCoef(i: Int, which: Int): Long = {
+    var z = ((i.toLong << 1) | which.toLong) + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z = z ^ (z >>> 31)
+    Math.floorMod(z, PortableP - 1) + 1
+  }
+
+  /** MinHash signature: for each of `numHashes` hash functions (seeded
+    * Murmur3 by default; md5-base affine permutations when `portable`),
     * the min hash over the doc's shingles. Fixed-size per doc.
     */
-  def minhashSignatures(sh: DataFrame, numHashes: Int): DataFrame = {
-    val slots = (0 until numHashes).map(i =>
-      min(hash(col("shingle"), lit(i))).as(s"mh_$i"))
-    sh.groupBy("id").agg(slots.head, slots.tail: _*)
+  def minhashSignatures(sh: DataFrame, numHashes: Int,
+                        portable: Boolean = false): DataFrame = {
+    if (portable) {
+      // one md5 per (id, shingle) row, then numHashes affine maps — the
+      // permutation family is applied to the PRE-projected base so the
+      // cryptographic work doesn't multiply with numHashes
+      val pre = sh.select(col("id"), (portableBase(col("shingle")) % PortableP).as("hb"))
+      val slots = (0 until numHashes).map { i =>
+        min((lit(portableCoef(i, 0)) * col("hb") + lit(portableCoef(i, 1))) % PortableP)
+          .as(s"mh_$i")
+      }
+      pre.groupBy("id").agg(slots.head, slots.tail: _*)
+    } else {
+      val slots = (0 until numHashes).map(i =>
+        min(hash(col("shingle"), lit(i))).as(s"mh_$i"))
+      sh.groupBy("id").agg(slots.head, slots.tail: _*)
+    }
+  }
+
+  private def intPow(k: Long, e: Int): Long = (0 until e).foldLeft(1L)((acc, _) => acc * k)
+
+  /** 62-bit portable band key over `slots` (each < P): two polynomial
+    * combines mod P packed as c1*P + c2. Sum-of-products bound: each
+    * term < P * k^(rows-1); rows ≤ 4 keeps everything < 2^53 — enforced
+    * by the caller (16 hashes / 4 bands is the shipped shape).
+    */
+  private def portableBandKey(slots: Seq[Column]): Column = {
+    def poly(k: Long): Column =
+      slots.zipWithIndex.map { case (c, j) =>
+        c * lit(intPow(k, slots.size - 1 - j))
+      }.reduce(_ + _) % PortableP
+    poly(31L) * lit(PortableP) + poly(97L)
   }
 
   /** MinHash+LSH candidate pairs, exact-Jaccard verified. `numHashes`
@@ -146,10 +218,12 @@ object NearDup {
                       threshold: Double = 0.5,
                       maxBucketSize: Option[Int] = None,
                       cacheShingles: Boolean = false,
-                      cacheBands: Boolean = false): DataFrame = {
+                      cacheBands: Boolean = false,
+                      portable: Boolean = false): DataFrame = {
     val shRaw = shingles(df, idCol, textCol, k)
     val sh = if (cacheShingles) shRaw.cache() else shRaw
-    minhashLshPairsOver(sh, numHashes, bands, threshold, maxBucketSize, cacheBands)
+    minhashLshPairsOver(sh, numHashes, bands, threshold, maxBucketSize,
+      cacheBands, portable = portable)
   }
 
   /** MinHash+LSH over a prebuilt (id, shingle) inverted index — lets a
@@ -160,9 +234,10 @@ object NearDup {
                           threshold: Double = 0.5,
                           maxBucketSize: Option[Int] = None,
                           cacheBands: Boolean = false,
-                          probePred: Option[Column] = None): DataFrame = {
+                          probePred: Option[Column] = None,
+                          portable: Boolean = false): DataFrame = {
     val rows = numHashes / bands
-    val sig = minhashSignatures(sh, numHashes)
+    val sig = minhashSignatures(sh, numHashes, portable = portable)
     // (band_id, band_hash) inverted index: ONE equi-join on the composite
     // bucket key replaces per-band self-joins + union — one shuffle, and
     // the band id rides in the join key so buckets from different bands
@@ -170,8 +245,14 @@ object NearDup {
     // cacheShingles): the frame is tiny (docs × bands) but feeds the
     // hot-bucket aggregate, the anti join, and BOTH self-join sides —
     // uncached, the signature aggregation runs once per consumer.
+    if (portable) require(rows <= 4,
+      "portable band keys support at most 4 rows per band (62-bit packing bound)")
     val bandedRaw = sig.select(col("id"), posexplode(array((0 until bands).map { b =>
-      hash((b * rows until (b + 1) * rows).map(i => col(s"mh_$i")): _*)
+      val slots = (b * rows until (b + 1) * rows).map(i => col(s"mh_$i"))
+      // portable band key: integer polynomial over the slot values — the
+      // oracle rebuilds it with the same literal multipliers; murmur of
+      // the slots otherwise (production default)
+      if (portable) portableBandKey(slots) else hash(slots: _*)
     }: _*)).as(Seq("band_id", "band_hash")))
     val bandedAll = if (cacheBands) bandedRaw.cache() else bandedRaw
     val banded = maxBucketSize match {
@@ -271,22 +352,31 @@ object NearDup {
     labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
   }
 
-  /** 64-bit SimHash per doc: sign of the token-weighted bit sums of
-    * xxhash64(token). Output: id, simhash.
+  /** SimHash per doc: sign of the token-weighted bit sums of a 64-bit
+    * token hash. Output: id, simhash.
+    *
+    * Default: 64 bits of xxhash64(token). `portable`: the 60-bit
+    * `portableBase` of the token — md5 is engine-independent, so the
+    * DuckDB oracle recomputes the identical signatures nibble-by-nibble
+    * (xxhash64 can't be cross-checked).
     */
-  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def simhashBits(portable: Boolean): Int = if (portable) 60 else 64
+
+  def simhash(df: DataFrame, idCol: String, textCol: String,
+              portable: Boolean = false): DataFrame = {
     val toks = TextAnalysis.tokens(col(textCol))
     // For each bit position, sum +1/-1 over token occurrences, then pack
     // sign bits. ONE partial-aggregated groupBy straight off the explode:
     // a (id, token-hash) pre-dedup shuffle was measured SLOWER here — the
     // extra exchange outweighs evaluating the bit tests per occurrence.
-    val h = xxhash64(col("tok"))
+    val nbits = simhashBits(portable)
+    val h = if (portable) portableBase(col("tok")) else xxhash64(col("tok"))
     val exploded = df.select(col(idCol).as("id"), explode(toks).as("tok"))
       .select(col("id"), h.as("th"))
-    val bitSums = (0 until 64).map { b =>
+    val bitSums = (0 until nbits).map { b =>
       sum(when(shiftright(col("th"), b).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)).as(s"b_$b")
     }
-    val packed = (0 until 64).map { b =>
+    val packed = (0 until nbits).map { b =>
       when(col(s"b_$b") > 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
     }.reduce(_.bitwiseOR(_))
     exploded.groupBy("id").agg(bitSums.head, bitSums.tail: _*)
@@ -302,15 +392,21 @@ object NearDup {
                    maxHamming: Int = 6,
                    maxBucketSize: Option[Int] = None,
                    cacheBands: Boolean = false,
-                   probePred: Option[Column] = None): DataFrame = {
-    val sig = simhash(df, idCol, textCol)
+                   probePred: Option[Column] = None,
+                   portable: Boolean = false): DataFrame = {
+    val sig = simhash(df, idCol, textCol, portable = portable)
     // (chunk_id, chunk_value) inverted index → single equi-join, as in
     // the MinHash banding; optional hot-bucket cap for low-entropy data.
     // cacheBands: same multi-consumer rationale as the MinHash banding —
     // the 64-column bit-sum signature aggregate is the expensive parent.
+    // Chunk width follows the signature width (4 × 16 bits, or 4 × 15 in
+    // portable mode) — the any-pair-within-Hamming-3-shares-a-chunk
+    // guarantee is the 4-way pigeonhole either way.
+    val chunkBits = simhashBits(portable) / 4
+    val chunkMask = (1L << chunkBits) - 1
     val bandedRaw = sig.select(col("id"), col("simhash"),
       posexplode(array((0 until 4).map(c =>
-        shiftright(col("simhash"), c * 16).bitwiseAND(lit(0xFFFFL))): _*))
+        shiftright(col("simhash"), c * chunkBits).bitwiseAND(lit(chunkMask))): _*))
         .as(Seq("chunk_id", "chunk_val")))
     val bandedAll = if (cacheBands) bandedRaw.cache() else bandedRaw
     val banded = maxBucketSize match {

@@ -42,6 +42,48 @@ class ExtensionsSpec extends SparkSpec {
       r.getAs[Int]("hamming") == 0))
   }
 
+  test("portable (md5) near-dup variants keep the dedup contract and stay sign-safe") {
+    // same fixtures as the murmur tests: the hash primitive changes, the
+    // near-dup semantics must not
+    val mp = NearDup.minhashLshPairs(dupDocs, "doc_id", "text", portable = true)
+      .collect()
+    assert(mp.exists(r => r.getLong(0) == 1 && r.getLong(1) == 2 &&
+      r.getAs[Double]("jaccard") == 1.0))
+    val sp = NearDup.simhashPairs(dupDocs, "doc_id", "text", maxHamming = 8,
+        portable = true).collect()
+    assert(sp.exists(r => r.getLong(0) == 1 && r.getLong(1) == 2 &&
+      r.getAs[Int]("hamming") == 0))
+    // 60-bit portable signatures never touch the sign bit — the property
+    // that makes every shift exact in BOTH engines (the oracle's DuckDB
+    // twin rebuilds them nibble-by-nibble)
+    val sigs = NearDup.simhash(dupDocs, "doc_id", "text", portable = true)
+      .collect().map(_.getLong(1))
+    assert(sigs.nonEmpty && sigs.forall(s => s >= 0L && s < (1L << 60)))
+  }
+
+  test("portableBase/portableCoef match independent JVM md5 arithmetic (cross-engine anchor)") {
+    import org.apache.spark.sql.functions.lit
+    val got = dupDocs.limit(1)
+      .select(NearDup.portableBase(lit("abc def")),
+        (NearDup.portableBase(lit("abc def")) % NearDup.PortableP
+          * lit(NearDup.portableCoef(3, 0)) + lit(NearDup.portableCoef(3, 1)))
+          % NearDup.PortableP).head
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest("abc def".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val base = java.lang.Long.parseLong(hex.take(15), 16)
+    assert(got.getLong(0) == base)
+    assert(base >= 0L && base < (1L << 60))
+    val slot = ((base % NearDup.PortableP) * NearDup.portableCoef(3, 0)
+      + NearDup.portableCoef(3, 1)) % NearDup.PortableP
+    assert(got.getLong(1) == slot)
+    // coefficients stay in [1, P-1]: products bounded < 2^62, ANSI-safe
+    assert((0 until 16).forall { i =>
+      Seq(0, 1).forall { w =>
+        val c = NearDup.portableCoef(i, w); c >= 1 && c < NearDup.PortableP
+      }
+    })
+  }
+
   test("stratifiedSample: deterministic, subset, rate-proportional") {
     import graft.ops.Sampling
     val df = Tables.events(spark, sfDir)
