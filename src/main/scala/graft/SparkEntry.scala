@@ -19,10 +19,11 @@ import graft.multimodal.Multimodal
   * (aliased identically; counts as BIGINT, ratios rounded the same way)
   * because the driver hash-compares values per sorted column name.
   *
-  * Queries using engine-specific hashing (Murmur3/xxhash64 in MinHash,
-  * SimHash, LSH) have no ANSI equivalent → no oracle entry (driver
-  * records the weaker rows-only check), but each is exact-verified
-  * in-plan (candidates are checked with true Jaccard / true cosine).
+  * Queries with no ANSI equivalent get no oracle entry (driver records
+  * the weaker rows-only check) — after the round-5 portable-hash work
+  * the only one left is x20's k-means (float-sum order); everything
+  * else, including the LSH/minhash/simhash candidate sets and one
+  * driver-observable STREAMING query (x51), is hash-compared.
   */
 object SparkEntry {
 
@@ -839,6 +840,73 @@ object SparkEntry {
     "x25_sessionize_batch" -> ((s, d) =>
       Sessionize.sessionizeBatch(ev(s, d), "user_id", "ts", "value",
         gapMinutes = 30)),
+    // STREAMING sessionize, driver-observable (round 5 — streaming was
+    // spec-only before): the stateful flatMapGroupsWithState path run to
+    // completion with Trigger.AvailableNow and hash-compared against a
+    // SQL twin. Batch 0 ingests every event (fresh checkpoint →
+    // watermark 0 drops nothing), then the no-data batch advances the
+    // watermark to max(ts) - 10 min and fires the EventTimeTimeouts.
+    // The emitted set is exactly deterministic: every non-final session
+    // per user (gap-closed inside batch 0) plus each final session whose
+    // timeout ms — ceil((last_µs + gap_µs)/1000), the sessionizer's own
+    // rounding — lies strictly below the final watermark ms. The oracle
+    // encodes that rule in SQL, so the state store, watermark arithmetic,
+    // and timeout semantics are cross-engine-checked end-to-end. Values
+    // ride as integer cents (the x25 idiom) so double sums are exact in
+    // both engines.
+    "x51_stream_sessionize" -> ((s, d) => {
+      import s.implicits._
+      val name = "x51_stream_sessions"
+      s.catalog.dropTempView(name) // idempotent across bench reps
+      val confKey = "spark.sql.legacy.parquet.nanosAsLong"
+      val shufKey = "spark.sql.shuffle.partitions"
+      val prev = s.conf.getOption(confKey)
+      val prevShuf = s.conf.getOption(shufKey)
+      // unlike Tables.events (eager batch schema), the file-stream source
+      // deserializes per micro-batch — the conf must outlive the query
+      s.conf.set(confKey, "true")
+      // the state-op partition count is FIXED at query start (each
+      // partition is a state store the commit phase must snapshot every
+      // micro-batch); 8 stores amortize far better than 32 on this
+      // 2-batch bounded run, and the checkpoint is fresh per call so no
+      // restart compatibility is at stake. A long-lived production
+      // stream sizes this to its key cardinality instead.
+      s.conf.set(shufKey, "8")
+      try {
+        val raw = s.read.parquet(s"$d/events.parquet").schema
+        // a file stream ingests a DIRECTORY (the landing-zone shape);
+        // the single-file table is linked into a scratch dir to stand in
+        // for one arrived batch of files
+        val landing = sinkScratch("x51_landing")
+        java.nio.file.Files.createSymbolicLink(
+          java.nio.file.Paths.get(landing, "events.parquet"),
+          java.nio.file.Paths.get(d, "events.parquet").toAbsolutePath)
+        val src = s.readStream.schema(raw).parquet(landing)
+          .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+          .filter(col("ts").isNotNull && col("value").isNotNull)
+          .select(col("user_id"), col("ts"),
+            round(col("value") * 100, 0).as("value"))
+          .as[graft.streaming.EventStream.SessionIn]
+        val q = graft.streaming.EventStream.sessionize(s, src)
+          .writeStream.format("memory").queryName(name)
+          .option("checkpointLocation", sinkScratch("x51"))
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      } finally {
+        prev match {
+          case Some(v) => s.conf.set(confKey, v)
+          case None => s.conf.unset(confKey)
+        }
+        prevShuf match {
+          case Some(v) => s.conf.set(shufKey, v)
+          case None => s.conf.unset(shufKey)
+        }
+      }
+      s.table(name).select(col("user_id"), col("n_events"),
+        col("duration_min"), (col("total_value") / 100.0).as("total_value"))
+    }),
     // Spark 4 variant shredding: schema-flexible parse_json +
     // variant_get — the modern path for payloads whose schema drifts
     "q38_variant_shred" -> ((s, d) =>
@@ -2302,6 +2370,43 @@ object SparkEntry {
         |       (epoch_us(max(ts)) - epoch_us(min(ts))) / 60000000.0 AS duration_min,
         |       sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS total_value
         |FROM s GROUP BY 1, 2""".stripMargin,
+    // streaming sessionize twin: x25's session algebra PLUS the exact
+    // emission rule of the availableNow run — non-final sessions always
+    // emit (gap-closed in batch 0); a user's final session emits iff its
+    // timeout ms (ceil((last_µs + 30min)/1000), the sessionizer's own
+    // +999 floorDiv) is strictly below the final watermark ms
+    // (floor(max_µs/1000) - 10 min). Cross-checks watermark arithmetic
+    // and EventTimeTimeout semantics, not just session algebra.
+    "x51_stream_sessionize" ->
+      """WITH e AS (
+        |  SELECT user_id, ts, CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
+        |f AS (
+        |  SELECT user_id, ts, cents,
+        |         CASE WHEN lag(ts) OVER w IS NULL
+        |                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+        |              THEN 1 ELSE 0 END AS brk
+        |  FROM e
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |s AS (
+        |  SELECT user_id, ts, cents,
+        |         sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |                        ROWS UNBOUNDED PRECEDING) AS session_no
+        |  FROM f),
+        |g AS (
+        |  SELECT user_id, session_no,
+        |         CAST(count(*) AS BIGINT) AS n_events,
+        |         (epoch_us(max(ts)) - epoch_us(min(ts))) / 60000000.0 AS duration_min,
+        |         sum(cents) / 100.0 AS total_value,
+        |         max(ts) AS last_ts,
+        |         row_number() OVER (PARTITION BY user_id
+        |                            ORDER BY session_no DESC) AS rn
+        |  FROM s GROUP BY 1, 2),
+        |wm AS (SELECT epoch_us(max(ts)) // 1000 - 600000 AS wm_ms FROM e)
+        |SELECT user_id, n_events, duration_min, total_value
+        |FROM g, wm
+        |WHERE rn > 1
+        |   OR (epoch_us(last_ts) + 1800000000 + 999) // 1000 < wm_ms""".stripMargin,
     "q38_variant_shred" ->
       """SELECT event_id,
         |       CAST(regexp_extract(props, '"k": (-?[0-9]+)', 1) AS INTEGER) AS k
