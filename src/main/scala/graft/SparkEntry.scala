@@ -171,30 +171,80 @@ object SparkEntry {
       }
     }.mkString(", ")
 
+  /** ONE definition site for the MinHash/Jaccard demo-catalog shape
+    * constants (shingle width, hash/band counts, caps, thresholds): the
+    * Scala catalog entries (x02/x03/x22/x28) and the oracle CTE
+    * generators below both read these, so a config change cannot desync
+    * the two sides — previously the CTE string duplicated them as
+    * hand-written literals and a drift would have surfaced as a
+    * confusing hash mismatch rather than a compile-visible constant.
+    */
+  private val wordShingleK     = 3   // tokens per word shingle (x02/x03/x22/x28)
+  private val wordShingleDfCap = 200 // df-cap for exact-Jaccard pair joins (x02/x22)
+  private val mhNumHashes      = 16  // MinHash slots (x03/x28)
+  private val mhBands          = 4   // LSH bands (x03/x28)
+  private val mhBucketCap      = 200 // hot band-bucket cap (x03/x28)
+  private val mhThreshold      = 0.2 // Jaccard verification threshold
+
+  /** The word-shingle CTE pair (`toks`, shingle set named by `out`) the
+    * Jaccard/MinHash oracles share; width and minimum length come from
+    * [[wordShingleK]].
+    */
+  private def wordShingleCtes(out: String): String =
+    s"""toks AS (
+      |  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+      |                             x -> x <> '') AS t
+      |  FROM documents),
+      |$out AS (
+      |  SELECT DISTINCT doc_id, array_to_string(t[i:i+${wordShingleK - 1}], ' ') AS shingle
+      |  FROM toks, UNNEST(range(1, len(t) - ${wordShingleK - 2})) AS u(i)
+      |  WHERE len(t) >= $wordShingleK)""".stripMargin
+
+  /** DF-CAPPED word-shingle inverted index as DuckDB CTEs (`toks sh0
+    * hotw sh`): `sh` is the filtered index. Downstream sizes/pair joins
+    * must read `sh`, matching the Spark side which computes set sizes on
+    * the SAME filtered index (NearDup.jaccardPairsOver) so the Jaccard
+    * ratio stays internally consistent. Shared by the x02 pair oracle
+    * and the x22 connected-components oracle.
+    */
+  private val cappedWordShingleCtes: String =
+    s"""${wordShingleCtes("sh0")},
+      |hotw AS (
+      |  SELECT shingle FROM sh0 GROUP BY shingle HAVING count(*) > $wordShingleDfCap),
+      |sh AS (
+      |  SELECT doc_id, shingle FROM sh0
+      |  WHERE NOT EXISTS (SELECT 1 FROM hotw WHERE hotw.shingle = sh0.shingle))""".stripMargin
+
   /** DuckDB twin of the PORTABLE MinHash+LSH pair generation
     * (`NearDup.minhashLshPairs(..., portable = true)`): the 60-bit
     * md5-nibble base rebuilt with strpos arithmetic, the same
     * splitmix64-derived affine coefficients interpolated as literals
     * (computed by `NearDup.portableCoef`, never hand-written), the same
-    * 31/97 polynomial band keys, 200-doc hot-bucket cap, and exact
-    * shingle-Jaccard verification at the given threshold. Shared by the
-    * x03 pair oracle and the x28 connected-components oracle — one truth
-    * definition, so the two cannot de-sync. Produces CTEs `toks sh hb mh
-    * bands hot b2 cand sizes inter p`; `p` is (doc_a, doc_b, jaccard).
+    * 31/97 polynomial band keys, hot-bucket cap, and exact
+    * shingle-Jaccard verification at the operating threshold. Every
+    * shape constant (hash count, bands, cap, threshold, shingle width)
+    * interpolates from the SAME named constants the catalog entries
+    * pass to NearDup — x03/x28 and their oracles cannot de-sync. Shared
+    * by the x03 pair oracle and the x28 connected-components oracle —
+    * one truth definition. Produces CTEs `toks sh hb mh bands hot b2
+    * cand sizes inter p`; `p` is (doc_a, doc_b, jaccard).
     */
   private val minhashPortablePairCtes: String = {
-    val coefs = (0 until 16).map(i =>
+    val coefs = (0 until mhNumHashes).map(i =>
       s"($i, ${graft.neardup.NearDup.portableCoef(i, 0)}, ${graft.neardup.NearDup.portableCoef(i, 1)})")
       .mkString(", ")
+    // band key = two base-31 / base-97 polynomials over the band's rows
+    // (NearDup's portable band hash); arms generated from rowsPerBand so
+    // a hash/band reconfiguration regenerates the polynomial degrees
+    val rowsPerBand = mhNumHashes / mhBands
+    def bandPoly(base: Long): String = {
+      val arms = (0 until rowsPerBand - 1)
+        .map(j => s"WHEN $j THEN ${Iterator.fill(rowsPerBand - 1 - j)(base).product}")
+        .mkString(" ")
+      s"CASE seed % $rowsPerBand $arms ELSE 1 END"
+    }
     s"""seeds(seed, a, b) AS (VALUES $coefs),
-      |toks AS (
-      |  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\\s+'),
-      |                             x -> x <> '') AS t
-      |  FROM documents),
-      |sh AS (
-      |  SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle
-      |  FROM toks, UNNEST(range(1, len(t) - 1)) AS u(i)
-      |  WHERE len(t) >= 3),
+      |${wordShingleCtes("sh")},
       |hx AS (SELECT doc_id, substr(md5(shingle), 1, 15) AS hx FROM sh),
       |hb AS (
       |  SELECT doc_id,
@@ -207,16 +257,14 @@ object SparkEntry {
       |  FROM hb, seeds s
       |  GROUP BY doc_id, s.seed),
       |bands AS (
-      |  SELECT doc_id, seed // 4 AS band_id,
-      |         (sum(mh * CASE seed % 4 WHEN 0 THEN 29791 WHEN 1 THEN 961
-      |                                 WHEN 2 THEN 31 ELSE 1 END) % 2147483647)
+      |  SELECT doc_id, seed // $rowsPerBand AS band_id,
+      |         (sum(mh * ${bandPoly(31L)}) % 2147483647)
       |           * 2147483647
-      |         + (sum(mh * CASE seed % 4 WHEN 0 THEN 912673 WHEN 1 THEN 9409
-      |                                   WHEN 2 THEN 97 ELSE 1 END) % 2147483647) AS band_hash
-      |  FROM mh GROUP BY doc_id, seed // 4),
+      |         + (sum(mh * ${bandPoly(97L)}) % 2147483647) AS band_hash
+      |  FROM mh GROUP BY doc_id, seed // $rowsPerBand),
       |hot AS (
       |  SELECT band_id, band_hash FROM bands
-      |  GROUP BY band_id, band_hash HAVING count(*) > 200),
+      |  GROUP BY band_id, band_hash HAVING count(*) > $mhBucketCap),
       |b2 AS (
       |  SELECT doc_id, band_id, band_hash FROM bands
       |  WHERE NOT EXISTS (SELECT 1 FROM hot
@@ -240,7 +288,7 @@ object SparkEntry {
       |  FROM inter i
       |  JOIN sizes sa ON sa.doc_id = i.doc_a
       |  JOIN sizes sb ON sb.doc_id = i.doc_b
-      |  WHERE round(i.n_common::DOUBLE / (sa.n_sh + sb.n_sh - i.n_common), 4) >= 0.2)""".stripMargin
+      |  WHERE round(i.n_common::DOUBLE / (sa.n_sh + sb.n_sh - i.n_common), 4) >= $mhThreshold)""".stripMargin
   }
 
   /** Fixture payload for the JSON-shredding family (S3/F13/J4/A8/F12) —
@@ -531,10 +579,18 @@ object SparkEntry {
     // cacheShingles: the shingle frame feeds sizes + both join sides;
     // caching it trades one small persisted frame for two re-computations
     // of the explode+distinct (plan-canonicalized, so repeated catalog
-    // runs reuse one cache entry)
+    // runs reuse one cache entry).
+    // maxDocFreq = 200: word shingles shared by >200 docs are dropped
+    // BEFORE the pair join (same Σ C(df,2) bound x31 applies to char
+    // grams — the uncapped char variant measured 874s vs ~2s at sf0.1).
+    // On this corpus the cap drops no shingles at sf0.01/sf0.1, but at
+    // real corpus growth it is the difference between a linear inverted-
+    // index join and a quadratic hot-key blowup; the oracle CTE mirrors
+    // the cap so jaccard stays cross-engine-exact.
     "x02_jaccard_pairs" -> ((s, d) =>
-      NearDup.jaccardPairs(docs(s, d), "doc_id", "text", k = 3, threshold = 0.2,
-        cacheShingles = true)),
+      NearDup.jaccardPairs(docs(s, d), "doc_id", "text", k = wordShingleK,
+        threshold = mhThreshold, cacheShingles = true,
+        maxDocFreq = Some(wordShingleDfCap))),
     // hot band buckets capped at 200 docs: on this low-entropy corpus the
     // cap drops NO pairs at sf0.01/sf0.1 (sweep-verified) but bounds the
     // C(n,2) pair expansion that would otherwise dominate at 100 TB.
@@ -545,9 +601,9 @@ object SparkEntry {
     // murmur production default stays gated by x33.
     "x03_minhash_lsh" -> ((s, d) =>
       NearDup.minhashLshPairs(docs(s, d), "doc_id", "text",
-        k = 3, numHashes = 16, bands = 4, threshold = 0.2,
-        maxBucketSize = Some(200), cacheShingles = true, cacheBands = true,
-        portable = true)),
+        k = wordShingleK, numHashes = mhNumHashes, bands = mhBands,
+        threshold = mhThreshold, maxBucketSize = Some(mhBucketCap),
+        cacheShingles = true, cacheBands = true, portable = true)),
     // portable = true: 60-bit md5-nibble signatures (NearDup.simhash) —
     // the oracle recomputes every signature bit-for-bit, so buckets,
     // hamming distances, and the pair set are all cross-engine-checked
@@ -635,11 +691,15 @@ object SparkEntry {
     }),
     // dup-cluster assignment (connected components of the exact-Jaccard
     // pair graph): the keeper-per-cluster step after pair generation;
-    // oracle = recursive-CTE transitive closure over the same pairs
+    // oracle = recursive-CTE transitive closure over the same pairs.
+    // Same wordShingleDfCap as x02 (its pair source) — the CC step is
+    // scale-safe on its own, but an uncapped pair source re-opens the
+    // hot-shingle quadratic it consumes.
     "x22_dup_clusters" -> ((s, d) =>
       NearDup.dupClusters(
-        NearDup.jaccardPairs(docs(s, d), "doc_id", "text", k = 3, threshold = 0.2,
-          cacheShingles = true))),
+        NearDup.jaccardPairs(docs(s, d), "doc_id", "text", k = wordShingleK,
+          threshold = mhThreshold, cacheShingles = true,
+          maxDocFreq = Some(wordShingleDfCap)))),
     // the same cluster assignment over the SCALE pair path (capped
     // MinHash-LSH candidates instead of the exact all-shared-shingle
     // join) — the composition a 100 TB dedup actually runs. portable
@@ -649,9 +709,9 @@ object SparkEntry {
     "x28_dup_clusters_lsh" -> ((s, d) =>
       NearDup.dupClusters(
         NearDup.minhashLshPairs(docs(s, d), "doc_id", "text",
-          k = 3, numHashes = 16, bands = 4, threshold = 0.2,
-          maxBucketSize = Some(200), cacheShingles = true, cacheBands = true,
-          portable = true))),
+          k = wordShingleK, numHashes = mhNumHashes, bands = mhBands,
+          threshold = mhThreshold, maxBucketSize = Some(mhBucketCap),
+          cacheShingles = true, cacheBands = true, portable = true))),
 
     // ---- north-star extensions: similarity search ----
     // Query sets for the ANN family are FIXED-COUNT samples, not corpus
@@ -1771,15 +1831,11 @@ object SparkEntry {
       """SELECT md5(lower(trim(text))) AS text_hash,
         |       min(doc_id) AS keeper_id, count(*) AS n_copies
         |FROM documents GROUP BY 1""".stripMargin,
+    // df-capped (wordShingleDfCap) exactly like the Spark side: sizes
+    // and the pair join both read the FILTERED index `sh`, so the
+    // Jaccard ratio matches NearDup.jaccardPairsOver's capped spelling
     "x02_jaccard_pairs" ->
-      """WITH toks AS (
-        |  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'),
-        |                             x -> x <> '') AS t
-        |  FROM documents),
-        |sh AS (
-        |  SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle
-        |  FROM toks, UNNEST(range(1, len(t) - 1)) AS u(i)
-        |  WHERE len(t) >= 3),
+      s"""WITH $cappedWordShingleCtes,
         |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
         |inter AS (
         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
@@ -1790,7 +1846,7 @@ object SparkEntry {
         |FROM inter
         |JOIN sizes sa ON sa.doc_id = doc_a
         |JOIN sizes sb ON sb.doc_id = doc_b
-        |WHERE round(n_common::DOUBLE / (sa.n_sh + sb.n_sh - n_common), 4) >= 0.2""".stripMargin,
+        |WHERE round(n_common::DOUBLE / (sa.n_sh + sb.n_sh - n_common), 4) >= $mhThreshold""".stripMargin,
     // portable MinHash+LSH: DuckDB rebuilds the SAME md5-base affine
     // slot hashes and polynomial band keys (minhashPortablePairCtes), so
     // the banded candidate set — not just the Jaccard verification — is
@@ -2277,15 +2333,10 @@ object SparkEntry {
         |       coalesce(best.score, 0) AS best_score
         |FROM g LEFT JOIN best USING (doc_id)
         |WHERE g.doc_id % 2 = 1""".stripMargin,
+    // pair source df-capped like x02 (shared cappedWordShingleCtes —
+    // the x22 pair truth and the x02 pair oracle cannot de-sync)
     "x22_dup_clusters" ->
-      """WITH RECURSIVE toks AS (
-        |  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'),
-        |                             x -> x <> '') AS t
-        |  FROM documents),
-        |sh AS (
-        |  SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle
-        |  FROM toks, UNNEST(range(1, len(t) - 1)) AS u(i)
-        |  WHERE len(t) >= 3),
+      s"""WITH RECURSIVE $cappedWordShingleCtes,
         |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
         |inter AS (
         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
@@ -2295,7 +2346,7 @@ object SparkEntry {
         |  SELECT doc_a, doc_b FROM inter
         |  JOIN sizes sa ON sa.doc_id = doc_a
         |  JOIN sizes sb ON sb.doc_id = doc_b
-        |  WHERE round(n_common::DOUBLE / (sa.n_sh + sb.n_sh - n_common), 4) >= 0.2),
+        |  WHERE round(n_common::DOUBLE / (sa.n_sh + sb.n_sh - n_common), 4) >= $mhThreshold),
         |e AS (SELECT doc_a AS src, doc_b AS dst FROM p
         |      UNION SELECT doc_b, doc_a FROM p),
         |r AS (
