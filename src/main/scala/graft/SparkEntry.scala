@@ -39,13 +39,18 @@ object SparkEntry {
     * scrub (x38) and the corpus build (x41). Every value is a pure
     * function of doc_id so the DuckDB oracle rebuilds it byte-for-byte.
     */
-  private def docsWithPii(s: SparkSession, d: String): DataFrame =
-    docs(s, d).select(col("doc_id"), concat(col("text"),
+  /** The PII suffix as a column expression so the same injection runs on
+    * batch (x38/x41) and STREAMING (x52) frames.
+    */
+  private def piiText: Column =
+    concat(col("text"),
       lit(" contact user"), col("doc_id").cast("string"),
       lit("@mail.example.com ip 10."), (col("doc_id") % 250).cast("string"),
       lit(".0."), (col("doc_id") % 100).cast("string"),
       lit(" tel +1-555-"),
-      lpad((col("doc_id") % 10000).cast("string"), 4, "0")).as("text"))
+      lpad((col("doc_id") % 10000).cast("string"), 4, "0")).as("text")
+  private def docsWithPii(s: SparkSession, d: String): DataFrame =
+    docs(s, d).select(col("doc_id"), piiText)
   private def cleanSess(s: SparkSession, d: String) =
     Ecommerce.cleanSessions(Ecommerce.sessionsFromEvents(ev(s, d)))
 
@@ -150,6 +155,18 @@ object SparkEntry {
       ex = exactAt(k).cache()
     }
     ex
+  }
+
+  /** DuckDB integer-cosine over two BIGINT[16] lists (the x20i oracle's
+    * core): all three dot products are exact integers (< 2^53), cast to
+    * double for one guarded divide-over-sqrt-product — the IDENTICAL op
+    * sequence `Similarity.cosineTopKIvfInt.cosExact` evaluates, so both
+    * engines produce bit-equal doubles and the same argmax/rankings.
+    */
+  private def intCosSql(a: String, b: String): String = {
+    def d(x: String, y: String) =
+      s"list_sum(list_transform(range(1, 17), j -> $x[CAST(j AS INT)] * $y[CAST(j AS INT)]))::DOUBLE"
+    s"(${d(a, b)} / greatest(sqrt(${d(a, a)}) * sqrt(${d(b, b)}), 1e-9))"
   }
 
   /** DuckDB twin of `Similarity.lshBucket`'s hyperplanes: the splitmix64
@@ -611,6 +628,23 @@ object SparkEntry {
     "x04_simhash_pairs" -> ((s, d) =>
       NearDup.simhashPairs(docs(s, d), "doc_id", "text", maxHamming = 8,
         maxBucketSize = Some(200), cacheBands = true, portable = true)),
+    // PRODUCTION-hash twins of x03/x04: the engine-hash defaults
+    // (murmur3 minhash permutations / xxhash64 simhash bits,
+    // portable = false) are the path a real 100 TB dedup runs — cheaper
+    // than the md5-based portable spelling, but JVM-internal, so no
+    // DuckDB twin can rebuild their buckets (rows-only; recall stays
+    // gated by x33/x34, which exercise exactly these defaults). Catalog
+    // entries so the murmur path's COST is tracked per-query per round —
+    // round 5 benched only the portable demo path, leaving a
+    // murmur-path perf regression invisible.
+    "x03p_minhash_lsh_prod" -> ((s, d) =>
+      NearDup.minhashLshPairs(docs(s, d), "doc_id", "text",
+        k = wordShingleK, numHashes = mhNumHashes, bands = mhBands,
+        threshold = mhThreshold, maxBucketSize = Some(mhBucketCap),
+        cacheShingles = true, cacheBands = true)),
+    "x04p_simhash_prod" -> ((s, d) =>
+      NearDup.simhashPairs(docs(s, d), "doc_id", "text", maxHamming = 8,
+        maxBucketSize = Some(200), cacheBands = true)),
     // character-5-gram Jaccard pairs: the tokenization-robust dedup
     // variant (word shingles miss dups with whitespace/punctuation
     // damage; char grams don't). The df-cap is NOT optional here: common
@@ -861,6 +895,24 @@ object SparkEntry {
           when(col("denom") === 0, lit(true))
             .otherwise(col("hits") / col("denom") >= 0.5).as("mean_recall_ok"))
     }),
+    // EXACT-INTEGER IVF (hash-green variant of the x20 family): float
+    // k-means sums doubles in partition order, so x20's centroids — and
+    // therefore its assignment — can never be SQL-reproduced (the one
+    // rows-only residue). This entry runs the same IVF shape on the
+    // integer fake embeds with a portable Knuth-spread init, integer-sum
+    // / floor-mean Lloyd update, and cosine built from exact-integer
+    // dots — every arithmetic step is either exact integer math or a
+    // fixed sequence of IEEE ops, so the DuckDB twin rebuilds init,
+    // refinement, assignment, probes, and the final top-k byte-for-byte.
+    // x20 (float path, x27-gated) stays as the production spelling for
+    // real float embeddings; this is the determinism proof.
+    "x20i_ivf_int" -> ((s, d) => {
+      val emb = Multimodal.fakeEmbedInt(s,
+        Multimodal.withPayload(docs(s, d), "doc_id", "text")).toDF().cache()
+      Similarity.cosineTopKIvfInt(emb, "doc_id", "embedding",
+        fixedCountPred(docs(s, d), "doc_id", target = 40),
+        nlist = 16, nprobe = 2, k = 5)
+    }),
 
     // ---- north-star extensions: text analysis ----
     "x08_langid" -> ((s, d) => TextAnalysis.langId(docs(s, d), "doc_id", "text")),
@@ -917,55 +969,97 @@ object SparkEntry {
     "x51_stream_sessionize" -> ((s, d) => {
       import s.implicits._
       val name = "x51_stream_sessions"
-      s.catalog.dropTempView(name) // idempotent across bench reps
-      val confKey = "spark.sql.legacy.parquet.nanosAsLong"
-      val shufKey = "spark.sql.shuffle.partitions"
-      val prev = s.conf.getOption(confKey)
-      val prevShuf = s.conf.getOption(shufKey)
+      // the stream runs on a CLONED session (shared SparkContext, its
+      // own SessionState) so the streaming-specific confs below never
+      // leak into queries sharing the harness session — previously they
+      // were set/restored on the global session, which was safe only
+      // under the serial driver
+      val ss = s.newSession()
       // unlike Tables.events (eager batch schema), the file-stream source
       // deserializes per micro-batch — the conf must outlive the query
-      s.conf.set(confKey, "true")
+      ss.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       // the state-op partition count is FIXED at query start (each
       // partition is a state store the commit phase must snapshot every
       // micro-batch); 8 stores amortize far better than 32 on this
       // 2-batch bounded run, and the checkpoint is fresh per call so no
       // restart compatibility is at stake. A long-lived production
       // stream sizes this to its key cardinality instead.
-      s.conf.set(shufKey, "8")
-      try {
-        val raw = s.read.parquet(s"$d/events.parquet").schema
-        // a file stream ingests a DIRECTORY (the landing-zone shape);
-        // the single-file table is linked into a scratch dir to stand in
-        // for one arrived batch of files
-        val landing = sinkScratch("x51_landing")
-        java.nio.file.Files.createSymbolicLink(
-          java.nio.file.Paths.get(landing, "events.parquet"),
-          java.nio.file.Paths.get(d, "events.parquet").toAbsolutePath)
-        val src = s.readStream.schema(raw).parquet(landing)
-          .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-          .filter(col("ts").isNotNull && col("value").isNotNull)
-          .select(col("user_id"), col("ts"),
-            round(col("value") * 100, 0).as("value"))
-          .as[graft.streaming.EventStream.SessionIn]
-        val q = graft.streaming.EventStream.sessionize(s, src)
-          .writeStream.format("memory").queryName(name)
-          .option("checkpointLocation", sinkScratch("x51"))
-          .outputMode("append")
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start()
-        q.awaitTermination()
-      } finally {
-        prev match {
-          case Some(v) => s.conf.set(confKey, v)
-          case None => s.conf.unset(confKey)
-        }
-        prevShuf match {
-          case Some(v) => s.conf.set(shufKey, v)
-          case None => s.conf.unset(shufKey)
-        }
-      }
-      s.table(name).select(col("user_id"), col("n_events"),
+      ss.conf.set("spark.sql.shuffle.partitions", "8")
+      val raw = ss.read.parquet(s"$d/events.parquet").schema
+      // a file stream ingests a DIRECTORY (the landing-zone shape);
+      // the single-file table is linked into a scratch dir to stand in
+      // for one arrived batch of files
+      val landing = sinkScratch("x51_landing")
+      java.nio.file.Files.createSymbolicLink(
+        java.nio.file.Paths.get(landing, "events.parquet"),
+        java.nio.file.Paths.get(d, "events.parquet").toAbsolutePath)
+      val src = ss.readStream.schema(raw).parquet(landing)
+        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        .filter(col("ts").isNotNull && col("value").isNotNull)
+        .select(col("user_id"), col("ts"),
+          round(col("value") * 100, 0).as("value"))
+        .as[graft.streaming.EventStream.SessionIn]
+      val q = graft.streaming.EventStream.sessionize(ss, src)
+        .writeStream.format("memory").queryName(name)
+        .option("checkpointLocation", sinkScratch("x51"))
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      // the oracle's watermark arithmetic assumes EVERY event lands in
+      // micro-batch 0 (a later data batch would see an advanced
+      // watermark: below-watermark rows dropped, gap closure changed —
+      // a data-dependent divergence from the SQL twin). Fail loudly if
+      // the source ever splits the landing dir across data batches.
+      val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+      require(dataBatches == 1,
+        s"x51 oracle parity requires exactly one data micro-batch, got " +
+          s"$dataBatches — landing-dir batching changed?")
+      // memory-sink temp view lives in the CLONE's catalog
+      ss.table(name).select(col("user_id"), col("n_events"),
         col("duration_min"), (col("total_value") / 100.0).as("total_value"))
+    }),
+    // STREAMING curation under the oracle (x51's pattern applied to the
+    // CorpusStream path): the real redact→gate→watermarked-dedup stream
+    // (stateful dropDuplicatesWithinWatermark) run to completion with
+    // AvailableNow over a landing dir of documents-with-PII. WHICH
+    // arrival survives a duplicate fingerprint is state-arrival-order
+    // dependent (partition-race), so the driver-visible result is the
+    // FINGERPRINT SET — invariant under arrival order, and exactly the
+    // distinct-fingerprint set of the gated corpus, which the SQL twin
+    // rebuilds from the x41 gate CTEs. Event time is synthesized from
+    // doc_id (documents carry none); with one data batch the watermark
+    // drops nothing and only evicts state in the final no-data batch —
+    // pinned by the same single-batch assert as x51.
+    "x52_stream_curation" -> ((s, d) => {
+      import s.implicits._
+      val name = "x52_stream_curation"
+      val ss = s.newSession()
+      // 8 state stores, same sizing rationale as x51
+      ss.conf.set("spark.sql.shuffle.partitions", "8")
+      val raw = ss.read.parquet(s"$d/documents.parquet").schema
+      val landing = sinkScratch("x52_landing")
+      java.nio.file.Files.createSymbolicLink(
+        java.nio.file.Paths.get(landing, "documents.parquet"),
+        java.nio.file.Paths.get(d, "documents.parquet").toAbsolutePath)
+      val src = ss.readStream.schema(raw).parquet(landing)
+        .select(col("doc_id"), piiText)
+        .select(col("doc_id"),
+          timestamp_seconds(lit(1704067200L) + col("doc_id")).as("ts"),
+          col("text"))
+      val q = graft.streaming.CorpusStream.curate(src, lateness = "1 hour")
+        .select("fingerprint")
+        .writeStream.format("memory").queryName(name)
+        .option("checkpointLocation", sinkScratch("x52"))
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+      require(dataBatches == 1,
+        s"x52 oracle parity requires exactly one data micro-batch, got " +
+          s"$dataBatches — landing-dir batching changed?")
+      ss.table(name).select("fingerprint")
     }),
     // Spark 4 variant shredding: schema-flexible parse_json +
     // variant_get — the modern path for payloads whose schema drifts
@@ -1897,6 +1991,70 @@ object SparkEntry {
       s"""SELECT count(*) AS n_queries, TRUE AS mean_recall_ok
          |FROM embeddings
          |WHERE ${fixedCountPredSql("embeddings", "vec_id", 40)}""".stripMargin,
+    // full IVF replay in SQL: integer byte-sum embeds (x17's CTEs),
+    // Knuth-spread init, one integer floor-mean Lloyd pass, assignment /
+    // probes / final top-k all via intCosSql — exact integers plus fixed
+    // IEEE op sequences, so every stage is byte-identical to the Spark
+    // plan (see Similarity.cosineTopKIvfInt)
+    "x20i_ivf_int" ->
+      s"""WITH b AS (
+        |  SELECT doc_id, i, ord(substr(text, CAST(i + 1 AS INT), 1)) AS byte
+        |  FROM documents, UNNEST(range(length(text))) AS u(i)),
+        |acc AS (
+        |  SELECT doc_id, i % 16 AS dd, sum(byte * (1 + ((i // 16) % 3))) AS s
+        |  FROM b GROUP BY 1, 2),
+        |vec AS (SELECT doc_id, list(CAST(s AS BIGINT) ORDER BY dd) AS v
+        |        FROM acc GROUP BY doc_id),
+        |c0 AS (
+        |  SELECT doc_id AS cid, v AS cvec FROM vec
+        |  ORDER BY ((doc_id % 1000000007) * 2654435761) % 1000003 ASC, doc_id ASC
+        |  LIMIT 16),
+        |s1 AS (
+        |  SELECT vec.doc_id, vec.v, c0.cid, ${intCosSql("vec.v", "c0.cvec")} AS csim
+        |  FROM vec, c0),
+        |a1 AS (
+        |  SELECT doc_id, v, cid FROM (
+        |    SELECT doc_id, v, cid,
+        |           row_number() OVER (PARTITION BY doc_id
+        |                              ORDER BY csim DESC, cid ASC) AS rn
+        |    FROM s1) t WHERE rn = 1),
+        |c1p AS (
+        |  SELECT cid, u.j AS pos, sum(v[CAST(u.j + 1 AS INT)]) AS sv,
+        |         count(*) AS cnt
+        |  FROM a1, UNNEST(range(16)) AS u(j)
+        |  GROUP BY 1, 2),
+        |c1 AS (SELECT cid, list(sv // cnt ORDER BY pos) AS cvec
+        |       FROM c1p GROUP BY cid),
+        |s2 AS (
+        |  SELECT vec.doc_id, vec.v, c1.cid, ${intCosSql("vec.v", "c1.cvec")} AS csim
+        |  FROM vec, c1),
+        |a2 AS (
+        |  SELECT doc_id, v, cid FROM (
+        |    SELECT doc_id, v, cid,
+        |           row_number() OVER (PARTITION BY doc_id
+        |                              ORDER BY csim DESC, cid ASC) AS rn
+        |    FROM s2) t WHERE rn = 1),
+        |q AS (SELECT doc_id AS qid, v AS qvec FROM vec
+        |      WHERE ${fixedCountPredSql("documents", "doc_id", 40)}),
+        |ps AS (
+        |  SELECT q.qid, q.qvec, c1.cid, ${intCosSql("q.qvec", "c1.cvec")} AS csim
+        |  FROM q, c1),
+        |pr AS (
+        |  SELECT qid, qvec, cid FROM (
+        |    SELECT qid, qvec, cid,
+        |           row_number() OVER (PARTITION BY qid
+        |                              ORDER BY csim DESC, cid ASC) AS rn
+        |    FROM ps) t WHERE rn <= 2),
+        |sc AS (
+        |  SELECT pr.qid, a2.doc_id AS nid,
+        |         round(${intCosSql("pr.qvec", "a2.v")}, 6) AS sim
+        |  FROM pr JOIN a2 ON a2.cid = pr.cid AND a2.doc_id <> pr.qid),
+        |r AS (
+        |  SELECT qid, nid, sim,
+        |         CAST(row_number() OVER (PARTITION BY qid
+        |                                 ORDER BY sim DESC, nid ASC) AS BIGINT) AS rnk
+        |  FROM sc)
+        |SELECT qid, nid, sim, rnk FROM r WHERE rnk <= 5""".stripMargin,
     "x35_lsh_ann_recall" ->
       s"""SELECT count(*) AS n_queries, TRUE AS recall_ok
          |FROM embeddings
@@ -2458,6 +2616,52 @@ object SparkEntry {
         |FROM g, wm
         |WHERE rn > 1
         |   OR (epoch_us(last_ts) + 1800000000 + 999) // 1000 < wm_ms""".stripMargin,
+    // the streamed curation's emitted set == distinct fingerprints of
+    // the gated PII-redacted corpus (same p/e/g CTE text as x41, minus
+    // the eval-split exclusion and decontamination — x52 streams the
+    // WHOLE corpus through redact→gate→dedup)
+    "x52_stream_curation" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |         regexp_replace(regexp_replace(regexp_replace(
+        |           text || ' contact user' || doc_id || '@mail.example.com ip 10.'
+        |             || (doc_id % 250) || '.0.' || (doc_id % 100)
+        |             || ' tel +1-555-' || lpad((doc_id % 10000)::VARCHAR, 4, '0'),
+        |           '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+        |           '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+        |           '\+\d[\d-]{6,14}\d', '<PHONE>', 'g') AS text
+        |  FROM documents),
+        |e AS (
+        |  SELECT doc_id,
+        |         md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint,
+        |         list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |                     x -> x <> '') AS toks,
+        |         length(text) AS n_chars,
+        |         length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS n_punct
+        |  FROM p),
+        |g AS (
+        |  SELECT doc_id, fingerprint, toks,
+        |    len(list_filter(toks, x -> x IN ('the','a','and','of','to'))) AS en_hits,
+        |    len(list_filter(toks, x -> x IN ('der','die','und','das','ein'))) AS de_hits,
+        |    len(list_filter(toks, x -> x IN ('le','la','et','les','des'))) AS fr_hits,
+        |    len(list_filter(toks, x -> x IN ('el','los','y','las','una'))) AS es_hits,
+        |    CASE WHEN len(toks) < 5 THEN 'too_short'
+        |         WHEN n_punct::DOUBLE / greatest(n_chars, 1) > 0.2 THEN 'punct_heavy'
+        |         ELSE 'ok' END AS quality_bucket,
+        |    CASE WHEN len(toks) >= 2
+        |      THEN list_transform(range(1, len(toks)),
+        |                          i -> array_to_string(toks[i:i+1], ' '))
+        |      ELSE []::VARCHAR[] END AS grams
+        |  FROM e)
+        |SELECT DISTINCT fingerprint FROM g
+        |WHERE quality_bucket = 'ok'
+        |  AND CASE WHEN greatest(en_hits, de_hits, fr_hits, es_hits) = 0 THEN 'und'
+        |           WHEN en_hits = greatest(en_hits, de_hits, fr_hits, es_hits) THEN 'en'
+        |           WHEN de_hits = greatest(en_hits, de_hits, fr_hits, es_hits) THEN 'de'
+        |           WHEN fr_hits = greatest(en_hits, de_hits, fr_hits, es_hits) THEN 'fr'
+        |           ELSE 'es' END = 'en'
+        |  AND NOT (len(grams) <> 0 AND
+        |           round(1 - len(list_distinct(grams))::DOUBLE / len(grams), 4) >= 0.2)""".stripMargin,
     "q38_variant_shred" ->
       """SELECT event_id,
         |       CAST(regexp_extract(props, '"k": (-?[0-9]+)', 1) AS INTEGER) AS k

@@ -117,4 +117,34 @@ object Multimodal {
       }
     }
   }
+
+  case class EmbeddedInt(doc_id: Long, embedding: Array[Long])
+
+  /** INTEGER fake embedding: the same byte accumulation as [[fakeEmbed]]
+    * but WITHOUT the float normalization — every component is an exact
+    * non-negative integer (bounded by 3·255·payload_len, far inside the
+    * 2^53 double-exact range for any realistic document). Cosine is
+    * scale-invariant, so skipping the normalization changes no ranking;
+    * what it buys is cross-engine reproducibility: integer-valued
+    * vectors make every downstream dot product an EXACT integer (sum
+    * order irrelevant), which is what lets the exact-integer IVF path
+    * (x20i) put k-means centroid assignment under a byte-identical
+    * DuckDB oracle.
+    */
+  def fakeEmbedInt(spark: SparkSession, media: DataFrame,
+                   dim: Int = 16): Dataset[EmbeddedInt] = {
+    import spark.implicits._
+    media.as[MediaIn].mapPartitions { it =>
+      it.map { m =>
+        val v = new Array[Long](dim)
+        var i = 0
+        while (i < m.payload.length) {
+          val b = m.payload(i) & 0xff
+          v(i % dim) += b * (1 + (i / dim) % 3)
+          i += 1
+        }
+        EmbeddedInt(m.doc_id, v)
+      }
+    }
+  }
 }

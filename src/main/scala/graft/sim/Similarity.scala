@@ -207,6 +207,82 @@ object Similarity {
     scored.withColumn("rnk", row_number().over(w).cast("long")).filter(col("rnk") <= k)
   }
 
+  /** EXACT-INTEGER IVF top-k: the cross-engine-reproducible variant of
+    * [[cosineTopKIvf]], for integer-valued vectors (Multimodal
+    * .fakeEmbedInt). Float k-means is inherently order-dependent — the
+    * centroid mean sums doubles in partition order, so no SQL oracle can
+    * reproduce the assignment bit-for-bit (x20's rows-only residue).
+    * This path removes every order-dependent float:
+    *
+    *  - init: Knuth-spread order (nid % 1000000007 * 2654435761
+    *    % 1000003, nid) take nlist — pure integer arithmetic, unlike
+    *    [[ivfTrain]]'s engine-murmur spread, so any engine reproduces
+    *    the same seed centroids;
+    *  - Lloyd update: element-wise integer SUM (exact, order-free) and
+    *    floor-divided integer mean — centroids stay integer vectors;
+    *  - similarity: cosine whose three dot products are exact integers
+    *    (< 2^53), so the divide/sqrt chain is a fixed sequence of
+    *    correctly-rounded IEEE ops — bit-identical in any engine;
+    *  - ties: max_by struct (csim, -cid) == row_number (csim DESC, cid
+    *    ASC), the same spelling the oracle uses.
+    *
+    * Same plan shape and scale story as [[cosineTopKIvf]]: broadcast
+    * centroids, map-side max_by argmax (one exchanged row per vector),
+    * localCheckpoint pinning the nlist-row centroid frame.
+    */
+  def cosineTopKIvfInt(emb: DataFrame, idCol: String, vecCol: String,
+                       queryPred: Column, nlist: Int = 16, nprobe: Int = 2,
+                       k: Int = 5): DataFrame = {
+    val corpus = emb.select(col(idCol).as("nid"),
+      col(vecCol).cast("array<long>").as("nvec"))
+    // integer-exact cosine: dots are exact-integer doubles, the guard
+    // keeps all-zero vectors (empty payloads) at sim 0 instead of NaN
+    def cosExact(a: Column, b: Column): Column =
+      dot(a, b) / greatest(sqrt(dot(a, a)) * sqrt(dot(b, b)), lit(1e-9))
+    def assign(cs: DataFrame): DataFrame =
+      corpus.crossJoin(broadcast(cs))
+        .select(col("nid"), col("nvec"), col("cid"),
+          cosExact(col("nvec"), col("cvec")).as("csim"))
+        .groupBy("nid")
+        .agg(max_by(struct(col("cid"), col("nvec")),
+          struct(col("csim"), negate(col("cid")))).as("best"))
+        .select(col("nid"), col("best.nvec").as("nvec"), col("best.cid").as("cid"))
+    val init = corpus
+      .orderBy((col("nid") % 1000000007L * 2654435761L % 1000003L).asc,
+        col("nid").asc)
+      .limit(nlist)
+      .select(col("nid").as("cid"), col("nvec").as("cvec"))
+    // one Lloyd pass, integer floor-mean update (sv and cnt are exact
+    // longs, so `sv div cnt` is the same centroid in every engine);
+    // pinned like ivfTrain so the two consumers don't re-run the refine
+    val refined = assign(init)
+      .select(col("cid"), posexplode(col("nvec")).as(Seq("pos", "v")))
+      .groupBy("cid", "pos")
+      .agg(sum(col("v")).as("sv"), count(lit(1)).as("cnt"))
+      .withColumn("m", expr("sv div cnt"))
+      .groupBy("cid")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+        s => s.getField("m")).as("cvec"))
+      .localCheckpoint(true)
+    val assigned = assign(refined)
+    val queries = emb.filter(queryPred)
+      .select(col(idCol).as("qid"), col(vecCol).cast("array<long>").as("qvec"))
+    val probes = queries.crossJoin(broadcast(refined))
+      .select(col("qid"), col("qvec"), col("cid"),
+        cosExact(col("qvec"), col("cvec")).as("csim"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("qid").orderBy(col("csim").desc, col("cid").asc)))
+      .filter(col("rn") <= nprobe).select("qid", "qvec", "cid")
+    val scored = assigned
+      .join(broadcast(probes), Seq("cid"))
+      .filter(col("nid") =!= col("qid"))
+      .select(col("qid"), col("nid"),
+        round(cosExact(col("qvec"), col("nvec")), 6).as("sim"))
+    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("nid").asc)
+    scored.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+  }
+
   /** Embedding near-duplicate pairs: all pairs with cosine ≥ threshold,
     * candidate generation bounded by LSH buckets (a true 100 TB-safe
     * near-dup join: bucket-equi-join, not cross join).

@@ -27,13 +27,38 @@ object CorpusStream {
 
   def curate(docs: DataFrame, lateness: String = "1 hour",
              lang: String = "en"): DataFrame = {
-    val clean = docs
+    // STAGED projections, the same discipline as Curation.buildCorpus:
+    // each non-cheap alias (redacted text → toks → grams) is
+    // multi-referenced by the next stage, so CollapseProject's cost
+    // guard keeps the stages and every expensive tree evaluates once
+    // per row. The batch path gets its evaluate-once barrier from a
+    // cache; a stream cannot cache, and filter pushdown through a
+    // deterministic Project is UNCONDITIONAL (a Project is 1:1, so
+    // Spark pushes even non-deterministic predicates, substituting
+    // aliases with no cost guard) — the gate predicate comes back
+    // inlined, one staged Project at a time, until the plan holds 98
+    // copies of the 3-regex redaction chain (measured ~30s vs ~2s at
+    // sf0.1). The barrier that DOES hold: a non-deterministic COLUMN in
+    // the keep-stage Project (pushdown requires every project field to
+    // be deterministic), referenced by the filter so ColumnPruning
+    // cannot drop it. `__nd < -1` is vacuously false; the OR keeps the
+    // reference without changing the gate.
+    val staged = docs
       .select(col("doc_id"), col("ts"),
         Pii.redactedCol(col("text")).as("text"))
-      .filter(TextAnalysis.qualityBucketCol(col("text")) === "ok" &&
-        TextAnalysis.predLangCol(col("text")) === lang &&
-        !TextAnalysis.repetitiveCol(col("text")))
-      .withColumn("fingerprint", TextAnalysis.fingerprintCol(col("text")))
+      .select(col("doc_id"), col("ts"), col("text"),
+        TextAnalysis.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("ts"), col("text"), col("toks"),
+        TextAnalysis.wordGramsFromToks(col("toks"), 2).as("grams"))
+      .select(col("doc_id"), col("ts"), col("text"),
+        TextAnalysis.fingerprintCol(col("text")).as("fingerprint"),
+        (TextAnalysis.qualityBucketFromToks(col("toks"), col("text")) === "ok" &&
+          TextAnalysis.predLangFromToks(col("toks")) === lang &&
+          !TextAnalysis.repetitiveFromGrams(col("grams"))).as("keep"),
+        rand(7).as("__nd"))
+    val clean = staged
+      .filter(col("keep") || col("__nd") < -1)
+      .select("doc_id", "ts", "text", "fingerprint")
     if (clean.isStreaming)
       clean.withWatermark("ts", lateness)
         .dropDuplicatesWithinWatermark("fingerprint")

@@ -273,6 +273,37 @@ class ExtensionsSpec extends SparkSpec {
     assert(run(1) == run(7))
   }
 
+  test("exact-integer IVF is bit-identical across partitionings, sim included") {
+    // the float IVF test above can only compare ids (Lloyd's avg() sums
+    // doubles in partition order); the exact-integer path's contract is
+    // stronger — integer sums are order-free and the cosine is a fixed
+    // IEEE op sequence, so the ENTIRE output (sim values included) must
+    // be identical under any partitioning. This is the property that
+    // lets x20i run under a byte-compare DuckDB oracle.
+    val media = Multimodal.withPayload(
+      Tables.documents(spark, sfDir), "doc_id", "text")
+    val emb = Multimodal.fakeEmbedInt(spark, media).toDF()
+    def run(parts: Int) = Similarity.cosineTopKIvfInt(emb.repartition(parts),
+        "doc_id", "embedding", col("doc_id") % 100 === 0,
+        nlist = 8, nprobe = 2, k = 3)
+      .collect().map(r => (r.getAs[Long]("qid"), r.getAs[Long]("nid"),
+        r.getAs[Double]("sim"), r.getAs[Long]("rnk"))).toSet
+    assert(run(1) == run(7))
+  }
+
+  test("exact-integer IVF equals brute force when nprobe covers all lists") {
+    val media = Multimodal.withPayload(
+      Tables.documents(spark, sfDir), "doc_id", "text")
+    val emb = Multimodal.fakeEmbedInt(spark, media).toDF()
+    val full = Similarity.cosineTopKIvfInt(emb, "doc_id", "embedding",
+      col("doc_id") % 100 === 0, nlist = 8, nprobe = 8, k = 3)
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = Similarity.cosineTopK(emb, "doc_id", "embedding",
+      col("doc_id") % 100 === 0, k = 3)
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(full == brute)
+  }
+
   test("langId predicts via stopword hits with fixed tie order") {
     val df = Seq((1L, "the cat and the dog of it"), (2L, "der hund und die katze"),
       (3L, "zzz qqq www")).toDF("doc_id", "text")
