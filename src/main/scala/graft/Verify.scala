@@ -9,7 +9,9 @@ object Verify {
     // optional extra args: dump only queries matching these prefixes
     // (dev iteration on one oracle); the driver always passes two args
     val only = args.drop(2)
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // default 32 to match the driver's local[32] contract (and to exercise
+    // the catalog's partition-independence claims under real parallelism)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
