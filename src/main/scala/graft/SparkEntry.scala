@@ -92,6 +92,30 @@ object SparkEntry {
     java.nio.file.Files
       .createTempDirectory(sinkScratchRoot, prefix).toString
 
+  /** Populate a streaming landing dir with a parquet table's DATA FILES.
+    * The table path may be a single file (driver sf dirs) or a directory
+    * of part files (generated scale corpora) — the file-stream source
+    * only lists plain files at the top of the landing dir, so a symlink
+    * to a table DIRECTORY would be silently ignored (observed at 10×:
+    * 0-input-rows stream, x51/x52 single-batch assert fired). Linking
+    * each data file individually matches both shapes — and the real
+    * landing-zone contract, where files arrive as files.
+    */
+  private def linkIntoLanding(landing: String, table: java.nio.file.Path): Unit = {
+    import java.nio.file._
+    val target = table.toAbsolutePath
+    if (Files.isDirectory(target)) {
+      val ls = Files.list(target)
+      try ls.filter(p => p.getFileName.toString.endsWith(".parquet"))
+        .forEach(p => Files.createSymbolicLink(
+          Paths.get(landing, p.getFileName.toString), p))
+      finally ls.close()
+    } else {
+      Files.createSymbolicLink(
+        Paths.get(landing, target.getFileName.toString), target)
+    }
+  }
+
   /** Deterministic FIXED-COUNT sample predicate over an integral key:
     * keeps ~`target` rows regardless of table size by spreading the key
     * over count/target buckets (Knuth hash, `Sampling.hashBucket`) and
@@ -990,9 +1014,7 @@ object SparkEntry {
       // the single-file table is linked into a scratch dir to stand in
       // for one arrived batch of files
       val landing = sinkScratch("x51_landing")
-      java.nio.file.Files.createSymbolicLink(
-        java.nio.file.Paths.get(landing, "events.parquet"),
-        java.nio.file.Paths.get(d, "events.parquet").toAbsolutePath)
+      linkIntoLanding(landing, java.nio.file.Paths.get(d, "events.parquet"))
       val src = ss.readStream.schema(raw).parquet(landing)
         .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
         .filter(col("ts").isNotNull && col("value").isNotNull)
@@ -1039,9 +1061,7 @@ object SparkEntry {
       ss.conf.set("spark.sql.shuffle.partitions", "8")
       val raw = ss.read.parquet(s"$d/documents.parquet").schema
       val landing = sinkScratch("x52_landing")
-      java.nio.file.Files.createSymbolicLink(
-        java.nio.file.Paths.get(landing, "documents.parquet"),
-        java.nio.file.Paths.get(d, "documents.parquet").toAbsolutePath)
+      linkIntoLanding(landing, java.nio.file.Paths.get(d, "documents.parquet"))
       val src = ss.readStream.schema(raw).parquet(landing)
         .select(col("doc_id"), piiText)
         .select(col("doc_id"),
