@@ -92,6 +92,24 @@ object SparkEntry {
     java.nio.file.Files
       .createTempDirectory(sinkScratchRoot, prefix).toString
 
+  /** Drain a finished memory-sink stream (x51/x52) to scratch parquet
+    * and release the per-invocation driver state: each call runs its
+    * stream on a fresh `newSession()` clone, and before this helper the
+    * clone's memory-sink temp view (holding the FULL result set) and
+    * its terminated-query registration survived for the process
+    * lifetime — one leaked copy per bench rep. The parquet round-trip
+    * also rebinds the result to the PARENT session, so the returned
+    * frame keeps no reference into the clone at all.
+    */
+  private def drainMemorySink(parent: SparkSession, clone: SparkSession,
+                              view: String, projected: DataFrame): DataFrame = {
+    val out = sinkScratch(s"${view}_out")
+    projected.write.mode("overwrite").parquet(out)
+    clone.catalog.dropTempView(view)
+    clone.streams.resetTerminated()
+    parent.read.parquet(out)
+  }
+
   /** Populate a streaming landing dir with a parquet table's DATA FILES.
     * The table path may be a single file (driver sf dirs) or a directory
     * of part files (generated scale corpora) — the file-stream source
@@ -189,7 +207,7 @@ object SparkEntry {
     */
   private def intCosSql(a: String, b: String): String = {
     def d(x: String, y: String) =
-      s"list_sum(list_transform(range(1, 17), j -> $x[CAST(j AS INT)] * $y[CAST(j AS INT)]))::DOUBLE"
+      s"list_sum(list_transform(range(1, ${fakeEmbedDim + 1}), j -> $x[CAST(j AS INT)] * $y[CAST(j AS INT)]))::DOUBLE"
     s"(${d(a, b)} / greatest(sqrt(${d(a, a)}) * sqrt(${d(b, b)}), 1e-9))"
   }
 
@@ -226,6 +244,18 @@ object SparkEntry {
   private val mhBands          = 4   // LSH bands (x03/x28)
   private val mhBucketCap      = 200 // hot band-bucket cap (x03/x28)
   private val mhThreshold      = 0.2 // Jaccard verification threshold
+
+  /** ONE definition site for the exact-integer IVF demo shape (x20i),
+    * same desync-proofing as the MinHash constants above: the catalog
+    * entry and the oracle SQL both interpolate these, so retuning the
+    * index (or the fake-embed width shared with x17's oracle CTEs)
+    * cannot leave the SQL twin on the old shape.
+    */
+  private val fakeEmbedDim = 16 // fake-embed components (x17/x20i byte-sum CTEs)
+  private val ivfIntNlist  = 16 // x20i centroid count
+  private val ivfIntNprobe = 2  // x20i probed lists per query
+  private val ivfIntK      = 5  // x20i neighbors returned
+  private val ivfIntTarget = 40 // x20i fixed-count query-sample size
 
   /** The word-shingle CTE pair (`toks`, shingle set named by `out`) the
     * Jaccard/MinHash oracles share; width and minimum length come from
@@ -932,10 +962,11 @@ object SparkEntry {
     // real float embeddings; this is the determinism proof.
     "x20i_ivf_int" -> ((s, d) => {
       val emb = Multimodal.fakeEmbedInt(s,
-        Multimodal.withPayload(docs(s, d), "doc_id", "text")).toDF().cache()
+        Multimodal.withPayload(docs(s, d), "doc_id", "text"),
+        dim = fakeEmbedDim).toDF().cache()
       Similarity.cosineTopKIvfInt(emb, "doc_id", "embedding",
-        fixedCountPred(docs(s, d), "doc_id", target = 40),
-        nlist = 16, nprobe = 2, k = 5)
+        fixedCountPred(docs(s, d), "doc_id", target = ivfIntTarget),
+        nlist = ivfIntNlist, nprobe = ivfIntNprobe, k = ivfIntK)
     }),
 
     // ---- north-star extensions: text analysis ----
@@ -1037,9 +1068,11 @@ object SparkEntry {
       require(dataBatches == 1,
         s"x51 oracle parity requires exactly one data micro-batch, got " +
           s"$dataBatches — landing-dir batching changed?")
-      // memory-sink temp view lives in the CLONE's catalog
-      ss.table(name).select(col("user_id"), col("n_events"),
-        col("duration_min"), (col("total_value") / 100.0).as("total_value"))
+      // memory-sink temp view lives in the CLONE's catalog; drain it to
+      // scratch + drop so bench reps don't accumulate sink copies
+      drainMemorySink(s, ss, name,
+        ss.table(name).select(col("user_id"), col("n_events"),
+          col("duration_min"), (col("total_value") / 100.0).as("total_value")))
     }),
     // STREAMING curation under the oracle (x51's pattern applied to the
     // CorpusStream path): the real redact→gate→watermarked-dedup stream
@@ -1079,7 +1112,7 @@ object SparkEntry {
       require(dataBatches == 1,
         s"x52 oracle parity requires exactly one data micro-batch, got " +
           s"$dataBatches — landing-dir batching changed?")
-      ss.table(name).select("fingerprint")
+      drainMemorySink(s, ss, name, ss.table(name).select("fingerprint"))
     }),
     // Spark 4 variant shredding: schema-flexible parse_json +
     // variant_get — the modern path for payloads whose schema drifts
@@ -1244,7 +1277,8 @@ object SparkEntry {
     // (Bench/Verify clearCache between queries).
     "x17_multimodal_topk" -> ((s, d) => {
       val emb = Multimodal.fakeEmbed(s,
-        Multimodal.withPayload(docs(s, d), "doc_id", "text")).toDF().cache()
+        Multimodal.withPayload(docs(s, d), "doc_id", "text"),
+        dim = fakeEmbedDim).toDF().cache()
       Similarity.cosineTopK(emb, "doc_id", "embedding",
         fixedCountPred(docs(s, d), "doc_id", target = 50), k = 3)
     }),
@@ -2021,14 +2055,15 @@ object SparkEntry {
         |  SELECT doc_id, i, ord(substr(text, CAST(i + 1 AS INT), 1)) AS byte
         |  FROM documents, UNNEST(range(length(text))) AS u(i)),
         |acc AS (
-        |  SELECT doc_id, i % 16 AS dd, sum(byte * (1 + ((i // 16) % 3))) AS s
+        |  SELECT doc_id, i % $fakeEmbedDim AS dd,
+        |         sum(byte * (1 + ((i // $fakeEmbedDim) % 3))) AS s
         |  FROM b GROUP BY 1, 2),
         |vec AS (SELECT doc_id, list(CAST(s AS BIGINT) ORDER BY dd) AS v
         |        FROM acc GROUP BY doc_id),
         |c0 AS (
         |  SELECT doc_id AS cid, v AS cvec FROM vec
         |  ORDER BY ((doc_id % 1000000007) * 2654435761) % 1000003 ASC, doc_id ASC
-        |  LIMIT 16),
+        |  LIMIT $ivfIntNlist),
         |s1 AS (
         |  SELECT vec.doc_id, vec.v, c0.cid, ${intCosSql("vec.v", "c0.cvec")} AS csim
         |  FROM vec, c0),
@@ -2041,7 +2076,7 @@ object SparkEntry {
         |c1p AS (
         |  SELECT cid, u.j AS pos, sum(v[CAST(u.j + 1 AS INT)]) AS sv,
         |         count(*) AS cnt
-        |  FROM a1, UNNEST(range(16)) AS u(j)
+        |  FROM a1, UNNEST(range($fakeEmbedDim)) AS u(j)
         |  GROUP BY 1, 2),
         |c1 AS (SELECT cid, list(sv // cnt ORDER BY pos) AS cvec
         |       FROM c1p GROUP BY cid),
@@ -2055,7 +2090,7 @@ object SparkEntry {
         |                              ORDER BY csim DESC, cid ASC) AS rn
         |    FROM s2) t WHERE rn = 1),
         |q AS (SELECT doc_id AS qid, v AS qvec FROM vec
-        |      WHERE ${fixedCountPredSql("documents", "doc_id", 40)}),
+        |      WHERE ${fixedCountPredSql("documents", "doc_id", ivfIntTarget)}),
         |ps AS (
         |  SELECT q.qid, q.qvec, c1.cid, ${intCosSql("q.qvec", "c1.cvec")} AS csim
         |  FROM q, c1),
@@ -2064,7 +2099,7 @@ object SparkEntry {
         |    SELECT qid, qvec, cid,
         |           row_number() OVER (PARTITION BY qid
         |                              ORDER BY csim DESC, cid ASC) AS rn
-        |    FROM ps) t WHERE rn <= 2),
+        |    FROM ps) t WHERE rn <= $ivfIntNprobe),
         |sc AS (
         |  SELECT pr.qid, a2.doc_id AS nid,
         |         round(${intCosSql("pr.qvec", "a2.v")}, 6) AS sim
@@ -2074,7 +2109,7 @@ object SparkEntry {
         |         CAST(row_number() OVER (PARTITION BY qid
         |                                 ORDER BY sim DESC, nid ASC) AS BIGINT) AS rnk
         |  FROM sc)
-        |SELECT qid, nid, sim, rnk FROM r WHERE rnk <= 5""".stripMargin,
+        |SELECT qid, nid, sim, rnk FROM r WHERE rnk <= $ivfIntK""".stripMargin,
     "x35_lsh_ann_recall" ->
       s"""SELECT count(*) AS n_queries, TRUE AS recall_ok
          |FROM embeddings
@@ -2789,8 +2824,8 @@ object SparkEntry {
         |  SELECT doc_id, i, ord(substr(text, CAST(i + 1 AS INT), 1)) AS byte
         |  FROM documents, UNNEST(range(length(text))) AS u(i)),
         |acc AS (
-        |  SELECT doc_id, i % 16 AS d,
-        |         sum(byte * (1 + ((i // 16) % 3))) AS s
+        |  SELECT doc_id, i % $fakeEmbedDim AS d,
+        |         sum(byte * (1 + ((i // $fakeEmbedDim) % 3))) AS s
         |  FROM b GROUP BY 1, 2),
         |vec AS (SELECT doc_id, list(s ORDER BY d) AS v FROM acc GROUP BY doc_id),
         |nrm AS (

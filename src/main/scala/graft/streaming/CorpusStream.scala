@@ -38,11 +38,15 @@ object CorpusStream {
     // aliases with no cost guard) — the gate predicate comes back
     // inlined, one staged Project at a time, until the plan holds 98
     // copies of the 3-regex redaction chain (measured ~30s vs ~2s at
-    // sf0.1). The barrier that DOES hold: a non-deterministic COLUMN in
-    // the keep-stage Project (pushdown requires every project field to
-    // be deterministic), referenced by the filter so ColumnPruning
-    // cannot drop it. `__nd < -1` is vacuously false; the OR keeps the
-    // reference without changing the gate.
+    // sf0.1). The barrier that holds is `observe`: a CollectMetrics
+    // node between the staged Projects and the gate filter. Pushing a
+    // predicate below CollectMetrics would change the observed metric
+    // (rows counted before vs after the gate), so the optimizer is
+    // CONTRACTUALLY barred from it — unlike the earlier rand()-column
+    // trick, which merely exploited the current non-deterministic-
+    // field pushdown guard. CurationPlanSpec pins the plan shape (one
+    // redaction chain in the optimized plan), so an optimizer change
+    // that re-inlines the gate fails a test instead of only a bench.
     val staged = docs
       .select(col("doc_id"), col("ts"),
         Pii.redactedCol(col("text")).as("text"))
@@ -54,10 +58,10 @@ object CorpusStream {
         TextAnalysis.fingerprintCol(col("text")).as("fingerprint"),
         (TextAnalysis.qualityBucketFromToks(col("toks"), col("text")) === "ok" &&
           TextAnalysis.predLangFromToks(col("toks")) === lang &&
-          !TextAnalysis.repetitiveFromGrams(col("grams"))).as("keep"),
-        rand(7).as("__nd"))
+          !TextAnalysis.repetitiveFromGrams(col("grams"))).as("keep"))
     val clean = staged
-      .filter(col("keep") || col("__nd") < -1)
+      .observe("corpus_gate_barrier", count(lit(1)).as("n_staged"))
+      .filter(col("keep"))
       .select("doc_id", "ts", "text", "fingerprint")
     if (clean.isStreaming)
       clean.withWatermark("ts", lateness)

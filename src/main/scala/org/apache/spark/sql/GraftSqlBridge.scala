@@ -18,4 +18,15 @@ object GraftSqlBridge {
     */
   def cacheIsEmpty(spark: SparkSession): Boolean =
     spark.asInstanceOf[classic.SparkSession].sharedState.cacheManager.isEmpty
+
+  /** The OPTIMIZED logical plan of a streaming query's last micro-batch
+    * (`StreamingQueryWrapper`/`IncrementalExecution` are private[sql]) —
+    * lets plan-shape specs assert on what the stream actually ran,
+    * since calling `queryExecution.optimizedPlan` on an unstarted
+    * streaming Dataset trips the batch-execution checker.
+    */
+  def lastStreamOptimizedPlan(q: streaming.StreamingQuery)
+      : catalyst.plans.logical.LogicalPlan =
+    q.asInstanceOf[execution.streaming.runtime.StreamingQueryWrapper]
+      .streamingQuery.lastExecution.optimizedPlan
 }

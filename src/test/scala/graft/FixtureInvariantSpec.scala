@@ -26,4 +26,25 @@ class FixtureInvariantSpec extends SparkSpec {
             "byte slicing; move the oracle to byte arithmetic first")
       }
   }
+
+  test("documents fixture has non-empty text at every shipped sf (x17/x20i contract)") {
+    // The x17/x20i oracles build vectors from UNNEST(range(length(text)))
+    // — an empty doc produces NO vec row there, while fakeEmbed(Int)
+    // emits a zero vector for it, so corpus/query membership (and x20i's
+    // Knuth-spread init ordering) would silently diverge on the first
+    // empty document. Pin the corpus property the byte-compare relies on.
+    Seq("sf0.001", "sf0.01", "sf0.1")
+      .map(sf => s"/root/testdata/$sf")
+      .filter(d => new java.io.File(s"$d/documents.parquet").exists)
+      .foreach { d =>
+        val empty = Tables.documents(spark, d)
+          .filter(col("text").isNull || length(col("text")) === 0)
+          .count()
+        assert(empty == 0,
+          s"$d/documents.parquet holds $empty empty/null-text docs — " +
+            "the x17/x20i oracles drop them from the corpus while the " +
+            "Spark side keeps zero vectors; guard both sides explicitly " +
+            "before relying on the hash compare")
+      }
+  }
 }
