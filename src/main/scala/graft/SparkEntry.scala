@@ -252,10 +252,59 @@ object SparkEntry {
     * cannot leave the SQL twin on the old shape.
     */
   private val fakeEmbedDim = 16 // fake-embed components (x17/x20i byte-sum CTEs)
-  private val ivfIntNlist  = 16 // x20i centroid count
+  private val ivfIntNlist  = 16 // x20i/x53 centroid count
   private val ivfIntNprobe = 2  // x20i probed lists per query
   private val ivfIntK      = 5  // x20i neighbors returned
   private val ivfIntTarget = 40 // x20i fixed-count query-sample size
+  private val semDedupThreshold = 0.999 // x53 epsilon-ball cosine (round-6dp)
+  private val exportShards = 8 // x54 shuffle-shard export shard count
+
+  /** The exact-integer IVF model as DuckDB CTEs (`b acc vec c0 s1 a1
+    * c1p c1 s2 a2`): byte-sum embeds, Knuth-spread init, one integer
+    * floor-mean Lloyd pass, final assignment — the SQL twin of
+    * `Similarity.ivfIntModel`, shared verbatim by the x20i (IVF top-k)
+    * and x53 (semantic dedup) oracles so the two cannot drift. `a2` is
+    * (doc_id, v, cid).
+    */
+  private val ivfIntAssignCtes: String =
+    s"""b AS (
+      |  SELECT doc_id, i, ord(substr(text, CAST(i + 1 AS INT), 1)) AS byte
+      |  FROM documents, UNNEST(range(length(text))) AS u(i)),
+      |acc AS (
+      |  SELECT doc_id, i % $fakeEmbedDim AS dd,
+      |         sum(byte * (1 + ((i // $fakeEmbedDim) % 3))) AS s
+      |  FROM b GROUP BY 1, 2),
+      |vec AS (SELECT doc_id, list(CAST(s AS BIGINT) ORDER BY dd) AS v
+      |        FROM acc GROUP BY doc_id),
+      |c0 AS (
+      |  SELECT doc_id AS cid, v AS cvec FROM vec
+      |  ORDER BY ((doc_id % 1000000007) * 2654435761) % 1000003 ASC, doc_id ASC
+      |  LIMIT $ivfIntNlist),
+      |s1 AS (
+      |  SELECT vec.doc_id, vec.v, c0.cid, ${intCosSql("vec.v", "c0.cvec")} AS csim
+      |  FROM vec, c0),
+      |a1 AS (
+      |  SELECT doc_id, v, cid FROM (
+      |    SELECT doc_id, v, cid,
+      |           row_number() OVER (PARTITION BY doc_id
+      |                              ORDER BY csim DESC, cid ASC) AS rn
+      |    FROM s1) t WHERE rn = 1),
+      |c1p AS (
+      |  SELECT cid, u.j AS pos, sum(v[CAST(u.j + 1 AS INT)]) AS sv,
+      |         count(*) AS cnt
+      |  FROM a1, UNNEST(range($fakeEmbedDim)) AS u(j)
+      |  GROUP BY 1, 2),
+      |c1 AS (SELECT cid, list(sv // cnt ORDER BY pos) AS cvec
+      |       FROM c1p GROUP BY cid),
+      |s2 AS (
+      |  SELECT vec.doc_id, vec.v, c1.cid, ${intCosSql("vec.v", "c1.cvec")} AS csim
+      |  FROM vec, c1),
+      |a2 AS (
+      |  SELECT doc_id, v, cid FROM (
+      |    SELECT doc_id, v, cid,
+      |           row_number() OVER (PARTITION BY doc_id
+      |                              ORDER BY csim DESC, cid ASC) AS rn
+      |    FROM s2) t WHERE rn = 1)""".stripMargin
 
   /** The word-shingle CTE pair (`toks`, shingle set named by `out`) the
     * Jaccard/MinHash oracles share; width and minimum length come from
@@ -968,6 +1017,21 @@ object SparkEntry {
         fixedCountPred(docs(s, d), "doc_id", target = ivfIntTarget),
         nlist = ivfIntNlist, nprobe = ivfIntNprobe, k = ivfIntK)
     }),
+    // SEMANTIC dedup (SemDeDup, Abbas et al. 2023): k-means-cluster the
+    // integer fake embeds (the shared x20i model), then drop every doc
+    // with a lower-id cluster-mate inside the cosine epsilon ball —
+    // dedup by MEANING-proxy, no text comparison. Same-cluster pair
+    // join only (Σ n_c², never corpus²); at real scale nlist grows with
+    // the corpus so cluster size — and pair work per row — stays flat
+    "x53_semantic_dedup" -> ((s, d) => {
+      // cached like x20i: ivfIntModel reads the embeds three times
+      // (init + two assign passes) before the checkpoint pins them
+      val emb = Multimodal.fakeEmbedInt(s,
+        Multimodal.withPayload(docs(s, d), "doc_id", "text"),
+        dim = fakeEmbedDim).toDF().cache()
+      Similarity.semDedupInt(emb, "doc_id", "embedding",
+        nlist = ivfIntNlist, threshold = semDedupThreshold)
+    }),
 
     // ---- north-star extensions: text analysis ----
     "x08_langid" -> ((s, d) => TextAnalysis.langId(docs(s, d), "doc_id", "text")),
@@ -1350,6 +1414,12 @@ object SparkEntry {
     "x37_pack_sequences" -> ((s, d) =>
       Packing.packSequences(docs(s, d), "doc_id", "text",
         budget = 512, shards = 8)),
+    // shuffle-shard export: every doc gets a reproducible pseudo-random
+    // (shard, position) — the loader-facing global shuffle, one shard
+    // shuffle + per-shard sort (see ops.Sharding); portable Knuth
+    // arithmetic so the oracle replays the exact layout
+    "x54_shuffle_shard" -> ((s, d) =>
+      Sharding.shuffleShard(docs(s, d), "doc_id", nShards = exportShards)),
     // PII scrub: deterministic synthetic PII (email / IPv4 / phone built
     // from doc_id) is appended to each doc, then detected and redacted;
     // the md5 of the redacted text proves the replacement byte-for-byte
@@ -2051,44 +2121,7 @@ object SparkEntry {
     // IEEE op sequences, so every stage is byte-identical to the Spark
     // plan (see Similarity.cosineTopKIvfInt)
     "x20i_ivf_int" ->
-      s"""WITH b AS (
-        |  SELECT doc_id, i, ord(substr(text, CAST(i + 1 AS INT), 1)) AS byte
-        |  FROM documents, UNNEST(range(length(text))) AS u(i)),
-        |acc AS (
-        |  SELECT doc_id, i % $fakeEmbedDim AS dd,
-        |         sum(byte * (1 + ((i // $fakeEmbedDim) % 3))) AS s
-        |  FROM b GROUP BY 1, 2),
-        |vec AS (SELECT doc_id, list(CAST(s AS BIGINT) ORDER BY dd) AS v
-        |        FROM acc GROUP BY doc_id),
-        |c0 AS (
-        |  SELECT doc_id AS cid, v AS cvec FROM vec
-        |  ORDER BY ((doc_id % 1000000007) * 2654435761) % 1000003 ASC, doc_id ASC
-        |  LIMIT $ivfIntNlist),
-        |s1 AS (
-        |  SELECT vec.doc_id, vec.v, c0.cid, ${intCosSql("vec.v", "c0.cvec")} AS csim
-        |  FROM vec, c0),
-        |a1 AS (
-        |  SELECT doc_id, v, cid FROM (
-        |    SELECT doc_id, v, cid,
-        |           row_number() OVER (PARTITION BY doc_id
-        |                              ORDER BY csim DESC, cid ASC) AS rn
-        |    FROM s1) t WHERE rn = 1),
-        |c1p AS (
-        |  SELECT cid, u.j AS pos, sum(v[CAST(u.j + 1 AS INT)]) AS sv,
-        |         count(*) AS cnt
-        |  FROM a1, UNNEST(range($fakeEmbedDim)) AS u(j)
-        |  GROUP BY 1, 2),
-        |c1 AS (SELECT cid, list(sv // cnt ORDER BY pos) AS cvec
-        |       FROM c1p GROUP BY cid),
-        |s2 AS (
-        |  SELECT vec.doc_id, vec.v, c1.cid, ${intCosSql("vec.v", "c1.cvec")} AS csim
-        |  FROM vec, c1),
-        |a2 AS (
-        |  SELECT doc_id, v, cid FROM (
-        |    SELECT doc_id, v, cid,
-        |           row_number() OVER (PARTITION BY doc_id
-        |                              ORDER BY csim DESC, cid ASC) AS rn
-        |    FROM s2) t WHERE rn = 1),
+      s"""WITH $ivfIntAssignCtes,
         |q AS (SELECT doc_id AS qid, v AS qvec FROM vec
         |      WHERE ${fixedCountPredSql("documents", "doc_id", ivfIntTarget)}),
         |ps AS (
@@ -2110,6 +2143,18 @@ object SparkEntry {
         |                                 ORDER BY sim DESC, nid ASC) AS BIGINT) AS rnk
         |  FROM sc)
         |SELECT qid, nid, sim, rnk FROM r WHERE rnk <= $ivfIntK""".stripMargin,
+    // SemDeDup replay: the SAME shared assignment CTEs as x20i, then
+    // the within-cluster epsilon-ball drop rule — a doc is dropped iff
+    // a lower-id cluster-mate reaches the cosine threshold (round-6dp,
+    // the proven cross-engine float-compare idiom)
+    "x53_semantic_dedup" ->
+      s"""WITH $ivfIntAssignCtes,
+        |drops AS (
+        |  SELECT DISTINCT a.doc_id
+        |  FROM a2 a JOIN a2 b ON a.cid = b.cid AND b.doc_id < a.doc_id
+        |  WHERE round(${intCosSql("a.v", "b.v")}, 6) >= $semDedupThreshold)
+        |SELECT a2.doc_id, a2.cid, (d.doc_id IS NULL) AS kept
+        |FROM a2 LEFT JOIN drops d ON d.doc_id = a2.doc_id""".stripMargin,
     "x35_lsh_ann_recall" ->
       s"""SELECT count(*) AS n_queries, TRUE AS recall_ok
          |FROM embeddings
@@ -2420,6 +2465,18 @@ object SparkEntry {
         |       count(*) AS n_docs, sum(n_tokens)::BIGINT AS seq_tokens,
         |       min(doc_id) AS first_doc, max(doc_id) AS last_doc
         |FROM a GROUP BY 1, 2""".stripMargin,
+    // full shard-layout replay: same Knuth spread key, same shard mod,
+    // same (key, id) within-shard order — the export is deterministic
+    // down to every row's position, and the oracle proves it
+    "x54_shuffle_shard" ->
+      s"""WITH k AS (
+        |  SELECT doc_id,
+        |         ((doc_id % 1000000007) * 2654435761) % 999999937 AS k
+        |  FROM documents)
+        |SELECT doc_id, CAST(k % $exportShards AS INT) AS shard,
+        |       CAST(row_number() OVER (PARTITION BY k % $exportShards
+        |                               ORDER BY k ASC, doc_id ASC) AS BIGINT) AS pos
+        |FROM k""".stripMargin,
     "x38_pii_redact" ->
       """WITH p AS (
         |  SELECT doc_id,

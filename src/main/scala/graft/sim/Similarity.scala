@@ -230,19 +230,31 @@ object Similarity {
     * centroids, map-side max_by argmax (one exchanged row per vector),
     * localCheckpoint pinning the nlist-row centroid frame.
     */
-  def cosineTopKIvfInt(emb: DataFrame, idCol: String, vecCol: String,
-                       queryPred: Column, nlist: Int = 16, nprobe: Int = 2,
-                       k: Int = 5): DataFrame = {
+  /** Integer-exact cosine: dots are exact-integer doubles, the guard
+    * keeps all-zero vectors (empty payloads) at sim 0 instead of NaN.
+    */
+  private def cosExactInt(a: Column, b: Column): Column =
+    dot(a, b) / greatest(sqrt(dot(a, a)) * sqrt(dot(b, b)), lit(1e-9))
+
+  /** The shared integer-exact IVF model: Knuth-spread init, ONE Lloyd
+    * pass with integer-sum / floor-mean centroid update, max_by argmax
+    * assignment — every step exact-integer or a fixed IEEE op sequence,
+    * so any engine reproduces (centroids, assignment) byte-for-byte.
+    * Returns (refined centroids (cid, cvec) — localCheckpoint-pinned so
+    * multiple consumers don't re-run the refine — and the corpus
+    * assignment (nid, nvec, cid)). Shared by [[cosineTopKIvfInt]] (x20i)
+    * and [[semDedupInt]] (x53), whose DuckDB oracles share the matching
+    * CTE chain.
+    */
+  private[graft] def ivfIntModel(emb: DataFrame, idCol: String,
+                                 vecCol: String, nlist: Int)
+      : (DataFrame, DataFrame) = {
     val corpus = emb.select(col(idCol).as("nid"),
       col(vecCol).cast("array<long>").as("nvec"))
-    // integer-exact cosine: dots are exact-integer doubles, the guard
-    // keeps all-zero vectors (empty payloads) at sim 0 instead of NaN
-    def cosExact(a: Column, b: Column): Column =
-      dot(a, b) / greatest(sqrt(dot(a, a)) * sqrt(dot(b, b)), lit(1e-9))
     def assign(cs: DataFrame): DataFrame =
       corpus.crossJoin(broadcast(cs))
         .select(col("nid"), col("nvec"), col("cid"),
-          cosExact(col("nvec"), col("cvec")).as("csim"))
+          cosExactInt(col("nvec"), col("cvec")).as("csim"))
         .groupBy("nid")
         .agg(max_by(struct(col("cid"), col("nvec")),
           struct(col("csim"), negate(col("cid")))).as("best"))
@@ -264,7 +276,14 @@ object Similarity {
       .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
         s => s.getField("m")).as("cvec"))
       .localCheckpoint(true)
-    val assigned = assign(refined)
+    (refined, assign(refined))
+  }
+
+  def cosineTopKIvfInt(emb: DataFrame, idCol: String, vecCol: String,
+                       queryPred: Column, nlist: Int = 16, nprobe: Int = 2,
+                       k: Int = 5): DataFrame = {
+    def cosExact(a: Column, b: Column): Column = cosExactInt(a, b)
+    val (refined, assigned) = ivfIntModel(emb, idCol, vecCol, nlist)
     val queries = emb.filter(queryPred)
       .select(col(idCol).as("qid"), col(vecCol).cast("array<long>").as("qvec"))
     val probes = queries.crossJoin(broadcast(refined))
@@ -281,6 +300,55 @@ object Similarity {
     val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("nid").asc)
     scored.withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= k)
+  }
+
+  /** Semantic deduplication (SemDeDup — Abbas et al., "SemDeDup: Data-
+    * efficient learning at web-scale through semantic deduplication",
+    * arXiv:2303.09540): cluster the corpus embeddings with k-means,
+    * then inside each cluster drop every document that has a cosine-≥
+    * threshold neighbor — semantically-identical copies collapse to one
+    * representative without any text comparison. The paper's keeper
+    * rule (keep the point FARTHEST from the centroid) is replaced by
+    * the deterministic lowest-id-survives rule the rest of the dedup
+    * family uses (x01/x22), which makes re-runs and the SQL twin exact.
+    *
+    * Built on the exact-integer IVF model ([[ivfIntModel]]) so every
+    * stage — centroids, assignment, the within-cluster pair cosines —
+    * is cross-engine-reproducible and the x53 oracle replays it
+    * byte-for-byte.
+    *
+    * Scale shape: clustering is the linear IVF stage (broadcast
+    * centroids, map-side argmax); the dedup stage is a self-equi-join
+    * on cid — Σ n_c² pair work, NEVER a corpus cross join. The 100 TB
+    * knob is the paper's own: grow nlist ∝ corpus so expected cluster
+    * size stays constant and pair work stays linear (the same fixed-
+    * shape-vs-grown-shape note as x06/x20/x49 in PLANS.md). Output is
+    * one row per document (doc_id, cid, kept) — `kept=false` rows are
+    * the semantic duplicates a curation pipeline would drop.
+    */
+  def semDedupInt(emb: DataFrame, idCol: String, vecCol: String,
+                  nlist: Int = 16, threshold: Double = 0.995): DataFrame = {
+    // the assignment feeds THREE consumers (both pair-join sides + the
+    // output frame): pin it once, or each consumer re-runs the whole
+    // embed + broadcast-argmax pipeline. MEMORY_AND_DISK checkpoint =
+    // one corpus-sized materialization, the same trade a production
+    // SemDeDup makes by persisting cluster assignments between stages
+    val (_, assigned0) = ivfIntModel(emb, idCol, vecCol, nlist)
+    val assigned = assigned0.localCheckpoint(true)
+    val lhs = assigned.select(col("cid"), col("nid").as("id_a"),
+      col("nvec").as("va"))
+    val rhs = assigned.select(col("cid"), col("nid").as("id_b"),
+      col("nvec").as("vb"))
+    // a doc is dropped iff a LOWER-id cluster-mate sits inside its
+    // epsilon ball; round(6) is the cross-engine float-compare idiom
+    val dropped = lhs.join(rhs,
+        lhs("cid") === rhs("cid") && col("id_b") < col("id_a"))
+      .filter(round(cosExactInt(col("va"), col("vb")), 6) >= threshold)
+      .select(col("id_a").as("nid")).distinct()
+    assigned.select("nid", "cid")
+      .join(dropped.withColumn("__dup", lit(true)), Seq("nid"), "left")
+      .select(col("nid").as(idCol), col("cid"),
+        col("__dup").isNull.as("kept"))
   }
 
   /** Embedding near-duplicate pairs: all pairs with cosine ≥ threshold,

@@ -129,6 +129,29 @@ class PlanAuditSpec extends SparkSpec {
     assert(shuffles(exec).isEmpty, s"PII scrub should not shuffle:\n$exec")
   }
 
+  test("x54: the export shuffles exactly once, keyed on shard") {
+    val exec = planNoAqe("x54_shuffle_shard")
+    val ex = shuffles(exec)
+    assert(ex.length == 1, s"expected 1 exchange, found ${ex.length} in:\n$exec")
+    assert(ex.head.outputPartitioning.toString.contains("shard"),
+      s"exchange not keyed on shard in:\n$exec")
+  }
+
+  test("x53: the epsilon-ball pair join is cid-keyed (never a cross join) " +
+    "and the assignment is pinned once") {
+    val exec = planNoAqe("x53_semantic_dedup")
+    val p = exec.toString
+    assert(!p.contains("CartesianProduct"),
+      s"semantic dedup fell back to a cartesian pair join:\n$p")
+    assert("(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin) \\[cid".r
+      .findFirstIn(p).isDefined, s"pair join not keyed on cid in:\n$p")
+    // the three assignment consumers read the localCheckpoint, not a
+    // re-run of the embed + argmax pipeline: the only MapPartitions
+    // (fakeEmbedInt) trees left live are inside the pinned lineage
+    assert(!p.contains("MapPartitions"),
+      s"assignment not pinned — embed pipeline re-runs per consumer:\n$p")
+  }
+
   test("x41: the corpus build reads the cached clean layer, not the " +
     "train parquet, and broadcasts the eval shingle index") {
     val exec = planNoAqe("x41_corpus_build")

@@ -1,0 +1,49 @@
+package graft.sim
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Semantic-dedup (x53) contract: one output row per input document,
+  * exact embedding duplicates collapse to the lowest id, and docs with
+  * no epsilon-ball cluster-mate survive. The fixture builds integer
+  * vectors directly (the operator is embedding-generic; the catalog
+  * entry feeds it Multimodal.fakeEmbedInt).
+  */
+class SemDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  // three exact-duplicate groups (ids 0/10/20 ≡ 1/11 ≡ 2) plus two
+  // far-apart singletons; 4-dim integer vectors, cosine-distinct
+  private def emb = Seq(
+    (0L, Seq(100L, 0L, 0L, 0L)),
+    (10L, Seq(100L, 0L, 0L, 0L)),
+    (20L, Seq(200L, 0L, 0L, 0L)), // scaled copy: cosine 1.0 with id 0
+    (1L, Seq(0L, 100L, 0L, 0L)),
+    (11L, Seq(0L, 100L, 0L, 0L)),
+    (2L, Seq(0L, 0L, 100L, 7L)),
+    (3L, Seq(0L, 0L, 7L, 100L)))
+    .toDF("doc_id", "embedding")
+
+  test("exact duplicates collapse to the lowest id; singletons survive") {
+    val out = Similarity.semDedupInt(emb, "doc_id", "embedding",
+        nlist = 4, threshold = 0.999)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(out.size == 7, "one output row per input document")
+    assert(out(0L), "group keeper (lowest id) must survive")
+    assert(!out(10L) && !out(20L), "exact/scaled duplicates must drop")
+    assert(out(1L) && !out(11L), "second group keeps 1, drops 11")
+    assert(out(2L) && out(3L),
+      "cosine(≈0.14) singletons must both survive the 0.999 ball")
+  }
+
+  test("threshold=1.0-ish ball never drops a doc with no duplicate") {
+    val singles = Seq(
+      (5L, Seq(13L, 1L, 0L, 0L)), (6L, Seq(1L, 13L, 0L, 0L)),
+      (7L, Seq(0L, 1L, 13L, 0L)), (8L, Seq(0L, 0L, 1L, 13L)))
+      .toDF("doc_id", "embedding")
+    val kept = Similarity.semDedupInt(singles, "doc_id", "embedding",
+        nlist = 2, threshold = 0.9999)
+      .filter(col("kept")).count()
+    assert(kept == 4)
+  }
+}
