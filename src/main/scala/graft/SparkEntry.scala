@@ -264,9 +264,12 @@ object SparkEntry {
     * floor-mean Lloyd pass, final assignment — the SQL twin of
     * `Similarity.ivfIntModel`, shared verbatim by the x20i (IVF top-k)
     * and x53 (semantic dedup) oracles so the two cannot drift. `a2` is
-    * (doc_id, v, cid).
+    * (doc_id, v, cid). `nlistSql` is the centroid count as SQL text —
+    * a literal for the fixed-shape x20i, a scalar subquery for x53's
+    * corpus-adaptive shape; rn-over-total-order is LIMIT spelled so a
+    * subquery bound is legal.
     */
-  private val ivfIntAssignCtes: String =
+  private def ivfIntAssignCtes(nlistSql: String): String =
     s"""b AS (
       |  SELECT doc_id, i, ord(substr(text, CAST(i + 1 AS INT), 1)) AS byte
       |  FROM documents, UNNEST(range(length(text))) AS u(i)),
@@ -277,9 +280,13 @@ object SparkEntry {
       |vec AS (SELECT doc_id, list(CAST(s AS BIGINT) ORDER BY dd) AS v
       |        FROM acc GROUP BY doc_id),
       |c0 AS (
-      |  SELECT doc_id AS cid, v AS cvec FROM vec
-      |  ORDER BY ((doc_id % 1000000007) * 2654435761) % 1000003 ASC, doc_id ASC
-      |  LIMIT $ivfIntNlist),
+      |  SELECT cid, cvec FROM (
+      |    SELECT doc_id AS cid, v AS cvec,
+      |           row_number() OVER (
+      |             ORDER BY ((doc_id % 1000000007) * 2654435761) % 1000003 ASC,
+      |                      doc_id ASC) AS rn
+      |    FROM vec) t
+      |  WHERE rn <= $nlistSql),
       |s1 AS (
       |  SELECT vec.doc_id, vec.v, c0.cid, ${intCosSql("vec.v", "c0.cvec")} AS csim
       |  FROM vec, c0),
@@ -1029,8 +1036,20 @@ object SparkEntry {
       val emb = Multimodal.fakeEmbedInt(s,
         Multimodal.withPayload(docs(s, d), "doc_id", "text"),
         dim = fakeEmbedDim).toDF().cache()
+      // corpus-adaptive nlist (the SemDeDup scale knob), BALANCED shape:
+      // assignment costs n·nlist, the pair stage Σ n_c² ≈ n²/nlist —
+      // nlist ∝ √n equalizes them at the flat-IVF optimum n^1.5 (fixed
+      // nlist makes pairs quadratic, nlist ∝ n makes assignment
+      // quadratic; measured 202s vs 29s at the 100× corpus). Past ~10⁷
+      // docs the knob changes kind, not value: hierarchical two-level
+      // assignment (the x49 IVF-in-IVF composition) restores ~linear.
+      // Eager count at construction, same footer-cheap pattern as
+      // fixedCountPred; the oracle computes the identical bound as a
+      // scalar subquery with the same IEEE sqrt/ceil sequence
+      val nlist = math.max(ivfIntNlist.toLong,
+        math.ceil(math.sqrt(docs(s, d).count() / 2.0)).toLong).toInt
       Similarity.semDedupInt(emb, "doc_id", "embedding",
-        nlist = ivfIntNlist, threshold = semDedupThreshold)
+        nlist = nlist, threshold = semDedupThreshold)
     }),
 
     // ---- north-star extensions: text analysis ----
@@ -2121,7 +2140,7 @@ object SparkEntry {
     // IEEE op sequences, so every stage is byte-identical to the Spark
     // plan (see Similarity.cosineTopKIvfInt)
     "x20i_ivf_int" ->
-      s"""WITH $ivfIntAssignCtes,
+      s"""WITH ${ivfIntAssignCtes(ivfIntNlist.toString)},
         |q AS (SELECT doc_id AS qid, v AS qvec FROM vec
         |      WHERE ${fixedCountPredSql("documents", "doc_id", ivfIntTarget)}),
         |ps AS (
@@ -2148,7 +2167,8 @@ object SparkEntry {
     // a lower-id cluster-mate reaches the cosine threshold (round-6dp,
     // the proven cross-engine float-compare idiom)
     "x53_semantic_dedup" ->
-      s"""WITH $ivfIntAssignCtes,
+      s"""WITH ${ivfIntAssignCtes(
+             s"(SELECT greatest($ivfIntNlist, CAST(ceil(sqrt(count(*) / 2.0)) AS BIGINT)) FROM documents)")},
         |drops AS (
         |  SELECT DISTINCT a.doc_id
         |  FROM a2 a JOIN a2 b ON a.cid = b.cid AND b.doc_id < a.doc_id
