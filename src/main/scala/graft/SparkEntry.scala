@@ -258,6 +258,7 @@ object SparkEntry {
   private val ivfIntTarget = 40 // x20i fixed-count query-sample size
   private val semDedupThreshold = 0.999 // x53 epsilon-ball cosine (round-6dp)
   private val exportShards = 8 // x54 shuffle-shard export shard count
+  private val domainCapK = 10  // x55 max docs kept per source domain
 
   /** The exact-integer IVF model as DuckDB CTEs (`b acc vec c0 s1 a1
     * c1p c1 s2 a2`): byte-sum embeds, Knuth-spread init, one integer
@@ -1574,7 +1575,15 @@ object SparkEntry {
         .join(kept, Seq("source"), "left")
         .select(col("source"), col("n_before"),
           coalesce(col("n_kept"), lit(0L)).as("n_kept"))
-    })
+    }),
+    // per-domain cap (FineWeb/Gopher "max K docs per host"): keep the
+    // K token-richest docs per source, id-tiebroken — the hard-cap
+    // counterpart of x42's proportional rebalance. Integer-exact score
+    // (token count), so the oracle replays the full kept set
+    "x55_domain_cap" -> ((s, d) =>
+      Sampling.domainCap(docs(s, d), "doc_id", "source",
+        size(TextAnalysis.tokens(col("text"))).cast("long"),
+        k = domainCapK))
   )
 
   /** DuckDB truth set shared by the x33 (MinHash) and x34 (SimHash)
@@ -2454,6 +2463,20 @@ object SparkEntry {
         |  GROUP BY d.source)
         |SELECT c.source, c.n_before, coalesce(k.n_kept, 0) AS n_kept
         |FROM c LEFT JOIN k USING (source)""".stripMargin,
+    // full kept-set replay of the per-domain cap: same integer token
+    // score, same (score DESC, id ASC) rank, same K
+    "x55_domain_cap" ->
+      s"""WITH t AS (
+        |  SELECT doc_id, source,
+        |         len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+        |                         x -> x <> ''))::BIGINT AS score
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, source, score,
+        |         CAST(row_number() OVER (PARTITION BY source
+        |                                 ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rnk
+        |  FROM t)
+        |SELECT doc_id, source, score, rnk FROM r WHERE rnk <= $domainCapK""".stripMargin,
     "x36_decontaminate" ->
       """WITH toks AS (
         |  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'),

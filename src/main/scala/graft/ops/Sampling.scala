@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deterministic stratified sampling — the class-rebalancing primitive of
@@ -71,5 +72,24 @@ object Sampling {
         col("m_target") * buckets)
       // internal rate columns must not leak into the caller's schema
       .drop("m_domain", "m_target")
+  }
+
+  /** Per-domain cap — the "at most K documents per host/source" rule
+    * web-corpus curation applies so no single domain dominates the
+    * mixture (the FineWeb/Gopher-style counterpart of [[rebalance]]'s
+    * proportional thinning): keep the K best rows of each domain under
+    * a deterministic ranking (here: a caller-supplied integer score,
+    * id-tiebroken, so re-runs and the SQL twin agree exactly). One
+    * domain-keyed shuffle; `WindowGroupLimit` prunes rank > K before
+    * the full sort materializes, so per-domain cost is bounded by K,
+    * not domain size.
+    */
+  def domainCap(df: DataFrame, idCol: String, domainCol: String,
+                score: Column, k: Int): DataFrame = {
+    val ranked = df.select(col(idCol), col(domainCol), score.as("score"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(domainCol)
+          .orderBy(col("score").desc, col(idCol).asc)).cast("long"))
+    ranked.filter(col("rnk") <= k)
   }
 }

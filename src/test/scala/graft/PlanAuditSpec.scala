@@ -129,6 +129,12 @@ class PlanAuditSpec extends SparkSpec {
     assert(shuffles(exec).isEmpty, s"PII scrub should not shuffle:\n$exec")
   }
 
+  test("x55: the per-domain cap gets WindowGroupLimit pushdown (per-domain " +
+    "cost bounded by K, not domain size)") {
+    val p = plan("x55_domain_cap")
+    assert(p.contains("WindowGroupLimit"), s"no rank-limit pushdown in:\n$p")
+  }
+
   test("x54: the export shuffles exactly once, keyed on shard") {
     val exec = planNoAqe("x54_shuffle_shard")
     val ex = shuffles(exec)

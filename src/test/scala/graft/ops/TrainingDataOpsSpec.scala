@@ -152,6 +152,23 @@ class TrainingDataOpsSpec extends SparkSpec {
     assert(ids1 == ids2)
   }
 
+  test("domainCap keeps the K best-scored docs per domain, id-tiebroken") {
+    // web has 12 docs with score = id%5 (ties galore); books has 2
+    val docs = ((0L until 12L).map(id => (id, "web", id % 5)) ++
+      Seq((100L, "books", 9L), (101L, "books", 1L)))
+      .toDF("doc_id", "source", "s")
+    val kept = Sampling.domainCap(docs, "doc_id", "source", col("s"), k = 3)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(3)))
+    val web = kept.filter(_._2 == "web").sortBy(_._3).map(_._1).toSeq
+    // scores: ids 4,9 have s=4; ids 3,8 have s=3 — top-3 = 4,9 then the
+    // LOWER id of the s=3 tie
+    assert(web == Seq(4L, 9L, 3L), s"wrong web top-3: $web")
+    // a domain under the cap keeps everything
+    assert(kept.count(_._2 == "books") == 2)
+    // rank column is dense 1..k
+    assert(kept.filter(_._2 == "web").map(_._3).sorted.toSeq == Seq(1L, 2L, 3L))
+  }
+
   test("quality classifier learns term affinities from the rule labels") {
     // d1/d2 pass the heuristic gate, d3 is too_short junk. 'bad'/'junk'
     // occur only in junk → w = (0+1)·10⁶ div 3 − 5·10⁵ = −166667 each,
