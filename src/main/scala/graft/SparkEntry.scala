@@ -184,7 +184,7 @@ object SparkEntry {
     */
   private val gateMinPairs = 10L
   private def adaptiveProbeExact(nDocs: Long, targetDocs: Long)
-                                (exactAt: Int => DataFrame): DataFrame = {
+                                (exactAt: Int => DataFrame): (DataFrame, Int) = {
     var k = Integer.highestOneBit(math.max(1L, nDocs / targetDocs).toInt)
     // quartering (not halving) keeps the iteration count ~log₄ while the
     // geometric cost sum stays < 1.4× the landed sample's join; the
@@ -196,7 +196,10 @@ object SparkEntry {
       k = math.max(1, k / 4)
       ex = exactAt(k).cache()
     }
-    ex
+    // the landed k rides along so callers can build the candidate-side
+    // probe from the SAME sample (previously smuggled out through a
+    // mutated capture — the round-5 style nit)
+    (ex, k)
   }
 
   /** DuckDB integer-cosine over two BIGINT[16] lists (the x20i oracle's
@@ -784,13 +787,11 @@ object SparkEntry {
       // on that sample, not an estimate of something else.
       // (NearDup's internal frames spell the key `id`.)
       val sh = NearDup.shingles(docs(s, d), "doc_id", "text", k = 3).cache()
-      var landedK = 0
-      val exact = adaptiveProbeExact(docs(s, d).count(), targetDocs = 200)(kk => {
-        landedK = kk
-        NearDup.jaccardPairsOver(sh, threshold = 0.5,
-            probePred = Some(Sampling.hashBucket(col("id"), kk) === 0))
-          .select("doc_a", "doc_b")
-      })
+      val (exact, landedK) =
+        adaptiveProbeExact(docs(s, d).count(), targetDocs = 200)(kk =>
+          NearDup.jaccardPairsOver(sh, threshold = 0.5,
+              probePred = Some(Sampling.hashBucket(col("id"), kk) === 0))
+            .select("doc_a", "doc_b"))
       val probe = Some(Sampling.hashBucket(col("id"), landedK) === 0)
       val lsh = NearDup.minhashLshPairsOver(sh, numHashes = 16, bands = 4,
           threshold = 0.2, maxBucketSize = Some(200), cacheBands = true,
@@ -815,13 +816,11 @@ object SparkEntry {
       // landed independently — both engines' spellings must agree, and
       // they do because the rule is deterministic in the pair set)
       val sh = NearDup.shingles(docs(s, d), "doc_id", "text", k = 3).cache()
-      var landedK = 0
-      val exact = adaptiveProbeExact(docs(s, d).count(), targetDocs = 200)(kk => {
-        landedK = kk
-        NearDup.jaccardPairsOver(sh, threshold = 0.5,
-            probePred = Some(Sampling.hashBucket(col("id"), kk) === 0))
-          .select("doc_a", "doc_b")
-      })
+      val (exact, landedK) =
+        adaptiveProbeExact(docs(s, d).count(), targetDocs = 200)(kk =>
+          NearDup.jaccardPairsOver(sh, threshold = 0.5,
+              probePred = Some(Sampling.hashBucket(col("id"), kk) === 0))
+            .select("doc_a", "doc_b"))
       val probe = Some(Sampling.hashBucket(col("id"), landedK) === 0)
       val sim = NearDup.simhashPairs(docs(s, d), "doc_id", "text",
           maxHamming = 8, maxBucketSize = Some(200), cacheBands = true,
