@@ -158,6 +158,57 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("shuffleShard: total bijective layout with dense per-shard positions") {
+    val idsGen = Gen.nonEmptyListOf(Gen.chooseNum(0L, 100000L)).map(_.distinct)
+    samples(Gen.zip(idsGen, Gen.chooseNum(1, 12)), 4).foreach { case (ids, n) =>
+      val out = graft.ops.Sharding.shuffleShard(ids.toDF("doc_id"), "doc_id", n)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      // one row per id, shard within range, positions dense 1..size
+      assert(out.map(_._1).toSet == ids.toSet)
+      assert(out.forall(r => r._2 >= 0 && r._2 < n))
+      out.groupBy(_._2).foreach { case (s, rs) =>
+        assert(rs.map(_._3).sorted.toSeq == (1L to rs.length),
+          s"shard $s positions not dense for n=$n ids=${ids.take(5)}…")
+      }
+    }
+  }
+
+  test("domainCap: kept ⊆ input, ≤ k per domain, under-cap domains whole") {
+    val rowGen = Gen.zip(Gen.chooseNum(0L, 5000L),
+      Gen.oneOf("a", "b", "c"), Gen.chooseNum(0L, 50L))
+    val dfGen = Gen.nonEmptyListOf(rowGen).map(_.distinctBy(_._1))
+    samples(Gen.zip(dfGen, Gen.chooseNum(1, 6)), 4).foreach { case (rows, k) =>
+      val kept = graft.ops.Sampling
+        .domainCap(rows.toDF("doc_id", "source", "s"), "doc_id", "source",
+          col("s"), k)
+        .collect().map(r => (r.getLong(0), r.getString(1)))
+      val byDomain = rows.groupBy(_._2)
+      assert(kept.toSet.subsetOf(rows.map(r => (r._1, r._2)).toSet))
+      byDomain.foreach { case (dom, rs) =>
+        val got = kept.count(_._2 == dom)
+        assert(got == math.min(k, rs.length),
+          s"domain $dom kept $got of ${rs.length} at k=$k")
+      }
+    }
+  }
+
+  test("semDedupInt: identical vectors collapse to exactly the lowest id") {
+    val grpGen = Gen.nonEmptyListOf(Gen.chooseNum(0L, 400L)).map(_.distinct)
+    samples(grpGen, 3).foreach { ids =>
+      // every doc carries the SAME vector: whatever the clustering does,
+      // exactly one doc (the global minimum id — all land in one
+      // cluster since assignment is deterministic on equal vectors)
+      // must survive
+      val df = ids.map(id => (id, Seq(3L, 1L, 4L, 1L)))
+        .toDF("doc_id", "embedding")
+      val kept = graft.sim.Similarity
+        .semDedupInt(df, "doc_id", "embedding", nlist = 4, threshold = 0.999)
+        .collect().filter(_.getBoolean(2)).map(_.getLong(0)).toSeq
+      assert(kept == Seq(ids.min),
+        s"expected sole survivor ${ids.min}, got $kept from ${ids.sorted.take(8)}…")
+    }
+  }
+
   test("upsertByKey: idempotent, key-complete, incoming wins") {
     val kvGen = Gen.nonEmptyListOf(
       Gen.zip(Gen.chooseNum(0L, 30L), Gen.chooseNum(0L, 1000L)))
