@@ -259,7 +259,9 @@ object SparkEntry {
   private val ivfIntNprobe = 2  // x20i probed lists per query
   private val ivfIntK      = 5  // x20i neighbors returned
   private val ivfIntTarget = 40 // x20i fixed-count query-sample size
-  private val semDedupThreshold = 0.999 // x53 epsilon-ball cosine (round-6dp)
+  private val semDedupThreshold = 0.999 // x53/x56 epsilon-ball cosine (round-6dp)
+  private val semHierClusterSize = 300  // x56 target docs per fine cluster
+  private val semHierMinCoarse   = 4    // x56 coarse-cell floor
   private val exportShards = 8 // x54 shuffle-shard export shard count
   private val domainCapK = 10  // x55 max docs kept per source domain
 
@@ -273,7 +275,10 @@ object SparkEntry {
     * corpus-adaptive shape; rn-over-total-order is LIMIT spelled so a
     * subquery bound is legal.
     */
-  private def ivfIntAssignCtes(nlistSql: String): String =
+  /** Just the byte-sum integer-embed CTEs (`b acc vec`) — the prefix
+    * [[ivfIntAssignCtes]] and the x56 hierarchical chain share.
+    */
+  private val intEmbedVecCtes: String =
     s"""b AS (
       |  SELECT doc_id, i, ord(substr(text, CAST(i + 1 AS INT), 1)) AS byte
       |  FROM documents, UNNEST(range(length(text))) AS u(i)),
@@ -282,7 +287,10 @@ object SparkEntry {
       |         sum(byte * (1 + ((i // $fakeEmbedDim) % 3))) AS s
       |  FROM b GROUP BY 1, 2),
       |vec AS (SELECT doc_id, list(CAST(s AS BIGINT) ORDER BY dd) AS v
-      |        FROM acc GROUP BY doc_id),
+      |        FROM acc GROUP BY doc_id)""".stripMargin
+
+  private def ivfIntAssignCtes(nlistSql: String): String =
+    s"""$intEmbedVecCtes,
       |c0 AS (
       |  SELECT cid, cvec FROM (
       |    SELECT doc_id AS cid, v AS cvec,
@@ -1050,6 +1058,24 @@ object SparkEntry {
         math.ceil(math.sqrt(docs(s, d).count() / 2.0)).toLong).toInt
       Similarity.semDedupInt(emb, "doc_id", "embedding",
         nlist = nlist, threshold = semDedupThreshold)
+    }),
+    // HIERARCHICAL semantic dedup (the x56 scale spelling of x53):
+    // constant target cluster size keeps the pair stage LINEAR, and the
+    // two-level cell-restricted assignment replaces the flat n·nlist
+    // argmax with ~n^1.25 work — the last super-linear schedule in the
+    // catalog closed. Shape bounds are the SAME IEEE op sequences the
+    // oracle's scalar subqueries evaluate.
+    "x56_semantic_dedup_hier" -> ((s, d) => {
+      val emb = Multimodal.fakeEmbedInt(s,
+        Multimodal.withPayload(docs(s, d), "doc_id", "text"),
+        dim = fakeEmbedDim).toDF().cache()
+      val n = docs(s, d).count()
+      val nlist = math.max(ivfIntNlist.toLong,
+        math.ceil(n / semHierClusterSize.toDouble).toLong).toInt
+      val ncoarse = math.max(semHierMinCoarse.toLong,
+        math.ceil(math.sqrt(nlist.toDouble)).toLong).toInt
+      Similarity.semDedupIntHier(emb, "doc_id", "embedding",
+        nlist = nlist, ncoarse = ncoarse, threshold = semDedupThreshold)
     }),
 
     // ---- north-star extensions: text analysis ----
@@ -2183,6 +2209,74 @@ object SparkEntry {
         |  WHERE round(${intCosSql("a.v", "b.v")}, 6) >= $semDedupThreshold)
         |SELECT a2.doc_id, a2.cid, (d.doc_id IS NULL) AS kept
         |FROM a2 LEFT JOIN drops d ON d.doc_id = a2.doc_id""".stripMargin,
+    // hierarchical replay: Knuth seeds at BOTH levels, fine→coarse and
+    // vector→coarse argmax, cell-restricted fine assignment before and
+    // after the floor-mean Lloyd pass (refined centroids inherit their
+    // seed's cell; a1-empty cids drop out of c1 on both engines), then
+    // the same epsilon-ball drop rule. Shape bounds = the catalog's
+    // exact IEEE ceil/sqrt sequences as scalar subqueries.
+    "x56_semantic_dedup_hier" -> {
+      val nlistSql =
+        s"(SELECT greatest($ivfIntNlist, CAST(ceil(count(*) / $semHierClusterSize.0) AS BIGINT)) FROM documents)"
+      val ncSql =
+        s"(SELECT greatest($semHierMinCoarse, CAST(ceil(sqrt(CAST(greatest($ivfIntNlist, CAST(ceil(count(*) / $semHierClusterSize.0) AS BIGINT)) AS DOUBLE))) AS BIGINT)) FROM documents)"
+      s"""WITH $intEmbedVecCtes,
+        |fs AS (
+        |  SELECT cid, fvec FROM (
+        |    SELECT doc_id AS cid, v AS fvec,
+        |           row_number() OVER (
+        |             ORDER BY ((doc_id % 1000000007) * 2654435761) % 1000003 ASC,
+        |                      doc_id ASC) AS rn
+        |    FROM vec) t WHERE rn <= $nlistSql),
+        |cs AS (
+        |  SELECT ccid, cvec FROM (
+        |    SELECT doc_id AS ccid, v AS cvec,
+        |           row_number() OVER (
+        |             ORDER BY ((doc_id % 1000000007) * 2654435761) % 1000003 ASC,
+        |                      doc_id ASC) AS rn
+        |    FROM vec) t WHERE rn <= $ncSql),
+        |fcs AS (
+        |  SELECT cid, fvec, ccid FROM (
+        |    SELECT fs.cid, fs.fvec, cs.ccid,
+        |           row_number() OVER (PARTITION BY fs.cid
+        |             ORDER BY ${intCosSql("fs.fvec", "cs.cvec")} DESC, cs.ccid ASC) AS rn
+        |    FROM fs, cs) t WHERE rn = 1),
+        |live AS (SELECT DISTINCT ccid FROM fcs),
+        |csl AS (SELECT cs.ccid, cs.cvec FROM cs JOIN live USING (ccid)),
+        |vcell AS (
+        |  SELECT doc_id, v, ccid FROM (
+        |    SELECT vec.doc_id, vec.v, csl.ccid,
+        |           row_number() OVER (PARTITION BY vec.doc_id
+        |             ORDER BY ${intCosSql("vec.v", "csl.cvec")} DESC, csl.ccid ASC) AS rn
+        |    FROM vec, csl) t WHERE rn = 1),
+        |a1 AS (
+        |  SELECT doc_id, v, cid FROM (
+        |    SELECT vcell.doc_id, vcell.v, fcs.cid,
+        |           row_number() OVER (PARTITION BY vcell.doc_id
+        |             ORDER BY ${intCosSql("vcell.v", "fcs.fvec")} DESC, fcs.cid ASC) AS rn
+        |    FROM vcell JOIN fcs ON fcs.ccid = vcell.ccid) t WHERE rn = 1),
+        |c1p AS (
+        |  SELECT cid, u.j AS pos, sum(v[CAST(u.j + 1 AS INT)]) AS sv,
+        |         count(*) AS cnt
+        |  FROM a1, UNNEST(range($fakeEmbedDim)) AS u(j)
+        |  GROUP BY 1, 2),
+        |c1 AS (SELECT cid, list(sv // cnt ORDER BY pos) AS fvec
+        |       FROM c1p GROUP BY cid),
+        |c1c AS (SELECT c1.cid, c1.fvec, fcs.ccid
+        |        FROM c1 JOIN fcs ON fcs.cid = c1.cid),
+        |a2 AS (
+        |  SELECT doc_id, v, cid FROM (
+        |    SELECT vcell.doc_id, vcell.v, c1c.cid,
+        |           row_number() OVER (PARTITION BY vcell.doc_id
+        |             ORDER BY ${intCosSql("vcell.v", "c1c.fvec")} DESC, c1c.cid ASC) AS rn
+        |    FROM vcell JOIN c1c ON c1c.ccid = vcell.ccid) t WHERE rn = 1),
+        |drops AS (
+        |  SELECT DISTINCT a.doc_id
+        |  FROM a2 a JOIN a2 b ON a.cid = b.cid AND b.doc_id < a.doc_id
+        |  WHERE round(${intCosSql("a.v", "b.v")}, 6) >= $semDedupThreshold)
+        |SELECT a2.doc_id, a2.cid, (d.doc_id IS NULL) AS kept
+        |FROM a2 LEFT JOIN drops d ON d.doc_id = a2.doc_id""".stripMargin
+    },
     "x35_lsh_ann_recall" ->
       s"""SELECT count(*) AS n_queries, TRUE AS recall_ok
          |FROM embeddings

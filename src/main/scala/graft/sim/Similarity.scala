@@ -351,6 +351,90 @@ object Similarity {
         col("__dup").isNull.as("kept"))
   }
 
+  /** HIERARCHICAL semantic dedup — the scale spelling of
+    * [[semDedupInt]]: with constant target cluster size the pair stage
+    * is linear, and the assignment avoids the flat n·nlist argmax by
+    * going through a two-level cell structure (the IVF-in-IVF
+    * composition the x49 PQ path uses for codes): vectors find their
+    * coarse cell (n·ncoarse), then argmax only over the fine centroids
+    * living in that cell (n·nlist/ncoarse expected) — with
+    * ncoarse ≈ √nlist the assignment is ~n^1.25 total instead of
+    * n^1.5, and deeper hierarchies continue the same trade.
+    *
+    * Everything stays exact-integer / fixed-IEEE so the x56 oracle
+    * replays it: Knuth-spread seeds for BOTH levels, argmax ties
+    * (csim DESC, id ASC) everywhere, one integer floor-mean Lloyd pass
+    * on the fine level, refined centroids INHERITING their seed's
+    * coarse cell (re-deriving cells post-Lloyd would need a second
+    * n·ncoarse pass for marginal recall), and vectors restricted to
+    * LIVE cells (a coarse cell no fine seed landed in can otherwise
+    * orphan its vectors). Same keeper rule as the flat path.
+    */
+  def semDedupIntHier(emb: DataFrame, idCol: String, vecCol: String,
+                      nlist: Int, ncoarse: Int,
+                      threshold: Double = 0.995): DataFrame = {
+    val corpus = emb.select(col(idCol).as("nid"),
+      col(vecCol).cast("array<long>").as("nvec"))
+    val spread = (col("nid") % 1000000007L * 2654435761L % 1000003L).asc
+    val fineSeeds = corpus.orderBy(spread, col("nid").asc).limit(nlist)
+      .select(col("nid").as("cid"), col("nvec").as("fvec"))
+    val coarseSeeds = corpus.orderBy(spread, col("nid").asc).limit(ncoarse)
+      .select(col("nid").as("ccid"), col("nvec").as("cvec"))
+    def argmaxTo(df: DataFrame, keyCols: Seq[String], simCol: Column,
+                 idTie: String, keep: Seq[String]): DataFrame = {
+      val w = Window.partitionBy(keyCols.map(col): _*)
+        .orderBy(simCol.desc, col(idTie).asc)
+      df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+        .select(keep.map(col): _*)
+    }
+    // fine seed -> coarse cell (nlist·ncoarse rows, broadcast-sized)
+    val fineCells = argmaxTo(
+      fineSeeds.crossJoin(broadcast(coarseSeeds))
+        .withColumn("__s", cosExactInt(col("fvec"), col("cvec"))),
+      Seq("cid"), col("__s"), "ccid", Seq("cid", "fvec", "ccid"))
+      .localCheckpoint(true)
+    // only cells that actually hold a fine centroid may receive vectors
+    val liveCoarse = coarseSeeds.join(
+      fineCells.select("ccid").distinct(), Seq("ccid"), "left_semi")
+    // vector -> coarse cell: the n·ncoarse pass, pinned (it feeds both
+    // the pre- and post-Lloyd fine assignment)
+    val vCell = argmaxTo(
+      corpus.crossJoin(broadcast(liveCoarse))
+        .withColumn("__s", cosExactInt(col("nvec"), col("cvec"))),
+      Seq("nid"), col("__s"), "ccid", Seq("nid", "nvec", "ccid"))
+      .localCheckpoint(true)
+    // cell-restricted fine assignment against an arbitrary centroid set
+    def assignFine(cents: DataFrame): DataFrame = argmaxTo(
+      vCell.join(broadcast(cents), Seq("ccid"))
+        .withColumn("__s", cosExactInt(col("nvec"), col("fvec"))),
+      Seq("nid"), col("__s"), "cid", Seq("nid", "nvec", "cid"))
+    // one integer floor-mean Lloyd pass; refined centroids keep their
+    // seed's coarse cell
+    val refined = assignFine(fineCells)
+      .select(col("cid"), posexplode(col("nvec")).as(Seq("pos", "v")))
+      .groupBy("cid", "pos")
+      .agg(sum(col("v")).as("sv"), count(lit(1)).as("cnt"))
+      .withColumn("m", expr("sv div cnt"))
+      .groupBy("cid")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+        s => s.getField("m")).as("fvec"))
+      .join(fineCells.select("cid", "ccid"), Seq("cid"))
+      .localCheckpoint(true)
+    val assigned = assignFine(refined).localCheckpoint(true)
+    val lhs = assigned.select(col("cid"), col("nid").as("id_a"),
+      col("nvec").as("va"))
+    val rhs = assigned.select(col("cid"), col("nid").as("id_b"),
+      col("nvec").as("vb"))
+    val dropped = lhs.join(rhs,
+        lhs("cid") === rhs("cid") && col("id_b") < col("id_a"))
+      .filter(round(cosExactInt(col("va"), col("vb")), 6) >= threshold)
+      .select(col("id_a").as("nid")).distinct()
+    assigned.select("nid", "cid")
+      .join(dropped.withColumn("__dup", lit(true)), Seq("nid"), "left")
+      .select(col("nid").as(idCol), col("cid"),
+        col("__dup").isNull.as("kept"))
+  }
+
   /** Embedding near-duplicate pairs: all pairs with cosine ≥ threshold,
     * candidate generation bounded by LSH buckets (a true 100 TB-safe
     * near-dup join: bucket-equi-join, not cross join).

@@ -135,6 +135,18 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"), s"no rank-limit pushdown in:\n$p")
   }
 
+  test("x56: the hierarchical dedup also keeps the pair join cid-keyed " +
+    "and every level's argmax input pinned") {
+    val exec = planNoAqe("x56_semantic_dedup_hier")
+    val p = exec.toString
+    assert(!p.contains("CartesianProduct"),
+      s"hierarchical dedup fell back to a cartesian join:\n$p")
+    assert("(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin) \\[cid".r
+      .findFirstIn(p).isDefined, s"pair join not keyed on cid in:\n$p")
+    assert(!p.contains("MapPartitions"),
+      s"assignment not pinned — embed pipeline re-runs per consumer:\n$p")
+  }
+
   test("x54: the export shuffles exactly once, keyed on shard") {
     val exec = planNoAqe("x54_shuffle_shard")
     val ex = shuffles(exec)

@@ -36,6 +36,19 @@ class SemDedupSpec extends SparkSpec {
       "cosine(≈0.14) singletons must both survive the 0.999 ball")
   }
 
+  test("hierarchical path: duplicates collapse, singletons survive, output total") {
+    val out = Similarity.semDedupIntHier(emb, "doc_id", "embedding",
+        nlist = 4, ncoarse = 2, threshold = 0.999)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(out.size == 7, "one output row per input document")
+    // identical vectors land in the same fine cluster in ANY cell
+    // structure (same argmax at both levels), so the duplicate groups
+    // must collapse exactly as in the flat path
+    assert(out(0L) && !out(10L) && !out(20L))
+    assert(out(1L) && !out(11L))
+    assert(out(2L) && out(3L))
+  }
+
   test("threshold=1.0-ish ball never drops a doc with no duplicate") {
     val singles = Seq(
       (5L, Seq(13L, 1L, 0L, 0L)), (6L, Seq(1L, 13L, 0L, 0L)),
