@@ -962,6 +962,14 @@ object SparkEntry {
     "x07_embedding_neardup" -> ((s, d) =>
       Similarity.embeddingNearDupPairs(Tables.embeddings(s, d), "vec_id", "embedding",
         dim = 64, threshold = 0.25, nbits = 4, tables = 8)),
+    // x07's production composition for dup-heavy corpora: collapse
+    // byte-identical vectors first (one hash groupBy), near-dup over
+    // representatives, multiplicities carried as implied_pairs — the
+    // candidate stage is bounded by DISTINCT vectors, so the twin-dense
+    // scaled corpora that make x07 output-quadratic leave x57 flat
+    "x57_embed_neardup_reps" -> ((s, d) =>
+      Similarity.embeddingNearDupReps(Tables.embeddings(s, d), "vec_id",
+        "embedding", dim = 64, threshold = 0.25, nbits = 4, tables = 8)),
     // near-dup recall gate over a 1-in-10 sample: brute-force pairs are
     // exactly oracle-checkable (DuckDB computes the same cosine), and the
     // in-plan recall bound turns an LSH regression into a hash failure
@@ -3004,6 +3012,37 @@ object SparkEntry {
         |  JOIN v va ON va.vec_id = c.id_a
         |  JOIN v vb ON vb.vec_id = c.id_b)
         |SELECT id_a, id_b, sim FROM scored WHERE sim >= 0.25""".stripMargin,
+    // representative composition: identical-vector groups (min-id rep +
+    // multiplicity), then the SAME literal-plane LSH over reps only,
+    // implied cross-twin pair counts on the way out
+    "x57_embed_neardup_reps" ->
+      s"""WITH planes(t, b, plane) AS (VALUES ${lshPlanesSqlValues(8, 4, 64)}),
+        |g AS (
+        |  SELECT min(vec_id) AS rep_id, count(*)::BIGINT AS n_members,
+        |         embedding AS vec0
+        |  FROM embeddings GROUP BY embedding),
+        |v AS (SELECT rep_id AS vec_id, vec0::DOUBLE[] AS vec FROM g),
+        |bands AS (
+        |  SELECT vec_id, t,
+        |         bit_or(CASE WHEN list_dot_product(vec, plane) > 0
+        |                     THEN (1::BIGINT << b) ELSE 0::BIGINT END) AS bucket
+        |  FROM v, planes GROUP BY vec_id, t),
+        |cand AS (
+        |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+        |  FROM bands a JOIN bands b ON a.t = b.t AND a.bucket = b.bucket
+        |                            AND a.vec_id < b.vec_id),
+        |scored AS (
+        |  SELECT c.id_a, c.id_b,
+        |         round(list_cosine_similarity(va.vec, vb.vec), 6) AS sim
+        |  FROM cand c
+        |  JOIN v va ON va.vec_id = c.id_a
+        |  JOIN v vb ON vb.vec_id = c.id_b)
+        |SELECT s.id_a, s.id_b, s.sim,
+        |       ga.n_members * gb.n_members AS implied_pairs
+        |FROM scored s
+        |JOIN g ga ON ga.rep_id = s.id_a
+        |JOIN g gb ON gb.rep_id = s.id_b
+        |WHERE s.sim >= 0.25""".stripMargin,
     // multimodal retrieval: DuckDB re-derives Multimodal.fakeEmbed
     // byte-for-byte — v[i%16] += byte·(1+(i/16)%3) accumulates EXACT
     // integers (≤ a few 10⁵, far inside float32's 2^24 exact range, so

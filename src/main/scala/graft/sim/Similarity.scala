@@ -462,6 +462,40 @@ object Similarity {
       .distinct()
   }
 
+  /** Embedding near-dup over exact-duplicate REPRESENTATIVES — the
+    * production composition the x07 scale notes prescribe for
+    * dup-heavy corpora: a corpus where every vector has many byte-
+    * identical twins makes pairwise near-dup output quadratic in twin
+    * multiplicity (x07's measured 103×-output fixture), so first
+    * collapse identical vectors with one hash groupBy (the x01 shape
+    * on vector bytes: representative = min id, multiplicity carried),
+    * then run the LSH-bucketed near-dup over representatives only.
+    * Output pairs carry `implied_pairs` = n_a·n_b — the size of the
+    * cross-twin pair set each representative pair stands for — so no
+    * information is lost, at candidate cost bounded by the DISTINCT
+    * vector count rather than the corpus.
+    */
+  def embeddingNearDupReps(emb: DataFrame, idCol: String, vecCol: String,
+                           dim: Int, threshold: Double = 0.9,
+                           nbits: Int = 8, tables: Int = 1): DataFrame = {
+    val reps = emb.groupBy(col(vecCol).as("__vec"))
+      .agg(min(col(idCol)).as("rep_id"), count(lit(1)).as("n_members"))
+      .localCheckpoint(true) // feeds the pair join AND two count lookups
+    val pairs = embeddingNearDupPairs(
+      reps.select(col("rep_id"), col("__vec").as(vecCol)),
+      "rep_id", vecCol, dim, threshold, nbits, tables)
+    // multiplicity lookups: no broadcast hint — reps is small on a
+    // dup-heavy corpus but corpus-sized on an all-distinct one, so the
+    // join strategy is left to Catalyst/AQE statistics
+    pairs
+      .join(reps.select(col("rep_id").as("id_a"),
+        col("n_members").as("__na")), Seq("id_a"))
+      .join(reps.select(col("rep_id").as("id_b"),
+        col("n_members").as("__nb")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"), col("sim"),
+        (col("__na") * col("__nb")).as("implied_pairs"))
+  }
+
   /** Product-quantization ANN with ADC scoring and exact reranking —
     * the compression path for an embedding store that no longer fits
     * hot storage (Jégou et al., "Product Quantization for Nearest

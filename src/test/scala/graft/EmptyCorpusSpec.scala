@@ -26,7 +26,8 @@ class EmptyCorpusSpec extends SparkSpec {
     "x41_corpus_build", "x42_domain_mix", "x43_pack_spans",
     "x44_incremental_curation", "x45_token_mix", "x46_corpus_stats",
     "x48_frame_dedup", "x50_quality_classifier", "x53_semantic_dedup",
-    "x54_shuffle_shard", "x55_domain_cap", "x56_semantic_dedup_hier")
+    "x54_shuffle_shard", "x55_domain_cap", "x56_semantic_dedup_hier",
+    "x57_embed_neardup_reps")
 
   test("documents/embeddings catalog entries are total on empty tables") {
     val dir = java.nio.file.Files.createTempDirectory("graft_empty_docs_").toString

@@ -49,6 +49,25 @@ class SemDedupSpec extends SparkSpec {
     assert(out(2L) && out(3L))
   }
 
+  test("embeddingNearDupReps collapses twins and carries implied pair counts") {
+    // two twin groups of float vectors (3 and 2 members) whose reps are
+    // near-dup to each other; one far-away singleton
+    val rows = Seq(
+      (0L, Seq(1.0f, 0.0f, 0.0f, 0.0f)),
+      (5L, Seq(1.0f, 0.0f, 0.0f, 0.0f)),
+      (9L, Seq(1.0f, 0.0f, 0.0f, 0.0f)),
+      (2L, Seq(0.99f, 0.14f, 0.0f, 0.0f)),
+      (7L, Seq(0.99f, 0.14f, 0.0f, 0.0f)),
+      (4L, Seq(0.0f, 0.0f, 1.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.embeddingNearDupReps(rows, "vec_id", "embedding",
+        dim = 4, threshold = 0.9, nbits = 2, tables = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+    // reps are min ids 0 and 2; cos ≈ 0.990 ≥ 0.9; implied = 3·2
+    assert(out.toSeq == Seq((0L, 2L, 6L)),
+      s"expected one rep pair (0,2) with 6 implied pairs, got ${out.toSeq}")
+  }
+
   test("threshold=1.0-ish ball never drops a doc with no duplicate") {
     val singles = Seq(
       (5L, Seq(13L, 1L, 0L, 0L)), (6L, Seq(1L, 13L, 0L, 0L)),
