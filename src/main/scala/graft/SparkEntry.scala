@@ -103,7 +103,10 @@ object SparkEntry {
     */
   private def drainMemorySink(parent: SparkSession, clone: SparkSession,
                               view: String, projected: DataFrame): DataFrame = {
-    val out = sinkScratch(s"${view}_out")
+    // FIXED per-view path + overwrite, not a fresh temp dir per call:
+    // bench reps would otherwise stack one full result-set copy on disk
+    // each until process exit (the shutdown hook is the only cleaner)
+    val out = sinkScratchRoot.resolve(s"${view}_out").toString
     projected.write.mode("overwrite").parquet(out)
     clone.catalog.dropTempView(view)
     clone.streams.resetTerminated()

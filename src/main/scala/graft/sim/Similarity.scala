@@ -236,6 +236,53 @@ object Similarity {
   private def cosExactInt(a: Column, b: Column): Column =
     dot(a, b) / greatest(sqrt(dot(a, a)) * sqrt(dot(b, b)), lit(1e-9))
 
+  /** The Knuth multiplicative spread key the integer-IVF family seeds
+    * with — ONE definition for ivfIntModel and semDedupIntHier (the
+    * oracles interpolate the same constants; a typo in a hand-rolled
+    * copy would surface as a hash mismatch, not a compile error).
+    */
+  private def knuthSpread(id: Column): Column =
+    id % 1000000007L * 2654435761L % 1000003L
+
+  /** Integer FLOOR-mean Lloyd update shared by [[ivfIntModel]] and
+    * [[semDedupIntHier]]: element-wise integer sum, then floor
+    * division spelled `(sv - pmod(sv, cnt)) div cnt` — pmod is always
+    * in [0, cnt), so the quotient is exact AND floors like DuckDB's
+    * `//` even on negative sums (`sv div cnt` alone truncates toward
+    * zero, which would silently diverge from the oracle on the first
+    * embedding with negative components). Output: (cid, <outCol>).
+    */
+  private def lloydFloorMean(assigned: DataFrame, outCol: String): DataFrame =
+    assigned
+      .select(col("cid"), posexplode(col("nvec")).as(Seq("pos", "v")))
+      .groupBy("cid", "pos")
+      .agg(sum(col("v")).as("sv"), count(lit(1)).as("cnt"))
+      .withColumn("m", expr("(sv - pmod(sv, cnt)) div cnt"))
+      .groupBy("cid")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+        s => s.getField("m")).as(outCol))
+
+  /** The epsilon-ball keeper rule shared by [[semDedupInt]] and
+    * [[semDedupIntHier]]: a doc is dropped iff a LOWER-id cluster-mate
+    * sits inside its cosine ball (round-6dp, the cross-engine
+    * float-compare idiom); output one row per doc (idCol, cid, kept).
+    */
+  private def epsilonBallKeep(assigned: DataFrame, idCol: String,
+                              threshold: Double): DataFrame = {
+    val lhs = assigned.select(col("cid"), col("nid").as("id_a"),
+      col("nvec").as("va"))
+    val rhs = assigned.select(col("cid"), col("nid").as("id_b"),
+      col("nvec").as("vb"))
+    val dropped = lhs.join(rhs,
+        lhs("cid") === rhs("cid") && col("id_b") < col("id_a"))
+      .filter(round(cosExactInt(col("va"), col("vb")), 6) >= threshold)
+      .select(col("id_a").as("nid")).distinct()
+    assigned.select("nid", "cid")
+      .join(dropped.withColumn("__dup", lit(true)), Seq("nid"), "left")
+      .select(col("nid").as(idCol), col("cid"),
+        col("__dup").isNull.as("kept"))
+  }
+
   /** The shared integer-exact IVF model: Knuth-spread init, ONE Lloyd
     * pass with integer-sum / floor-mean centroid update, max_by argmax
     * assignment — every step exact-integer or a fixed IEEE op sequence,
@@ -260,35 +307,24 @@ object Similarity {
           struct(col("csim"), negate(col("cid")))).as("best"))
         .select(col("nid"), col("best.nvec").as("nvec"), col("best.cid").as("cid"))
     val init = corpus
-      .orderBy((col("nid") % 1000000007L * 2654435761L % 1000003L).asc,
-        col("nid").asc)
+      .orderBy(knuthSpread(col("nid")).asc, col("nid").asc)
       .limit(nlist)
       .select(col("nid").as("cid"), col("nvec").as("cvec"))
-    // one Lloyd pass, integer floor-mean update (sv and cnt are exact
-    // longs, so `sv div cnt` is the same centroid in every engine);
-    // pinned like ivfTrain so the two consumers don't re-run the refine
-    val refined = assign(init)
-      .select(col("cid"), posexplode(col("nvec")).as(Seq("pos", "v")))
-      .groupBy("cid", "pos")
-      .agg(sum(col("v")).as("sv"), count(lit(1)).as("cnt"))
-      .withColumn("m", expr("sv div cnt"))
-      .groupBy("cid")
-      .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
-        s => s.getField("m")).as("cvec"))
-      .localCheckpoint(true)
+    // one Lloyd pass (shared floor-mean update); pinned like ivfTrain
+    // so the two consumers don't re-run the refine
+    val refined = lloydFloorMean(assign(init), "cvec").localCheckpoint(true)
     (refined, assign(refined))
   }
 
   def cosineTopKIvfInt(emb: DataFrame, idCol: String, vecCol: String,
                        queryPred: Column, nlist: Int = 16, nprobe: Int = 2,
                        k: Int = 5): DataFrame = {
-    def cosExact(a: Column, b: Column): Column = cosExactInt(a, b)
     val (refined, assigned) = ivfIntModel(emb, idCol, vecCol, nlist)
     val queries = emb.filter(queryPred)
       .select(col(idCol).as("qid"), col(vecCol).cast("array<long>").as("qvec"))
     val probes = queries.crossJoin(broadcast(refined))
       .select(col("qid"), col("qvec"), col("cid"),
-        cosExact(col("qvec"), col("cvec")).as("csim"))
+        cosExactInt(col("qvec"), col("cvec")).as("csim"))
       .withColumn("rn", row_number().over(
         Window.partitionBy("qid").orderBy(col("csim").desc, col("cid").asc)))
       .filter(col("rn") <= nprobe).select("qid", "qvec", "cid")
@@ -296,7 +332,7 @@ object Similarity {
       .join(broadcast(probes), Seq("cid"))
       .filter(col("nid") =!= col("qid"))
       .select(col("qid"), col("nid"),
-        round(cosExact(col("qvec"), col("nvec")), 6).as("sim"))
+        round(cosExactInt(col("qvec"), col("nvec")), 6).as("sim"))
     val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("nid").asc)
     scored.withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= k)
@@ -334,21 +370,7 @@ object Similarity {
     // one corpus-sized materialization, the same trade a production
     // SemDeDup makes by persisting cluster assignments between stages
     val (_, assigned0) = ivfIntModel(emb, idCol, vecCol, nlist)
-    val assigned = assigned0.localCheckpoint(true)
-    val lhs = assigned.select(col("cid"), col("nid").as("id_a"),
-      col("nvec").as("va"))
-    val rhs = assigned.select(col("cid"), col("nid").as("id_b"),
-      col("nvec").as("vb"))
-    // a doc is dropped iff a LOWER-id cluster-mate sits inside its
-    // epsilon ball; round(6) is the cross-engine float-compare idiom
-    val dropped = lhs.join(rhs,
-        lhs("cid") === rhs("cid") && col("id_b") < col("id_a"))
-      .filter(round(cosExactInt(col("va"), col("vb")), 6) >= threshold)
-      .select(col("id_a").as("nid")).distinct()
-    assigned.select("nid", "cid")
-      .join(dropped.withColumn("__dup", lit(true)), Seq("nid"), "left")
-      .select(col("nid").as(idCol), col("cid"),
-        col("__dup").isNull.as("kept"))
+    epsilonBallKeep(assigned0.localCheckpoint(true), idCol, threshold)
   }
 
   /** HIERARCHICAL semantic dedup — the scale spelling of
@@ -375,11 +397,14 @@ object Similarity {
                       threshold: Double = 0.995): DataFrame = {
     val corpus = emb.select(col(idCol).as("nid"),
       col(vecCol).cast("array<long>").as("nvec"))
-    val spread = (col("nid") % 1000000007L * 2654435761L % 1000003L).asc
-    val fineSeeds = corpus.orderBy(spread, col("nid").asc).limit(nlist)
+    val fineSeeds = corpus
+      .orderBy(knuthSpread(col("nid")).asc, col("nid").asc).limit(nlist)
       .select(col("nid").as("cid"), col("nvec").as("fvec"))
-    val coarseSeeds = corpus.orderBy(spread, col("nid").asc).limit(ncoarse)
-      .select(col("nid").as("ccid"), col("nvec").as("cvec"))
+    // the coarse seeds are by construction the PREFIX of the fine seeds
+    // under the same total order (ncoarse ≤ nlist always) — derive them
+    // instead of re-running a second TakeOrdered pass over the corpus
+    val coarseSeeds = fineSeeds.limit(ncoarse)
+      .select(col("cid").as("ccid"), col("fvec").as("cvec"))
     def argmaxTo(df: DataFrame, keyCols: Seq[String], simCol: Column,
                  idTie: String, keep: Seq[String]): DataFrame = {
       val w = Window.partitionBy(keyCols.map(col): _*)
@@ -408,31 +433,13 @@ object Similarity {
       vCell.join(broadcast(cents), Seq("ccid"))
         .withColumn("__s", cosExactInt(col("nvec"), col("fvec"))),
       Seq("nid"), col("__s"), "cid", Seq("nid", "nvec", "cid"))
-    // one integer floor-mean Lloyd pass; refined centroids keep their
-    // seed's coarse cell
-    val refined = assignFine(fineCells)
-      .select(col("cid"), posexplode(col("nvec")).as(Seq("pos", "v")))
-      .groupBy("cid", "pos")
-      .agg(sum(col("v")).as("sv"), count(lit(1)).as("cnt"))
-      .withColumn("m", expr("sv div cnt"))
-      .groupBy("cid")
-      .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
-        s => s.getField("m")).as("fvec"))
+    // one integer floor-mean Lloyd pass (shared update); refined
+    // centroids keep their seed's coarse cell
+    val refined = lloydFloorMean(assignFine(fineCells), "fvec")
       .join(fineCells.select("cid", "ccid"), Seq("cid"))
       .localCheckpoint(true)
-    val assigned = assignFine(refined).localCheckpoint(true)
-    val lhs = assigned.select(col("cid"), col("nid").as("id_a"),
-      col("nvec").as("va"))
-    val rhs = assigned.select(col("cid"), col("nid").as("id_b"),
-      col("nvec").as("vb"))
-    val dropped = lhs.join(rhs,
-        lhs("cid") === rhs("cid") && col("id_b") < col("id_a"))
-      .filter(round(cosExactInt(col("va"), col("vb")), 6) >= threshold)
-      .select(col("id_a").as("nid")).distinct()
-    assigned.select("nid", "cid")
-      .join(dropped.withColumn("__dup", lit(true)), Seq("nid"), "left")
-      .select(col("nid").as(idCol), col("cid"),
-        col("__dup").isNull.as("kept"))
+    epsilonBallKeep(assignFine(refined).localCheckpoint(true),
+      idCol, threshold)
   }
 
   /** Embedding near-duplicate pairs: all pairs with cosine ≥ threshold,

@@ -68,6 +68,39 @@ class SemDedupSpec extends SparkSpec {
       s"expected one rep pair (0,2) with 6 implied pairs, got ${out.toSeq}")
   }
 
+  test("Lloyd centroid mean FLOORS like the oracle's // — negative sums included") {
+    // the update is spelled (sv - pmod(sv, cnt)) div cnt so it floors
+    // (DuckDB // semantics) instead of truncating toward zero; a plain
+    // `sv div cnt` would put the sv=-3,cnt=2 centroid at -1 vs the
+    // oracle's -2 and silently desync on the first negative embedding
+    val cases = Seq((-3L, 2L, -2L), (-1L, 2L, -1L), (-4L, 2L, -2L),
+      (3L, 2L, 1L), (0L, 2L, 0L), (-7L, 3L, -3L), (7L, 3L, 2L))
+    val got = cases.map(c => (c._1, c._2)).toDF("sv", "cnt")
+      .selectExpr("(sv - pmod(sv, cnt)) div cnt AS m")
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == cases.map(_._3),
+      s"floor-division drifted: got $got, want ${cases.map(_._3)}")
+  }
+
+  test("semantic dedup is total and floor-exact on negative-component embeddings") {
+    // embedding-generic inputs may carry negative components; both
+    // paths must stay deterministic and keep one row per doc
+    val neg = Seq(
+      (1L, Seq(-100L, 3L, -7L, 2L)), (2L, Seq(-100L, 3L, -7L, 2L)),
+      (3L, Seq(50L, -60L, 1L, 0L)), (4L, Seq(-1L, -1L, -1L, -1L)),
+      (5L, Seq(7L, 7L, -7L, -7L))).toDF("doc_id", "embedding")
+    Seq(
+      Similarity.semDedupInt(neg, "doc_id", "embedding", nlist = 2,
+        threshold = 0.999),
+      Similarity.semDedupIntHier(neg, "doc_id", "embedding", nlist = 2,
+        ncoarse = 2, threshold = 0.999)
+    ).foreach { out =>
+      val rows = out.collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+      assert(rows.size == 5)
+      assert(rows(1L) && !rows(2L), "identical negative vectors collapse to min id")
+    }
+  }
+
   test("threshold=1.0-ish ball never drops a doc with no duplicate") {
     val singles = Seq(
       (5L, Seq(13L, 1L, 0L, 0L)), (6L, Seq(1L, 13L, 0L, 0L)),
