@@ -20,7 +20,8 @@ class CatalogSpec extends SparkSpec {
     // session-scoped and owned by the harness: Bench/Verify clearCache
     // between queries. This pins that one sweep actually releases them.
     Seq("x02_jaccard_pairs", "x17_multimodal_topk", "x21_langid_ngram",
-        "x33_minhash_recall", "x41_corpus_build", "x44_incremental_curation")
+        "x33_minhash_recall", "x41_corpus_build", "x44_incremental_curation",
+        "x53_semantic_dedup", "x56_semantic_dedup_hier")
       .foreach(q => SparkEntry.queries(q)(spark, sfDir).count())
     spark.catalog.clearCache()
     assert(org.apache.spark.sql.GraftSqlBridge.cacheIsEmpty(spark),
