@@ -73,19 +73,8 @@ object SparkEntry {
     */
   private lazy val sinkScratchRoot: java.nio.file.Path = {
     val root = java.nio.file.Files.createTempDirectory("graft_sinks_")
-    Runtime.getRuntime.addShutdownHook(new Thread(() => {
-      import java.nio.file._
-      import java.util.Comparator
-      // best-effort: close the walk stream, and never let one un-deletable
-      // path (e.g. a file created mid-traversal) abort the rest of cleanup
-      if (Files.exists(root)) {
-        val walk = Files.walk(root)
-        try walk.sorted(Comparator.reverseOrder[Path]())
-          .forEach(p => try Files.deleteIfExists(p) catch { case _: Exception => () })
-        catch { case _: Exception => () }
-        finally walk.close()
-      }
-    }))
+    Runtime.getRuntime.addShutdownHook(
+      new Thread(() => deleteRecursively(root)))
     root
   }
   private def sinkScratch(prefix: String): String =
@@ -100,17 +89,44 @@ object SparkEntry {
     * lifetime — one leaked copy per bench rep. The parquet round-trip
     * also rebinds the result to the PARENT session, so the returned
     * frame keeps no reference into the clone at all.
+    *
+    * Lifetime contract: the returned frame is backed by EPOCH-suffixed
+    * scratch files that survive exactly until the NEXT invocation for
+    * the same view completes — bench reps keep one result-set copy on
+    * disk (not one per rep), and a frame held across reps fails LOUDLY
+    * on read (missing files) instead of silently serving the newer
+    * rep's rows, as an overwrite-in-place of a fixed path would.
     */
+  private val drainEpochs =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
   private def drainMemorySink(parent: SparkSession, clone: SparkSession,
                               view: String, projected: DataFrame): DataFrame = {
-    // FIXED per-view path + overwrite, not a fresh temp dir per call:
-    // bench reps would otherwise stack one full result-set copy on disk
-    // each until process exit (the shutdown hook is the only cleaner)
-    val out = sinkScratchRoot.resolve(s"${view}_out").toString
-    projected.write.mode("overwrite").parquet(out)
+    val epoch: Long =
+      drainEpochs.merge(view, 1L, (a, b) => a + b)
+    val out = sinkScratchRoot.resolve(s"${view}_out_$epoch")
+    projected.write.mode("overwrite").parquet(out.toString)
     clone.catalog.dropTempView(view)
     clone.streams.resetTerminated()
-    parent.read.parquet(out)
+    // the new epoch is fully written — retire the previous one now
+    if (epoch > 1L)
+      deleteRecursively(sinkScratchRoot.resolve(s"${view}_out_${epoch - 1}"))
+    parent.read.parquet(out.toString)
+  }
+
+  /** Best-effort recursive delete (same tolerance as the shutdown hook:
+    * never let one un-deletable path abort the caller).
+    */
+  private def deleteRecursively(root: java.nio.file.Path): Unit = {
+    import java.nio.file._
+    import java.util.Comparator
+    if (Files.exists(root)) {
+      val walk = Files.walk(root)
+      try walk.sorted(Comparator.reverseOrder[Path]())
+        .forEach(p => try Files.deleteIfExists(p) catch { case _: Exception => () })
+      catch { case _: Exception => () }
+      finally walk.close()
+    }
   }
 
   /** Populate a streaming landing dir with a parquet table's DATA FILES.
@@ -328,6 +344,94 @@ object SparkEntry {
       |                              ORDER BY csim DESC, cid ASC) AS rn
       |    FROM s2) t WHERE rn = 1)""".stripMargin
 
+  /** Flat-SemDeDup oracle (x53, and x59's below-crossover branch):
+    * shared x20i assignment CTEs with the corpus-adaptive √(n/2)
+    * nlist bound, then the within-cluster epsilon-ball drop rule.
+    */
+  private lazy val semDedupFlatOracleSql: String =
+    s"""WITH ${ivfIntAssignCtes(
+           s"(SELECT greatest($ivfIntNlist, CAST(ceil(sqrt(count(*) / 2.0)) AS BIGINT)) FROM documents)")},
+      |drops AS (
+      |  SELECT DISTINCT a.doc_id
+      |  FROM a2 a JOIN a2 b ON a.cid = b.cid AND b.doc_id < a.doc_id
+      |  WHERE round(${intCosSql("a.v", "b.v")}, 6) >= $semDedupThreshold)
+      |SELECT a2.doc_id, a2.cid, (d.doc_id IS NULL) AS kept
+      |FROM a2 LEFT JOIN drops d ON d.doc_id = a2.doc_id""".stripMargin
+
+  /** Hierarchical-SemDeDup oracle (x56, and x59's at-or-above-
+    * crossover branch); shape bounds are the catalog's exact IEEE
+    * ceil/sqrt sequences as scalar subqueries.
+    */
+  private lazy val semDedupHierOracleSql: String = {
+    val nlistSql =
+      s"(SELECT greatest($ivfIntNlist, CAST(ceil(count(*) / $semHierClusterSize.0) AS BIGINT)) FROM documents)"
+    val ncSql =
+      s"(SELECT greatest($semHierMinCoarse, CAST(ceil(sqrt(CAST(greatest($ivfIntNlist, CAST(ceil(count(*) / $semHierClusterSize.0) AS BIGINT)) AS DOUBLE))) AS BIGINT)) FROM documents)"
+    s"""WITH $intEmbedVecCtes,
+      |fs AS (
+      |  SELECT cid, fvec FROM (
+      |    SELECT doc_id AS cid, v AS fvec,
+      |           row_number() OVER (
+      |             ORDER BY ((doc_id % 1000000007) * 2654435761) % 1000003 ASC,
+      |                      doc_id ASC) AS rn
+      |    FROM vec) t WHERE rn <= $nlistSql),
+      |cs AS (
+      |  SELECT ccid, cvec FROM (
+      |    SELECT doc_id AS ccid, v AS cvec,
+      |           row_number() OVER (
+      |             ORDER BY ((doc_id % 1000000007) * 2654435761) % 1000003 ASC,
+      |                      doc_id ASC) AS rn
+      |    FROM vec) t WHERE rn <= $ncSql),
+      |fcs AS (
+      |  SELECT cid, fvec, ccid FROM (
+      |    SELECT fs.cid, fs.fvec, cs.ccid,
+      |           row_number() OVER (PARTITION BY fs.cid
+      |             ORDER BY ${intCosSql("fs.fvec", "cs.cvec")} DESC, cs.ccid ASC) AS rn
+      |    FROM fs, cs) t WHERE rn = 1),
+      |live AS (SELECT DISTINCT ccid FROM fcs),
+      |csl AS (SELECT cs.ccid, cs.cvec FROM cs JOIN live USING (ccid)),
+      |vcell AS (
+      |  SELECT doc_id, v, ccid FROM (
+      |    SELECT vec.doc_id, vec.v, csl.ccid,
+      |           row_number() OVER (PARTITION BY vec.doc_id
+      |             ORDER BY ${intCosSql("vec.v", "csl.cvec")} DESC, csl.ccid ASC) AS rn
+      |    FROM vec, csl) t WHERE rn = 1),
+      |a1 AS (
+      |  SELECT doc_id, v, cid FROM (
+      |    SELECT vcell.doc_id, vcell.v, fcs.cid,
+      |           row_number() OVER (PARTITION BY vcell.doc_id
+      |             ORDER BY ${intCosSql("vcell.v", "fcs.fvec")} DESC, fcs.cid ASC) AS rn
+      |    FROM vcell JOIN fcs ON fcs.ccid = vcell.ccid) t WHERE rn = 1),
+      |c1p AS (
+      |  SELECT cid, u.j AS pos, sum(v[CAST(u.j + 1 AS INT)]) AS sv,
+      |         count(*) AS cnt
+      |  FROM a1, UNNEST(range($fakeEmbedDim)) AS u(j)
+      |  GROUP BY 1, 2),
+      |c1 AS (SELECT cid, list(sv // cnt ORDER BY pos) AS fvec
+      |       FROM c1p GROUP BY cid),
+      |c1c AS (SELECT c1.cid, c1.fvec, fcs.ccid
+      |        FROM c1 JOIN fcs ON fcs.cid = c1.cid),
+      |a2 AS (
+      |  SELECT doc_id, v, cid FROM (
+      |    SELECT vcell.doc_id, vcell.v, c1c.cid,
+      |           row_number() OVER (PARTITION BY vcell.doc_id
+      |             ORDER BY ${intCosSql("vcell.v", "c1c.fvec")} DESC, c1c.cid ASC) AS rn
+      |    FROM vcell JOIN c1c ON c1c.ccid = vcell.ccid) t WHERE rn = 1),
+      |drops AS (
+      |  SELECT DISTINCT a.doc_id
+      |  FROM a2 a JOIN a2 b ON a.cid = b.cid AND b.doc_id < a.doc_id
+      |  WHERE round(${intCosSql("a.v", "b.v")}, 6) >= $semDedupThreshold)
+      |SELECT a2.doc_id, a2.cid, (d.doc_id IS NULL) AS kept
+      |FROM a2 LEFT JOIN drops d ON d.doc_id = a2.doc_id""".stripMargin
+  }
+
+  /** x59's branch predicate bound — one definition feeding both the
+    * catalog entry (via Similarity.semDedupCrossoverDocs) and the
+    * oracle's WHERE predicates.
+    */
+  private lazy val semDedupCrossoverDocs: Long =
+    Similarity.semDedupCrossoverDocs(semHierClusterSize)
+
   /** The word-shingle CTE pair (`toks`, shingle set named by `out`) the
     * Jaccard/MinHash oracles share; width and minimum length come from
     * [[wordShingleK]].
@@ -432,6 +536,45 @@ object SparkEntry {
       |  JOIN sizes sb ON sb.doc_id = i.doc_b
       |  WHERE round(i.n_common::DOUBLE / (sa.n_sh + sb.n_sh - i.n_common), 4) >= $mhThreshold)""".stripMargin
   }
+
+  /** DuckDB twin of the PORTABLE SimHash banded index
+    * (`NearDup.simhashBanded(..., portable = true)`): 60-bit md5-nibble
+    * signatures, 15-bit chunk banding, 200-doc hot cap. CTE names carry
+    * an `sx_` prefix so the chain composes with
+    * [[minhashPortablePairCtes]] in one WITH block (x58); `sx_c2` is
+    * the capped (doc_id, simhash, chunk_id, chunk_val) index. Shared by
+    * the x04 pair oracle and the x58 drift gate — one truth definition.
+    */
+  private val simhashPortableCtes: String =
+    """sx_toks AS (
+      |  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'),
+      |                             x -> x <> '') AS t
+      |  FROM documents),
+      |sx_tok AS (SELECT doc_id, u.tok AS tok FROM sx_toks, UNNEST(t) AS u(tok)),
+      |sx_h AS (SELECT doc_id, substr(md5(tok), 1, 15) AS hx FROM sx_tok),
+      |sx_bits AS (
+      |  SELECT doc_id, u.b AS b,
+      |         CASE WHEN ((strpos('0123456789abcdef',
+      |                            substr(hx, CAST(15 - u.b // 4 AS INT), 1)) - 1)
+      |                    >> (u.b % 4)) & 1 = 1 THEN 1 ELSE -1 END AS s
+      |  FROM sx_h, UNNEST(range(60)) AS u(b)),
+      |sx_sums AS (SELECT doc_id, b, sum(s) AS t FROM sx_bits GROUP BY doc_id, b),
+      |sx_sig AS (
+      |  SELECT doc_id,
+      |         sum(CASE WHEN t > 0 THEN (1::BIGINT << b) ELSE 0::BIGINT END) AS simhash
+      |  FROM sx_sums GROUP BY doc_id),
+      |sx_ch AS (
+      |  SELECT doc_id, simhash, u.c AS chunk_id,
+      |         (simhash >> CAST(u.c * 15 AS INT)) & 32767 AS chunk_val
+      |  FROM sx_sig, UNNEST(range(4)) AS u(c)),
+      |sx_hot AS (
+      |  SELECT chunk_id, chunk_val FROM sx_ch
+      |  GROUP BY chunk_id, chunk_val HAVING count(*) > 200),
+      |sx_c2 AS (
+      |  SELECT doc_id, simhash, chunk_id, chunk_val FROM sx_ch
+      |  WHERE NOT EXISTS (SELECT 1 FROM sx_hot
+      |                    WHERE sx_hot.chunk_id = sx_ch.chunk_id
+      |                      AND sx_hot.chunk_val = sx_ch.chunk_val))""".stripMargin
 
   /** Fixture payload for the JSON-shredding family (S3/F13/J4/A8/F12) —
     * single source of truth in the pipeline object; the q14 oracle's
@@ -770,6 +913,42 @@ object SparkEntry {
     "x04p_simhash_prod" -> ((s, d) =>
       NearDup.simhashPairs(docs(s, d), "doc_id", "text", maxHamming = 8,
         maxBucketSize = Some(200), cacheBands = true)),
+    // cross-twin drift gate for the production-hash paths: candidate-
+    // pair counts of the murmur3/xxhash64 bucket structures (the x03p/
+    // x04p defaults) must stay within a small factor of their portable
+    // md5 siblings on the same corpus. x33/x34 gate RECALL — a murmur-
+    // side bucket-skew blowup inflates candidate COUNT (hence cost)
+    // without touching recall, and until this gate it surfaced only in
+    // bench. Both counts are one-row aggregates; the band tolerance
+    // (4× + 50) is wide enough for two independent hash families over
+    // the same cap/shape, tight enough that an order-of-magnitude skew
+    // fails the hash compare. Portable counts are themselves oracle-
+    // recomputed; prod counts can't be (engine hashes) and so appear
+    // only inside the boolean band checks.
+    "x58_prod_twin_drift" -> ((s, d) => {
+      val dd = docs(s, d)
+      val sh = NearDup.shingles(dd, "doc_id", "text", k = wordShingleK)
+        .cache() // feeds both minhash sides (prod + portable signatures)
+      def mhN(portable: Boolean, as: String) =
+        NearDup.minhashCandidatesOver(sh, mhNumHashes, mhBands,
+          maxBucketSize = Some(mhBucketCap), portable = portable)
+          .agg(count(lit(1)).as(as))
+      def sxN(portable: Boolean, as: String) =
+        NearDup.simhashCandidates(dd, "doc_id", "text",
+          maxBucketSize = Some(200), portable = portable)
+          .agg(count(lit(1)).as(as))
+      def inBand(prod: Column, port: Column): Column =
+        prod <= port * 4 + 50 && port <= prod * 4 + 50
+      mhN(portable = true, "n_minhash_port")
+        .crossJoin(mhN(portable = false, "__n_minhash_prod"))
+        .crossJoin(sxN(portable = true, "n_simhash_port"))
+        .crossJoin(sxN(portable = false, "__n_simhash_prod"))
+        .select(col("n_minhash_port"), col("n_simhash_port"),
+          inBand(col("__n_minhash_prod"), col("n_minhash_port"))
+            .as("minhash_band_ok"),
+          inBand(col("__n_simhash_prod"), col("n_simhash_port"))
+            .as("simhash_band_ok"))
+    }),
     // character-5-gram Jaccard pairs: the tokenization-robust dedup
     // variant (word shingles miss dups with whitespace/punctuation
     // damage; char grams don't). The df-cap is NOT optional here: common
@@ -1087,6 +1266,22 @@ object SparkEntry {
         math.ceil(math.sqrt(nlist.toDouble)).toLong).toInt
       Similarity.semDedupIntHier(emb, "doc_id", "embedding",
         nlist = nlist, ncoarse = ncoarse, threshold = semDedupThreshold)
+    }),
+    // AUTO-shaped semantic dedup — the default entry point: flat below
+    // the targetClusterSize²/2 crossover (where flat's balanced √(2n)
+    // clusters are already smaller than the hierarchical target),
+    // hierarchical at or above it. The shipped sf dirs all land on the
+    // flat branch (≤5k docs); the scale corpora land hierarchical —
+    // the branch rule itself is oracle-replayed (same count predicate
+    // on both sides) and spec-pinned (SemDedupAutoSpec).
+    "x59_semantic_dedup_auto" -> ((s, d) => {
+      val emb = Multimodal.fakeEmbedInt(s,
+        Multimodal.withPayload(docs(s, d), "doc_id", "text"),
+        dim = fakeEmbedDim).toDF().cache()
+      Similarity.semDedupAuto(emb, "doc_id", "embedding",
+        n = docs(s, d).count(),
+        minNlist = ivfIntNlist, targetClusterSize = semHierClusterSize,
+        minCoarse = semHierMinCoarse, threshold = semDedupThreshold)
     }),
 
     // ---- north-star extensions: text analysis ----
@@ -2140,41 +2335,29 @@ object SparkEntry {
     // bit (strpos-decoded nibbles), then the same 15-bit chunk banding,
     // 200-doc hot cap, and Hamming <= 8 verification as the Spark side
     "x04_simhash_pairs" ->
-      """WITH toks AS (
-        |  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'),
-        |                             x -> x <> '') AS t
-        |  FROM documents),
-        |tok AS (SELECT doc_id, u.tok AS tok FROM toks, UNNEST(t) AS u(tok)),
-        |h AS (SELECT doc_id, substr(md5(tok), 1, 15) AS hx FROM tok),
-        |bits AS (
-        |  SELECT doc_id, u.b AS b,
-        |         CASE WHEN ((strpos('0123456789abcdef',
-        |                            substr(hx, CAST(15 - u.b // 4 AS INT), 1)) - 1)
-        |                    >> (u.b % 4)) & 1 = 1 THEN 1 ELSE -1 END AS s
-        |  FROM h, UNNEST(range(60)) AS u(b)),
-        |sums AS (SELECT doc_id, b, sum(s) AS t FROM bits GROUP BY doc_id, b),
-        |sig AS (
-        |  SELECT doc_id,
-        |         sum(CASE WHEN t > 0 THEN (1::BIGINT << b) ELSE 0::BIGINT END) AS simhash
-        |  FROM sums GROUP BY doc_id),
-        |ch AS (
-        |  SELECT doc_id, simhash, u.c AS chunk_id,
-        |         (simhash >> CAST(u.c * 15 AS INT)) & 32767 AS chunk_val
-        |  FROM sig, UNNEST(range(4)) AS u(c)),
-        |hot AS (
-        |  SELECT chunk_id, chunk_val FROM ch
-        |  GROUP BY chunk_id, chunk_val HAVING count(*) > 200),
-        |c2 AS (
-        |  SELECT doc_id, simhash, chunk_id, chunk_val FROM ch
-        |  WHERE NOT EXISTS (SELECT 1 FROM hot
-        |                    WHERE hot.chunk_id = ch.chunk_id
-        |                      AND hot.chunk_val = ch.chunk_val))
+      s"""WITH $simhashPortableCtes
         |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
         |       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
-        |FROM c2 a JOIN c2 b ON a.chunk_id = b.chunk_id
-        |                   AND a.chunk_val = b.chunk_val
-        |                   AND a.doc_id < b.doc_id
+        |FROM sx_c2 a JOIN sx_c2 b ON a.chunk_id = b.chunk_id
+        |                         AND a.chunk_val = b.chunk_val
+        |                         AND a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 8""".stripMargin,
+    // production-vs-portable bucket-structure drift gate: the portable
+    // candidate counts are cross-engine-checked (the oracle rebuilds
+    // both banded structures), and the in-plan band predicates pin the
+    // engine-hash twins (x03p/x04p murmur3/xxhash64 buckets) to within
+    // a small factor of them — a murmur-side bucket-skew blowup, which
+    // x33/x34's RECALL gates cannot see, fails the hash compare here
+    "x58_prod_twin_drift" ->
+      s"""WITH $minhashPortablePairCtes,
+        |$simhashPortableCtes
+        |SELECT (SELECT count(*) FROM cand) AS n_minhash_port,
+        |       (SELECT count(*) FROM (
+        |          SELECT DISTINCT a.doc_id, b.doc_id
+        |          FROM sx_c2 a JOIN sx_c2 b ON a.chunk_id = b.chunk_id
+        |                                   AND a.chunk_val = b.chunk_val
+        |                                   AND a.doc_id < b.doc_id)) AS n_simhash_port,
+        |       TRUE AS minhash_band_ok, TRUE AS simhash_band_ok""".stripMargin,
     "x27_ann_recall" ->
       s"""SELECT count(*) AS n_queries, TRUE AS mean_recall_ok
          |FROM embeddings
@@ -2211,83 +2394,23 @@ object SparkEntry {
     // the within-cluster epsilon-ball drop rule — a doc is dropped iff
     // a lower-id cluster-mate reaches the cosine threshold (round-6dp,
     // the proven cross-engine float-compare idiom)
-    "x53_semantic_dedup" ->
-      s"""WITH ${ivfIntAssignCtes(
-             s"(SELECT greatest($ivfIntNlist, CAST(ceil(sqrt(count(*) / 2.0)) AS BIGINT)) FROM documents)")},
-        |drops AS (
-        |  SELECT DISTINCT a.doc_id
-        |  FROM a2 a JOIN a2 b ON a.cid = b.cid AND b.doc_id < a.doc_id
-        |  WHERE round(${intCosSql("a.v", "b.v")}, 6) >= $semDedupThreshold)
-        |SELECT a2.doc_id, a2.cid, (d.doc_id IS NULL) AS kept
-        |FROM a2 LEFT JOIN drops d ON d.doc_id = a2.doc_id""".stripMargin,
+    "x53_semantic_dedup" -> semDedupFlatOracleSql,
     // hierarchical replay: Knuth seeds at BOTH levels, fine→coarse and
     // vector→coarse argmax, cell-restricted fine assignment before and
     // after the floor-mean Lloyd pass (refined centroids inherit their
     // seed's cell; a1-empty cids drop out of c1 on both engines), then
     // the same epsilon-ball drop rule. Shape bounds = the catalog's
     // exact IEEE ceil/sqrt sequences as scalar subqueries.
-    "x56_semantic_dedup_hier" -> {
-      val nlistSql =
-        s"(SELECT greatest($ivfIntNlist, CAST(ceil(count(*) / $semHierClusterSize.0) AS BIGINT)) FROM documents)"
-      val ncSql =
-        s"(SELECT greatest($semHierMinCoarse, CAST(ceil(sqrt(CAST(greatest($ivfIntNlist, CAST(ceil(count(*) / $semHierClusterSize.0) AS BIGINT)) AS DOUBLE))) AS BIGINT)) FROM documents)"
-      s"""WITH $intEmbedVecCtes,
-        |fs AS (
-        |  SELECT cid, fvec FROM (
-        |    SELECT doc_id AS cid, v AS fvec,
-        |           row_number() OVER (
-        |             ORDER BY ((doc_id % 1000000007) * 2654435761) % 1000003 ASC,
-        |                      doc_id ASC) AS rn
-        |    FROM vec) t WHERE rn <= $nlistSql),
-        |cs AS (
-        |  SELECT ccid, cvec FROM (
-        |    SELECT doc_id AS ccid, v AS cvec,
-        |           row_number() OVER (
-        |             ORDER BY ((doc_id % 1000000007) * 2654435761) % 1000003 ASC,
-        |                      doc_id ASC) AS rn
-        |    FROM vec) t WHERE rn <= $ncSql),
-        |fcs AS (
-        |  SELECT cid, fvec, ccid FROM (
-        |    SELECT fs.cid, fs.fvec, cs.ccid,
-        |           row_number() OVER (PARTITION BY fs.cid
-        |             ORDER BY ${intCosSql("fs.fvec", "cs.cvec")} DESC, cs.ccid ASC) AS rn
-        |    FROM fs, cs) t WHERE rn = 1),
-        |live AS (SELECT DISTINCT ccid FROM fcs),
-        |csl AS (SELECT cs.ccid, cs.cvec FROM cs JOIN live USING (ccid)),
-        |vcell AS (
-        |  SELECT doc_id, v, ccid FROM (
-        |    SELECT vec.doc_id, vec.v, csl.ccid,
-        |           row_number() OVER (PARTITION BY vec.doc_id
-        |             ORDER BY ${intCosSql("vec.v", "csl.cvec")} DESC, csl.ccid ASC) AS rn
-        |    FROM vec, csl) t WHERE rn = 1),
-        |a1 AS (
-        |  SELECT doc_id, v, cid FROM (
-        |    SELECT vcell.doc_id, vcell.v, fcs.cid,
-        |           row_number() OVER (PARTITION BY vcell.doc_id
-        |             ORDER BY ${intCosSql("vcell.v", "fcs.fvec")} DESC, fcs.cid ASC) AS rn
-        |    FROM vcell JOIN fcs ON fcs.ccid = vcell.ccid) t WHERE rn = 1),
-        |c1p AS (
-        |  SELECT cid, u.j AS pos, sum(v[CAST(u.j + 1 AS INT)]) AS sv,
-        |         count(*) AS cnt
-        |  FROM a1, UNNEST(range($fakeEmbedDim)) AS u(j)
-        |  GROUP BY 1, 2),
-        |c1 AS (SELECT cid, list(sv // cnt ORDER BY pos) AS fvec
-        |       FROM c1p GROUP BY cid),
-        |c1c AS (SELECT c1.cid, c1.fvec, fcs.ccid
-        |        FROM c1 JOIN fcs ON fcs.cid = c1.cid),
-        |a2 AS (
-        |  SELECT doc_id, v, cid FROM (
-        |    SELECT vcell.doc_id, vcell.v, c1c.cid,
-        |           row_number() OVER (PARTITION BY vcell.doc_id
-        |             ORDER BY ${intCosSql("vcell.v", "c1c.fvec")} DESC, c1c.cid ASC) AS rn
-        |    FROM vcell JOIN c1c ON c1c.ccid = vcell.ccid) t WHERE rn = 1),
-        |drops AS (
-        |  SELECT DISTINCT a.doc_id
-        |  FROM a2 a JOIN a2 b ON a.cid = b.cid AND b.doc_id < a.doc_id
-        |  WHERE round(${intCosSql("a.v", "b.v")}, 6) >= $semDedupThreshold)
-        |SELECT a2.doc_id, a2.cid, (d.doc_id IS NULL) AS kept
-        |FROM a2 LEFT JOIN drops d ON d.doc_id = a2.doc_id""".stripMargin
-    },
+    "x56_semantic_dedup_hier" -> semDedupHierOracleSql,
+    // auto-shape replay: the SAME two chains, each behind the count
+    // crossover predicate — exactly one branch emits rows, mirroring
+    // Similarity.semDedupAuto's branch rule
+    "x59_semantic_dedup_auto" ->
+      s"""SELECT doc_id, cid, kept FROM ($semDedupFlatOracleSql) f
+        |WHERE (SELECT count(*) FROM documents) < $semDedupCrossoverDocs
+        |UNION ALL
+        |SELECT doc_id, cid, kept FROM ($semDedupHierOracleSql) h
+        |WHERE (SELECT count(*) FROM documents) >= $semDedupCrossoverDocs""".stripMargin,
     "x35_lsh_ann_recall" ->
       s"""SELECT count(*) AS n_queries, TRUE AS recall_ok
          |FROM embeddings

@@ -230,12 +230,18 @@ object NearDup {
     * caller (e.g. the x33 recall gate) share ONE shingle frame between
     * the exact-Jaccard baseline and the banded scale path.
     */
-  def minhashLshPairsOver(sh: DataFrame, numHashes: Int = 16, bands: Int = 4,
-                          threshold: Double = 0.5,
-                          maxBucketSize: Option[Int] = None,
-                          cacheBands: Boolean = false,
-                          probePred: Option[Column] = None,
-                          portable: Boolean = false): DataFrame = {
+  /** Just the banded CANDIDATE pairs (doc_a, doc_b) of the MinHash+LSH
+    * path — the pair set the bucket structure produces BEFORE exact-
+    * Jaccard verification. Public so the x58 drift gate can compare the
+    * production-hash and portable bucket structures by candidate mass
+    * (bucket skew inflates THIS count long before it changes verified
+    * recall).
+    */
+  def minhashCandidatesOver(sh: DataFrame, numHashes: Int = 16, bands: Int = 4,
+                            maxBucketSize: Option[Int] = None,
+                            cacheBands: Boolean = false,
+                            probePred: Option[Column] = None,
+                            portable: Boolean = false): DataFrame = {
     val rows = numHashes / bands
     val sig = minhashSignatures(sh, numHashes, portable = portable)
     // (band_id, band_hash) inverted index: ONE equi-join on the composite
@@ -267,11 +273,25 @@ object NearDup {
     // cannot change which SAMPLED pairs band together — banding is a
     // per-doc function — so gate recall over the sample is exact
     val probeSide = probePred.map(banded.filter).getOrElse(banded)
-    val candidates = probeSide.as("a").join(banded.as("b"),
+    probeSide.as("a").join(banded.as("b"),
         col("a.band_id") === col("b.band_id") &&
           col("a.band_hash") === col("b.band_hash") && col("a.id") < col("b.id"))
       .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
       .distinct()
+  }
+
+  /** MinHash+LSH over a prebuilt (id, shingle) inverted index — lets a
+    * caller (e.g. the x33 recall gate) share ONE shingle frame between
+    * the exact-Jaccard baseline and the banded scale path.
+    */
+  def minhashLshPairsOver(sh: DataFrame, numHashes: Int = 16, bands: Int = 4,
+                          threshold: Double = 0.5,
+                          maxBucketSize: Option[Int] = None,
+                          cacheBands: Boolean = false,
+                          probePred: Option[Column] = None,
+                          portable: Boolean = false): DataFrame = {
+    val candidates = minhashCandidatesOver(sh, numHashes, bands,
+      maxBucketSize, cacheBands, probePred, portable)
     // Verify candidates with exact Jaccard — via per-doc shingle SETS and
     // array_intersect, not a re-join on the shingle inverted index: each
     // candidate row carries two bounded arrays (doc-length-bounded), so
@@ -384,16 +404,13 @@ object NearDup {
   }
 
 
-  /** SimHash near-dup pairs within `maxHamming`, candidate-bounded by
-    * 16-bit chunk banding (any pair with Hamming ≤ 3 shares a chunk;
-    * larger maxHamming keeps the guarantee weaker but the work bounded).
+  /** The (id, simhash, chunk_id, chunk_val) chunk-banded inverted index
+    * both simhash consumers join on — hot-cap applied.
     */
-  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-                   maxHamming: Int = 6,
-                   maxBucketSize: Option[Int] = None,
-                   cacheBands: Boolean = false,
-                   probePred: Option[Column] = None,
-                   portable: Boolean = false): DataFrame = {
+  private def simhashBanded(df: DataFrame, idCol: String, textCol: String,
+                            maxBucketSize: Option[Int],
+                            cacheBands: Boolean,
+                            portable: Boolean): DataFrame = {
     val sig = simhash(df, idCol, textCol, portable = portable)
     // (chunk_id, chunk_value) inverted index → single equi-join, as in
     // the MinHash banding; optional hot-bucket cap for low-entropy data.
@@ -409,7 +426,7 @@ object NearDup {
         shiftright(col("simhash"), c * chunkBits).bitwiseAND(lit(chunkMask))): _*))
         .as(Seq("chunk_id", "chunk_val")))
     val bandedAll = if (cacheBands) bandedRaw.cache() else bandedRaw
-    val banded = maxBucketSize match {
+    maxBucketSize match {
       case None => bandedAll
       case Some(cap) =>
         val hot = bandedAll.groupBy("chunk_id", "chunk_val")
@@ -417,6 +434,20 @@ object NearDup {
           .select("chunk_id", "chunk_val")
         bandedAll.join(hot, Seq("chunk_id", "chunk_val"), "left_anti")
     }
+  }
+
+  /** SimHash near-dup pairs within `maxHamming`, candidate-bounded by
+    * 16-bit chunk banding (any pair with Hamming ≤ 3 shares a chunk;
+    * larger maxHamming keeps the guarantee weaker but the work bounded).
+    */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+                   maxHamming: Int = 6,
+                   maxBucketSize: Option[Int] = None,
+                   cacheBands: Boolean = false,
+                   probePred: Option[Column] = None,
+                   portable: Boolean = false): DataFrame = {
+    val banded = simhashBanded(df, idCol, textCol, maxBucketSize,
+      cacheBands, portable)
     // same probe-side sampling contract as minhashLshPairsOver
     val probeSide = probePred.map(banded.filter).getOrElse(banded)
     probeSide.as("a").join(banded.as("b"),
@@ -427,6 +458,22 @@ object NearDup {
       .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"),
         bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
       .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
+  /** Chunk-banded CANDIDATE pairs of the SimHash path, before the
+    * Hamming filter — the simhash analogue of [[minhashCandidatesOver]]
+    * for the x58 production-vs-portable bucket-structure drift gate.
+    */
+  def simhashCandidates(df: DataFrame, idCol: String, textCol: String,
+                        maxBucketSize: Option[Int] = None,
+                        portable: Boolean = false): DataFrame = {
+    val banded = simhashBanded(df, idCol, textCol, maxBucketSize,
+      cacheBands = false, portable = portable)
+    banded.as("a").join(banded.as("b"),
+        col("a.chunk_id") === col("b.chunk_id") &&
+          col("a.chunk_val") === col("b.chunk_val") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
       .distinct()
   }
 }

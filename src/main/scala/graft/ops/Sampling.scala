@@ -20,10 +20,15 @@ import org.apache.spark.sql.functions._
 object Sampling {
 
   /** Spread an integral key uniformly over [0, buckets): inner mod keeps
-    * the multiply inside Long range under ANSI overflow checks.
+    * the multiply inside Long range under ANSI overflow checks. Spelled
+    * with sign-preserving `%` (not `pmod`) so every engine that replays
+    * the arithmetic — the DuckDB oracles interpolate these exact
+    * constants — agrees on ALL inputs, negative keys included; the
+    * whole Knuth-spread family (Similarity.knuthSpread,
+    * Sharding.spreadKey) uses the same spelling.
     */
   def hashBucket(key: Column, buckets: Int = 100): Column =
-    pmod(pmod(key, lit(1000000007L)) * lit(2654435761L), lit(buckets))
+    key % lit(1000000007L) * lit(2654435761L) % lit(buckets.toLong)
 
   /** Keep each row of stratum `s` with probability `rates(s)/buckets`
     * (strata absent from the map use `defaultRate`). Rates are integer

@@ -27,10 +27,13 @@ object Sharding {
 
   /** Pseudo-random spread key: exact integer arithmetic, portable
     * across engines. (id % 1000000007) * 2654435761 ≤ ~2.7e18 stays
-    * inside Long, then mod the Mersenne-ish prime 999999937.
+    * inside Long, then mod the Mersenne-ish prime 999999937. Spelled
+    * with sign-preserving `%` like the rest of the Knuth-spread family
+    * (Similarity.knuthSpread, Sampling.hashBucket) so the SQL oracle's
+    * `%` replays it exactly even for negative ids.
     */
   def spreadKey(id: Column): Column =
-    pmod(pmod(id, lit(1000000007L)) * lit(2654435761L), lit(999999937L))
+    id % lit(1000000007L) * lit(2654435761L) % lit(999999937L)
 
   /** One row per input row: (idCol, shard, pos) where `pos` is the
     * 1-based position of the row inside its shard's deterministic
@@ -38,7 +41,7 @@ object Sharding {
     */
   def shuffleShard(df: DataFrame, idCol: String, nShards: Int): DataFrame = {
     val keyed = df.select(col(idCol), spreadKey(col(idCol)).as("__k"))
-      .withColumn("shard", pmod(col("__k"), lit(nShards)).cast("int"))
+      .withColumn("shard", (col("__k") % lit(nShards.toLong)).cast("int"))
     keyed
       .withColumn("pos", row_number().over(
         Window.partitionBy("shard").orderBy(col("__k").asc, col(idCol).asc))

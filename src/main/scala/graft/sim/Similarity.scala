@@ -442,6 +442,43 @@ object Similarity {
       idCol, threshold)
   }
 
+  /** Documents-count crossover between the flat and hierarchical
+    * semantic-dedup spellings: flat's balanced shape (nlist ∝ √(n/2))
+    * gives expected cluster size √(2n), so once √(2n) exceeds the
+    * hierarchical target cluster size the two-level spelling does
+    * strictly less work in BOTH stages (its pair stage is linear at
+    * constant cluster size, its assignment ~n^1.25 vs flat's n^1.5) —
+    * the crossover is n* = targetClusterSize²/2, with no tuning
+    * constant left to the caller.
+    */
+  def semDedupCrossoverDocs(targetClusterSize: Int): Long =
+    targetClusterSize.toLong * targetClusterSize / 2
+
+  /** AUTO-shaped semantic dedup — the paper's scale schedule as the
+    * default, not a doc note: picks [[semDedupInt]] (flat, nlist ∝
+    * √(n/2)) below [[semDedupCrossoverDocs]] and [[semDedupIntHier]]
+    * (constant cluster size, two-level assignment) at or above it,
+    * deriving each branch's shape bounds from the corpus size `n` with
+    * the exact IEEE ceil/sqrt sequences the SQL oracles replay. `n` is
+    * caller-supplied (one metadata-cheap count) so the same count can
+    * also parameterize the caller's oracle twin.
+    */
+  def semDedupAuto(emb: DataFrame, idCol: String, vecCol: String, n: Long,
+                   minNlist: Int = 16, targetClusterSize: Int = 300,
+                   minCoarse: Int = 4,
+                   threshold: Double = 0.995): DataFrame =
+    if (n < semDedupCrossoverDocs(targetClusterSize)) {
+      val nlist = math.max(minNlist.toLong,
+        math.ceil(math.sqrt(n / 2.0)).toLong).toInt
+      semDedupInt(emb, idCol, vecCol, nlist, threshold)
+    } else {
+      val nlist = math.max(minNlist.toLong,
+        math.ceil(n / targetClusterSize.toDouble).toLong).toInt
+      val ncoarse = math.max(minCoarse.toLong,
+        math.ceil(math.sqrt(nlist.toDouble)).toLong).toInt
+      semDedupIntHier(emb, idCol, vecCol, nlist, ncoarse, threshold)
+    }
+
   /** Embedding near-duplicate pairs: all pairs with cosine ≥ threshold,
     * candidate generation bounded by LSH buckets (a true 100 TB-safe
     * near-dup join: bucket-equi-join, not cross join).
@@ -481,6 +518,13 @@ object Similarity {
     * cross-twin pair set each representative pair stands for — so no
     * information is lost, at candidate cost bounded by the DISTINCT
     * vector count rather than the corpus.
+    *
+    * Group-key parity caveat: the groupBy key is the raw float array,
+    * and Spark normalizes -0.0→0.0 and treats NaN = NaN in grouping
+    * keys where other engines (the x57 DuckDB twin included) need not
+    * — the corpus contract is therefore "no NaN / -0.0 components",
+    * pinned as a fixture invariant (FixtureInvariants, asserted over
+    * shipped AND generated corpora).
     */
   def embeddingNearDupReps(emb: DataFrame, idCol: String, vecCol: String,
                            dim: Int, threshold: Double = 0.9,

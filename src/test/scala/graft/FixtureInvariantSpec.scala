@@ -1,50 +1,52 @@
 package graft
 
-import org.apache.spark.sql.functions._
-
-/** Cross-engine parity invariants the oracle dialect RELIES on but
-  * cannot itself check. x48 (frame dedup) slices UTF-8 BYTES on the
-  * Spark side (binary payload) while its DuckDB twin slices CHARACTERS
-  * (no BLOB md5 in the harness DuckDB) — byte/char arithmetic agrees
-  * only for pure-ASCII text, so a single multi-byte character in a
-  * future fixture would silently desynchronize frame md5s between
-  * engines. Pin the invariant here so it breaks loudly instead.
+/** Pins the oracle-parity corpus invariants (see [[FixtureInvariants]]
+  * for the per-invariant rationale) on the three SHIPPED sf dirs. The
+  * same list is asserted by tools.ScaleGen on every corpus it
+  * generates, so the 10x/100x bench corpora are covered by the same
+  * contract — a fixture or generator change that breaks an invariant
+  * fails loudly here instead of silently desynchronizing a hash
+  * compare.
   */
 class FixtureInvariantSpec extends SparkSpec {
 
-  test("documents fixture is pure ASCII at every shipped sf (x48 contract)") {
-    Seq("sf0.001", "sf0.01", "sf0.1")
-      .map(sf => s"/root/testdata/$sf")
-      .filter(d => new java.io.File(s"$d/documents.parquet").exists)
-      .foreach { d =>
-        val nonAscii = Tables.documents(spark, d)
-          .filter(octet_length(col("text")) =!= length(col("text")))
-          .count()
-        assert(nonAscii == 0,
-          s"$d/documents.parquet holds $nonAscii non-ASCII docs — the " +
-            "x48 oracle's character slicing no longer matches Spark's " +
-            "byte slicing; move the oracle to byte arithmetic first")
-      }
+  private val shipped = Seq("sf0.001", "sf0.01", "sf0.1")
+    .map(sf => s"/root/testdata/$sf")
+    .filter(d => new java.io.File(d).exists)
+
+  test("shipped fixtures satisfy every oracle-parity invariant") {
+    assert(shipped.nonEmpty, "no shipped testdata dirs found")
+    val dirty = shipped.flatMap { d =>
+      FixtureInvariants.violations(spark, d)
+        .filter(_._2 > 0)
+        .map { case (name, n) => s"$d: $name ($n rows)" }
+    }
+    assert(dirty.isEmpty,
+      "fixture invariant violations:\n  " + dirty.mkString("\n  "))
   }
 
-  test("documents fixture has non-empty text at every shipped sf (x17/x20i contract)") {
-    // The x17/x20i oracles build vectors from UNNEST(range(length(text)))
-    // — an empty doc produces NO vec row there, while fakeEmbed(Int)
-    // emits a zero vector for it, so corpus/query membership (and x20i's
-    // Knuth-spread init ordering) would silently diverge on the first
-    // empty document. Pin the corpus property the byte-compare relies on.
-    Seq("sf0.001", "sf0.01", "sf0.1")
-      .map(sf => s"/root/testdata/$sf")
-      .filter(d => new java.io.File(s"$d/documents.parquet").exists)
-      .foreach { d =>
-        val empty = Tables.documents(spark, d)
-          .filter(col("text").isNull || length(col("text")) === 0)
-          .count()
-        assert(empty == 0,
-          s"$d/documents.parquet holds $empty empty/null-text docs — " +
-            "the x17/x20i oracles drop them from the corpus while the " +
-            "Spark side keeps zero vectors; guard both sides explicitly " +
-            "before relying on the hash compare")
-      }
+  test("invariant checker itself detects dirty corpora (no vacuous pass)") {
+    // A checker that silently skipped a table (or a detection expression
+    // that stopped matching) would green-light a dirty corpus — prove
+    // each detector fires on a minimal synthetic violation.
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft_fixinv_").toString
+    spark.range(2).select(col("id").as("doc_id"),
+        when(col("id") === 0, "héllo").otherwise("").as("text"),
+        lit("en").as("lang"), lit("web").as("source"), lit(5L).as("n_chars"))
+      .write.parquet(s"$dir/documents.parquet")
+    spark.range(2).select(col("id").as("vec_id"),
+        when(col("id") === 0,
+          array(lit(Float.NaN), lit(1.0f)))
+          .otherwise(array(lit(-0.0f), lit(1.0f))).as("embedding"),
+        lit(0).as("label"))
+      .write.parquet(s"$dir/embeddings.parquet")
+    val v = FixtureInvariants.violations(spark, dir).toMap
+    assert(v("documents: non-ASCII text (x48 byte/char slicing)") == 1L)
+    assert(v("documents: empty/null text (x17/x20i/x53/x56 UNNEST(range))") == 1L)
+    assert(v("embeddings: NaN or -0.0 component (x57 group-key parity)") == 2L)
+    assert(intercept[IllegalArgumentException](
+      FixtureInvariants.assertClean(spark, dir))
+      .getMessage.contains("oracle-parity"))
   }
 }

@@ -101,6 +101,40 @@ class SemDedupSpec extends SparkSpec {
     }
   }
 
+  test("auto crossover is targetClusterSize²/2 (x59 branch bound)") {
+    // flat's balanced cluster size is √(2n); it reaches the hierarchical
+    // target exactly at n = target²/2 — the shape-derived bound, no
+    // free tuning constant
+    assert(Similarity.semDedupCrossoverDocs(300) == 45000L)
+    assert(Similarity.semDedupCrossoverDocs(20) == 200L)
+    assert(Similarity.semDedupCrossoverDocs(3) == 4L)
+  }
+
+  test("auto picks the FLAT spelling below the crossover — bit-identical to semDedupInt") {
+    // n=7 < 300²/2: flat branch with nlist = max(min, ceil(√(n/2))) = 4
+    val auto = Similarity.semDedupAuto(emb, "doc_id", "embedding", n = 7L,
+        minNlist = 4, targetClusterSize = 300, minCoarse = 2,
+        threshold = 0.999)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    val flat = Similarity.semDedupInt(emb, "doc_id", "embedding",
+        nlist = 4, threshold = 0.999)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    assert(auto == flat)
+  }
+
+  test("auto picks the HIERARCHICAL spelling at/above the crossover — bit-identical to semDedupIntHier") {
+    // targetClusterSize=3 → crossover 4 ≤ n=7: hierarchical branch with
+    // nlist = max(4, ceil(7/3)) = 4, ncoarse = max(2, ceil(√4)) = 2
+    val auto = Similarity.semDedupAuto(emb, "doc_id", "embedding", n = 7L,
+        minNlist = 4, targetClusterSize = 3, minCoarse = 2,
+        threshold = 0.999)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    val hier = Similarity.semDedupIntHier(emb, "doc_id", "embedding",
+        nlist = 4, ncoarse = 2, threshold = 0.999)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    assert(auto == hier)
+  }
+
   test("threshold=1.0-ish ball never drops a doc with no duplicate") {
     val singles = Seq(
       (5L, Seq(13L, 1L, 0L, 0L)), (6L, Seq(1L, 13L, 0L, 0L)),

@@ -1,10 +1,15 @@
-package graft.tmpprobe
+package graft.tools
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Scale-bench corpus generator (kept in-tree since round 6 so the
-  * PLANS.md 10x/100x tables are reconstructible from committed code).
+/** Scale-bench corpus generator (in-tree since round 6 so the
+  * PLANS.md 10x/100x tables are reconstructible from committed code;
+  * TEST scope since round 8 so `src/main` holds only engine code).
+  * Every generated corpus is checked against the oracle-parity
+  * fixture invariants ([[graft.FixtureInvariants]]) before the run
+  * reports success — the scale corpora feed the 10x/100x bench
+  * verifies, which rely on the same invariants as the shipped sf dirs.
   * Regenerates the synthetic scaled corpora of PLANS.md rounds 3-6 at
   * any factor:
   *
@@ -19,7 +24,7 @@ import org.apache.spark.sql.functions._
   *  - embeddings: id-shifted copies
   *  - facts (10x only): every key +copy*10^8, FK-consistent per copy
   *
-  * usage: runMain graft.tmpprobe.ScaleGen <srcDir> <outDir> <factor> <model> [facts]
+  * usage: Test/runMain graft.tools.ScaleGen <srcDir> <outDir> <factor> <model> [facts]
   */
 object ScaleGen {
   private def perm(seed: Int): String = {
@@ -111,6 +116,7 @@ object ScaleGen {
       shift(evs, Seq("event_id", "user_id"))
         .repartition(8).write.mode("overwrite").parquet(s"$out/events.parquet")
     }
-    println(s"[scalegen] wrote $out factor=$factor model=$model facts=$facts")
+    graft.FixtureInvariants.assertClean(spark, out)
+    println(s"[scalegen] wrote $out factor=$factor model=$model facts=$facts (invariants OK)")
   }
 }
