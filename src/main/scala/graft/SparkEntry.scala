@@ -314,7 +314,8 @@ object SparkEntry {
       |  SELECT cid, cvec FROM (
       |    SELECT doc_id AS cid, v AS cvec,
       |           row_number() OVER (
-      |             ORDER BY ((doc_id % 1000000007) * 2654435761) % 1000003 ASC,
+      |             ORDER BY (((doc_id % 1000000007) * 2654435761) % 1000003
+                       + 1000003) % 1000003 ASC,
       |                      doc_id ASC) AS rn
       |    FROM vec) t
       |  WHERE rn <= $nlistSql),
@@ -372,14 +373,16 @@ object SparkEntry {
       |  SELECT cid, fvec FROM (
       |    SELECT doc_id AS cid, v AS fvec,
       |           row_number() OVER (
-      |             ORDER BY ((doc_id % 1000000007) * 2654435761) % 1000003 ASC,
+      |             ORDER BY (((doc_id % 1000000007) * 2654435761) % 1000003
+                       + 1000003) % 1000003 ASC,
       |                      doc_id ASC) AS rn
       |    FROM vec) t WHERE rn <= $nlistSql),
       |cs AS (
       |  SELECT ccid, cvec FROM (
       |    SELECT doc_id AS ccid, v AS cvec,
       |           row_number() OVER (
-      |             ORDER BY ((doc_id % 1000000007) * 2654435761) % 1000003 ASC,
+      |             ORDER BY (((doc_id % 1000000007) * 2654435761) % 1000003
+                       + 1000003) % 1000003 ASC,
       |                      doc_id ASC) AS rn
       |    FROM vec) t WHERE rn <= $ncSql),
       |fcs AS (
@@ -1854,7 +1857,8 @@ object SparkEntry {
        |  FROM b0, generate_series(0, 15) AS t(g)),
        |nk AS (
        |  SELECT k, (SELECT count(*) FROM pairs
-       |             WHERE ((doc_a % 1000000007) * 2654435761) % k = 0) AS n
+       |             WHERE (((doc_a % 1000000007) * 2654435761) % k
+       |                    + k) % k = 0) AS n
        |  FROM ks),
        |chosen AS (
        |  SELECT coalesce(max(k) FILTER (WHERE n >= 10), 1) AS k FROM nk)
@@ -2605,8 +2609,8 @@ object SparkEntry {
         |k AS (
         |  SELECT t.source, sum(t.n_tokens)::BIGINT AS kept_tokens
         |  FROM t JOIN c ON t.source = c.source CROSS JOIN mt
-        |  WHERE (t.doc_id % 1000000007) * 2654435761 % 100 * c.m
-        |          < mt.m_target * 100
+        |  WHERE ((t.doc_id % 1000000007) * 2654435761 % 100 + 100) % 100
+        |          * c.m < mt.m_target * 100
         |  GROUP BY t.source)
         |SELECT c.source, c.m AS total_tokens,
         |       coalesce(k.kept_tokens, 0) AS kept_tokens
@@ -2685,8 +2689,8 @@ object SparkEntry {
         |k AS (
         |  SELECT d.source, count(*) AS n_kept
         |  FROM documents d JOIN c ON d.source = c.source CROSS JOIN t
-        |  WHERE (d.doc_id % 1000000007) * 2654435761 % 100 * c.n_before
-        |          < t.n_target * 100
+        |  WHERE ((d.doc_id % 1000000007) * 2654435761 % 100 + 100) % 100
+        |          * c.n_before < t.n_target * 100
         |  GROUP BY d.source)
         |SELECT c.source, c.n_before, coalesce(k.n_kept, 0) AS n_kept
         |FROM c LEFT JOIN k USING (source)""".stripMargin,
@@ -2741,7 +2745,8 @@ object SparkEntry {
     "x54_shuffle_shard" ->
       s"""WITH k AS (
         |  SELECT doc_id,
-        |         ((doc_id % 1000000007) * 2654435761) % 999999937 AS k
+        |         (((doc_id % 1000000007) * 2654435761) % 999999937
+        |          + 999999937) % 999999937 AS k
         |  FROM documents)
         |SELECT doc_id, CAST(k % $exportShards AS INT) AS shard,
         |       CAST(row_number() OVER (PARTITION BY k % $exportShards
@@ -2942,7 +2947,8 @@ object SparkEntry {
         |  FROM l WHERE quality_bucket = 'ok' AND pred_lang = 'en')
         |SELECT doc_id, fingerprint, pred_lang FROM d
         |WHERE rn = 1
-        |  AND (doc_id % 1000000007) * 2654435761 % 100 < 50""".stripMargin,
+        |  AND ((doc_id % 1000000007) * 2654435761 % 100 + 100) % 100
+        |        < 50""".stripMargin,
     "x25_sessionize_batch" ->
       """WITH f AS (
         |  SELECT user_id, ts, value,
@@ -3050,7 +3056,7 @@ object SparkEntry {
         |FROM events""".stripMargin,
     "x24_stratified_sample" ->
       """SELECT event_type, count(*) AS n_kept FROM events
-        |WHERE (event_id % 1000000007) * 2654435761 % 100 <
+        |WHERE ((event_id % 1000000007) * 2654435761 % 100 + 100) % 100 <
         |      CASE event_type WHEN 'error' THEN 100 WHEN 'signup' THEN 100
         |                      WHEN 'click' THEN 10 ELSE 5 END
         |GROUP BY event_type""".stripMargin,

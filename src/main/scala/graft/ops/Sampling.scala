@@ -19,16 +19,24 @@ import org.apache.spark.sql.functions._
   */
 object Sampling {
 
-  /** Spread an integral key uniformly over [0, buckets): inner mod keeps
-    * the multiply inside Long range under ANSI overflow checks. Spelled
-    * with sign-preserving `%` (not `pmod`) so every engine that replays
-    * the arithmetic — the DuckDB oracles interpolate these exact
-    * constants — agrees on ALL inputs, negative keys included; the
-    * whole Knuth-spread family (Similarity.knuthSpread,
-    * Sharding.spreadKey) uses the same spelling.
+  /** Spread an integral key uniformly over [0, buckets) — TOTAL over
+    * all Long keys, negatives included. The inner mod keeps the
+    * multiply inside Long range under ANSI overflow checks; the final
+    * mod is spelled as the portable pmod `((x % b) + b) % b` rather
+    * than Spark's `pmod` built-in, so every engine whose `%` is
+    * sign-preserving (Spark, DuckDB, Postgres, …) replays the exact
+    * arithmetic from the interpolated constants and agrees on every
+    * input: `x % b` lands in (-b, b), `+ b` shifts to (0, 2b), the
+    * outer `% b` folds to [0, b). Rate predicates (`hashBucket < r`)
+    * therefore downsample negative-keyed rows at the same rate as
+    * positive ones — a sign-preserving `%` here would silently keep
+    * ALL negative-keyed rows. The whole Knuth-spread family
+    * (Similarity.knuthSpread, Sharding.spreadKey) uses this spelling.
     */
-  def hashBucket(key: Column, buckets: Int = 100): Column =
-    key % lit(1000000007L) * lit(2654435761L) % lit(buckets.toLong)
+  def hashBucket(key: Column, buckets: Int = 100): Column = {
+    val b = lit(buckets.toLong)
+    (key % lit(1000000007L) * lit(2654435761L) % b + b) % b
+  }
 
   /** Keep each row of stratum `s` with probability `rates(s)/buckets`
     * (strata absent from the map use `defaultRate`). Rates are integer

@@ -25,15 +25,19 @@ import org.apache.spark.sql.functions._
   */
 object Sharding {
 
-  /** Pseudo-random spread key: exact integer arithmetic, portable
-    * across engines. (id % 1000000007) * 2654435761 ≤ ~2.7e18 stays
-    * inside Long, then mod the Mersenne-ish prime 999999937. Spelled
-    * with sign-preserving `%` like the rest of the Knuth-spread family
-    * (Similarity.knuthSpread, Sampling.hashBucket) so the SQL oracle's
-    * `%` replays it exactly even for negative ids.
+  /** Pseudo-random spread key in [0, 999999937) — TOTAL over all Long
+    * ids, negatives included. (id % 1000000007) * 2654435761 ≤ ~2.7e18
+    * stays inside Long, then the Mersenne-ish-prime mod is spelled as
+    * the portable pmod `((x % p) + p) % p` (same spelling as
+    * Sampling.hashBucket / Similarity.knuthSpread) so any
+    * sign-preserving-`%` engine replays it exactly AND the key is
+    * non-negative — which keeps the downstream `__k % nShards` shard
+    * assignment inside the [0, nShards) contract for every id.
     */
-  def spreadKey(id: Column): Column =
-    id % lit(1000000007L) * lit(2654435761L) % lit(999999937L)
+  def spreadKey(id: Column): Column = {
+    val p = lit(999999937L)
+    (id % lit(1000000007L) * lit(2654435761L) % p + p) % p
+  }
 
   /** One row per input row: (idCol, shard, pos) where `pos` is the
     * 1-based position of the row inside its shard's deterministic

@@ -240,9 +240,12 @@ object Similarity {
     * with — ONE definition for ivfIntModel and semDedupIntHier (the
     * oracles interpolate the same constants; a typo in a hand-rolled
     * copy would surface as a hash mismatch, not a compile error).
+    * Portable-pmod spelled like the rest of the family
+    * (Sampling.hashBucket, Sharding.spreadKey) so the seed ORDER is
+    * total over negative ids too.
     */
   private def knuthSpread(id: Column): Column =
-    id % 1000000007L * 2654435761L % 1000003L
+    (id % 1000000007L * 2654435761L % 1000003L + 1000003L) % 1000003L
 
   /** Integer FLOOR-mean Lloyd update shared by [[ivfIntModel]] and
     * [[semDedupIntHier]]: element-wise integer sum, then floor
