@@ -78,12 +78,41 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    println(line)
-    // also land the line in a file: sbt wraps stdout in [info] noise that
-    // breaks the driver's JSON parse. FULL runs only — an arg-filtered
-    // dev run must not overwrite the file with a partial-suite total
+    // land the FULL-precision line in a file: sbt wraps stdout in [info]
+    // noise that breaks the driver's JSON parse. FULL runs only — an
+    // arg-filtered dev run must not overwrite the file with a
+    // partial-suite total
     if (args.isEmpty)
       java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH.json"), line + "\n")
+    // The driver captures only the LAST ~2000 chars of stdout (observed:
+    // BENCH_r{7,8}.json carry a 2000-char "tail" whose parse failed
+    // because the full 109-query line is ~4KB and its head was cut off).
+    // So the printed line must fit the capture window together with
+    // sbt's trailing "[success] Total time..." line (~80 chars). Print
+    // the slowest queries first (they carry the grading signal) and stop
+    // before a conservative budget; the remainder is summed so value ==
+    // sum(queries) + other_sec always holds, and n_queries records the
+    // true catalog size. BENCH.json above keeps every query at full
+    // precision.
+    val budget = 1700
+    def fmt(v: Double): String = BigDecimal(v)
+      .setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    val bySlow = results.sortBy(-_._2)
+    val head = new StringBuilder(
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":{""")
+    var included = 0
+    var full = false
+    bySlow.foreach { case (k, v) =>
+      val entry = (if (included > 0) "," else "") + "\"" + k + "\":" + fmt(v)
+      // stop at the FIRST entry that misses the budget, so the included
+      // set is exactly the slowest prefix and the drop below is sound
+      if (!full && head.length + entry.length < budget) {
+        head ++= entry; included += 1
+      } else full = true
+    }
+    val otherSec = bySlow.drop(included).map(_._2).filter(_ >= 0).sum
+    head ++= s"""},"other_sec":${fmt(otherSec)},"n_queries":${results.size},"sf":"$sfDir"}"""
+    println(head.toString)
     spark.stop()
   }
 }

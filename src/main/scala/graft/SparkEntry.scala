@@ -96,6 +96,13 @@ object SparkEntry {
     * disk (not one per rep), and a frame held across reps fails LOUDLY
     * on read (missing files) instead of silently serving the newer
     * rep's rows, as an overwrite-in-place of a fixed path would.
+    *
+    * Epochs are keyed by view name PROCESS-wide, so the retire step
+    * assumes drains for a given view are SEQUENTIAL (the bench/verify
+    * reality: one catalog invocation at a time). Two concurrent drains
+    * of the same view could retire an epoch the other is still
+    * writing/reading; a concurrent caller must key by (session, view)
+    * — e.g. pass a session-suffixed view name — to get disjoint epochs.
     */
   private val drainEpochs =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
@@ -1364,8 +1371,17 @@ object SparkEntry {
       // for one arrived batch of files
       val landing = sinkScratch("x51_landing")
       linkIntoLanding(landing, java.nio.file.Paths.get(d, "events.parquet"))
+      // ts arrives either as a raw nanos long (legacy TIMESTAMP(NANOS)
+      // layout, surfaced by the nanosAsLong conf above) or as
+      // TIMESTAMP(MICROS) NTZ (current testdata) — normalize both to
+      // TimestampType, mirroring Tables.eventsRaw for the batch side
+      val tsNorm = raw("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          expr("timestamp_micros(ts div 1000)")
+        case _ => col("ts").cast("timestamp")
+      }
       val src = ss.readStream.schema(raw).parquet(landing)
-        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        .withColumn("ts", tsNorm)
         .filter(col("ts").isNotNull && col("value").isNotNull)
         .select(col("user_id"), col("ts"),
           round(col("value") * 100, 0).as("value"))

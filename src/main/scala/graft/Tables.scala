@@ -10,8 +10,26 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * cost and `PushedFilters`/`ReadSchema` must reach the file source.
   */
 object Tables {
+  /** The testdata writer marks its TIMESTAMP(MICROS) columns as
+    * NOT-UTC-adjusted, which Spark 4 infers as TIMESTAMP_NTZ
+    * (`spark.sql.parquet.inferTimestampNTZ.enabled` defaults true).
+    * The engine's temporal semantics — and the DuckDB oracle, whose
+    * TIMESTAMP is naive and compared under a UTC session — are defined
+    * on TimestampType, so normalize here at the single load point
+    * rather than depending on a session conf every caller would have
+    * to remember. Under the UTC session tz the cast is a no-op on the
+    * underlying micros and stays inside the vectorized scan + codegen.
+    */
+  private def normalizeNtz(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
+    df.schema.fields.filter(_.dataType == TimestampNTZType).foldLeft(df) {
+      (d, f) => d.withColumn(f.name,
+        org.apache.spark.sql.functions.col(f.name).cast(TimestampType))
+    }
+  }
+
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+    normalizeNtz(spark.read.parquet(s"$sfDir/$name.parquet"))
 
   /** `events.ts` is written as parquet TIMESTAMP(NANOS), which Spark's
     * reader rejects by default. Read it as a raw long (legacy conf) and
@@ -33,7 +51,7 @@ object Tables {
       }
     if (df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
       df.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
-    else df
+    else normalizeNtz(df)
   }
 
   def region(s: SparkSession, d: String): DataFrame    = table(s, d, "region")

@@ -34,6 +34,28 @@ object Sources {
       .schema(allStringSchema(cols))
       .csv(path)
 
+  /** S1: fetch a CSV from a URL at the ingest edge, then bulk-load it
+    * with the all-TEXT raw-layer semantics of [[rawCsv]]. The reference
+    * does `requests.get(url)` on the driver and COPYs the body in
+    * (`HW-3/airflow/dags/iot_temperature.py:16-36`); the Spark-first
+    * equivalent keeps that split: the fetch is a single bounded stream
+    * on the driver (an ingest edge has no distributed half — the remote
+    * server is one endpoint), spilled to `stagingDir` so the LOAD is a
+    * splittable, restartable file scan rather than an in-memory parse.
+    * Any `java.net.URI` scheme the JVM can open works — `https://` in
+    * production, `file://` in the offline test sandbox.
+    */
+  def fetchCsv(spark: SparkSession, url: String, cols: Seq[String],
+               stagingDir: java.nio.file.Path): DataFrame = {
+    import java.nio.file.{Files, StandardCopyOption}
+    Files.createDirectories(stagingDir)
+    val staged = stagingDir.resolve("fetched.csv")
+    val in = new java.net.URI(url).toURL.openStream()
+    try Files.copy(in, staged, StandardCopyOption.REPLACE_EXISTING)
+    finally in.close()
+    rawCsv(spark, staged.toString, cols)
+  }
+
   /** S2 over an in-memory line Dataset — same all-TEXT parse semantics
     * without a filesystem staging step (headerless: a distributed line
     * set has no stable first row). Lets the CSV capability run under

@@ -29,6 +29,26 @@ class SourcesSpec extends SparkSpec {
     assert(typed(1).isNullAt(1) && !typed(1).getBoolean(2))
   }
 
+  test("fetchCsv stages a URL body then bulk-loads it all-TEXT (S1, file:// stands in for https://)") {
+    val dir = tmp()
+    val remote = java.nio.file.Paths.get(s"$dir/served.csv")
+    Files.writeString(remote,
+      "id,noted_date,temp,out_in\n1,05-03-2024 10:20:30,29.1,Out\n2,05-03-2024 10:21,21.5,In\n")
+    val staging = java.nio.file.Paths.get(s"$dir/staging")
+    // the sandbox is offline, so the URL scheme under test is file:// —
+    // the fetch path (URI → stream → staged file → splittable scan) is
+    // identical for https://, only the JVM URLConnection differs
+    val raw = Sources.fetchCsv(spark, remote.toUri.toString,
+      Seq("id", "noted_date", "temp", "out_in"), staging)
+    assert(raw.schema.fields.forall(_.dataType.typeName == "string"))
+    assert(raw.count() == 2)
+    assert(Files.exists(staging.resolve("fetched.csv")),
+      "fetch must stage to disk so the load is a restartable file scan")
+    // re-fetch overwrites the staged copy idempotently
+    assert(Sources.fetchCsv(spark, remote.toUri.toString,
+      Seq("id", "noted_date", "temp", "out_in"), staging).count() == 2)
+  }
+
   test("JSON-lines document source with declared nested schema + null-safe struct unwrap") {
     val dir = tmp()
     Files.writeString(java.nio.file.Paths.get(s"$dir/events.jsonl"),
