@@ -6,7 +6,7 @@ import graft.ops._
 import graft.pipelines.{Curation, Ecommerce, Iot, PetsNutrition}
 import graft.sources.{Fixtures, Sources}
 import graft.text.{Pii, TextAnalysis}
-import graft.neardup.{Decontaminate, NearDup}
+import graft.neardup.{Decontaminate, NearDup, ParaDedup}
 import graft.sim.Similarity
 import graft.multimodal.Multimodal
 
@@ -290,6 +290,8 @@ object SparkEntry {
   private val semHierMinCoarse   = 4    // x56 coarse-cell floor
   private val exportShards = 8 // x54 shuffle-shard export shard count
   private val domainCapK = 10  // x55 max docs kept per source domain
+  private val paraChunkTokens = 12 // x60 derived-paragraph width (tokens)
+  private val dupGramK = 8 // x61 duplicated-n-gram width (= decontamination's)
 
   /** The exact-integer IVF model as DuckDB CTEs (`b acc vec c0 s1 a1
     * c1p c1 s2 a2`): byte-sum embeds, Knuth-spread init, one integer
@@ -446,15 +448,15 @@ object SparkEntry {
     * Jaccard/MinHash oracles share; width and minimum length come from
     * [[wordShingleK]].
     */
-  private def wordShingleCtes(out: String): String =
+  private def wordShingleCtes(out: String, k: Int = wordShingleK): String =
     s"""toks AS (
       |  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\\s+'),
       |                             x -> x <> '') AS t
       |  FROM documents),
       |$out AS (
-      |  SELECT DISTINCT doc_id, array_to_string(t[i:i+${wordShingleK - 1}], ' ') AS shingle
-      |  FROM toks, UNNEST(range(1, len(t) - ${wordShingleK - 2})) AS u(i)
-      |  WHERE len(t) >= $wordShingleK)""".stripMargin
+      |  SELECT DISTINCT doc_id, array_to_string(t[i:i+${k - 1}], ' ') AS shingle
+      |  FROM toks, UNNEST(range(1, len(t) - ${k - 2})) AS u(i)
+      |  WHERE len(t) >= $k)""".stripMargin
 
   /** DF-CAPPED word-shingle inverted index as DuckDB CTEs (`toks sh0
     * hotw sh`): `sh` is the filtered index. Downstream sizes/pair joins
@@ -1293,6 +1295,32 @@ object SparkEntry {
         minNlist = ivfIntNlist, targetClusterSize = semHierClusterSize,
         minCoarse = semHierMinCoarse, threshold = semDedupThreshold)
     }),
+    // paragraph-level keep-first dedup (CCNet-style boilerplate
+    // removal). The fixture corpus is single-line, so the entry first
+    // derives deterministic paragraph structure — tokens chunked
+    // [paraChunkTokens] at a time, joined by '\n' — then runs the real
+    // split→winner-agg→rebuild operator on it; exact-dup and shared-
+    // prefix near-dup docs yield genuine cross-doc duplicate paragraphs
+    "x60_paragraph_dedup" -> ((s, d) => {
+      val toks = TextAnalysis.tokens(col("text"))
+      val structured = docs(s, d).select(col("doc_id"),
+        when(size(toks) < 1, lit(""))
+          .otherwise(concat_ws("\n",
+            transform(
+              sequence(lit(0),
+                floor((size(toks) - 1) / lit(paraChunkTokens.toDouble))
+                  .cast("int")),
+              i => concat_ws(" ",
+                slice(toks, i * paraChunkTokens + 1, lit(paraChunkTokens))))))
+          .as("text"))
+      ParaDedup.dedupParagraphs(structured, "doc_id", "text")
+    }),
+    // duplicated-n-gram profile (the exact-substring-dedup cut signal,
+    // Lee et al. 2022): per doc, distinct word 8-grams shared verbatim
+    // with ANY other doc + the fraction — same gram width as x36's
+    // decontamination so the two signals compose
+    "x61_dupgram_profile" -> ((s, d) =>
+      NearDup.dupGramProfile(docs(s, d), "doc_id", "text", k = dupGramK)),
 
     // ---- north-star extensions: text analysis ----
     "x08_langid" -> ((s, d) => TextAnalysis.langId(docs(s, d), "doc_id", "text")),
@@ -2431,6 +2459,49 @@ object SparkEntry {
         |UNION ALL
         |SELECT doc_id, cid, kept FROM ($semDedupHierOracleSql) h
         |WHERE (SELECT count(*) FROM documents) >= $semDedupCrossoverDocs""".stripMargin,
+    // paragraph dedup replay: the same token-chunk paragraph derivation
+    // (chunk width interpolated from paraChunkTokens — DuckDB slices are
+    // inclusive, range() is exclusive), keep-first by (doc_id, pos) via
+    // a window (equivalent to the engine's min-struct winners: (doc_id,
+    // pos) is unique), ordered string_agg rebuild, LEFT JOIN totality
+    "x60_paragraph_dedup" ->
+      s"""WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+        |                             x -> x <> '') AS t
+        |  FROM documents),
+        |paras AS (
+        |  SELECT doc_id, i AS pos,
+        |         array_to_string(t[i*$paraChunkTokens+1 : i*$paraChunkTokens+$paraChunkTokens], ' ') AS para
+        |  FROM toks, UNNEST(range(0, (len(t)+${paraChunkTokens - 1})//$paraChunkTokens)) AS u(i)),
+        |ne AS (
+        |  SELECT doc_id, pos, para, md5(para) AS pkey
+        |  FROM paras WHERE trim(para) <> ''),
+        |fl AS (
+        |  SELECT doc_id, pos, para,
+        |         row_number() OVER (PARTITION BY pkey ORDER BY doc_id, pos) = 1 AS kept
+        |  FROM ne),
+        |ag AS (
+        |  SELECT doc_id, count(*) AS n_para,
+        |         count(*) FILTER (WHERE kept) AS n_kept,
+        |         string_agg(para, chr(10) ORDER BY pos) FILTER (WHERE kept) AS text_dedup
+        |  FROM fl GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(n_para, 0) AS n_para,
+        |       coalesce(n_kept, 0) AS n_kept,
+        |       coalesce(text_dedup, '') AS text_dedup
+        |FROM documents d LEFT JOIN ag USING (doc_id)""".stripMargin,
+    // duplicated-gram replay: x36's shingle dialect at width dupGramK,
+    // gram doc-frequency join, FILTER rollup, LEFT JOIN totality
+    "x61_dupgram_profile" ->
+      s"""WITH ${wordShingleCtes("sh", dupGramK)},
+        |fr AS (SELECT shingle, count(*) AS df FROM sh GROUP BY shingle),
+        |st AS (
+        |  SELECT doc_id, count(*) AS n_grams,
+        |         count(*) FILTER (WHERE df >= 2) AS n_dup
+        |  FROM sh JOIN fr USING (shingle) GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(n_grams, 0) AS n_grams,
+        |       coalesce(n_dup, 0) AS n_dup,
+        |       round(coalesce(n_dup * 1.0 / n_grams, 0), 4) AS dup_frac
+        |FROM documents d LEFT JOIN st USING (doc_id)""".stripMargin,
     "x35_lsh_ann_recall" ->
       s"""SELECT count(*) AS n_queries, TRUE AS recall_ok
          |FROM embeddings

@@ -121,6 +121,42 @@ object NearDup {
     jaccardPairsOver(sh, threshold, maxDocFreq, probePred = probePred)
   }
 
+  /** Per-document duplicated-n-gram profile — the cut signal behind
+    * exact-substring dedup ("Deduplicating Training Data Makes Language
+    * Models Better", Lee et al. 2022: substrings repeated verbatim
+    * across a corpus are memorization fuel). For each doc: how many of
+    * its distinct word k-grams also appear verbatim in at least one
+    * OTHER document (`df >= 2` over the distinct-per-doc inverted
+    * index), plus the fraction — a curation pass drops or trims docs
+    * above a dup_frac threshold. TOTAL over the input: docs shorter
+    * than k tokens report zeros.
+    *
+    * Scale design: three linear exchanges — the gram-frequency
+    * aggregate (map-side combinable), the equi-join back on the gram
+    * key (reuses the aggregate's partitioning; each index row matches
+    * exactly ONE frequency row, so a ubiquitous boilerplate gram is an
+    * AQE-splittable join key, never a fan-out), and the per-doc
+    * rollup. Nothing is quadratic in corpus size and no suffix array
+    * is materialized — this is the bounded, distributable form of the
+    * suffix-array scan.
+    */
+  def dupGramProfile(df: DataFrame, idCol: String, textCol: String,
+                     k: Int = 8): DataFrame = {
+    val sh = shingles(df, idCol, textCol, k)
+    val freq = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+    val stats = sh.join(freq, Seq("shingle"))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_grams"),
+        count(when(col("df") >= 2, 1)).as("n_dup"))
+    df.select(col(idCol).as("doc_id"))
+      .join(stats.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_dup"), lit(0L)).as("n_dup"),
+        round(coalesce(col("n_dup") * lit(1.0) / col("n_grams"), lit(0.0)), 4)
+          .as("dup_frac"))
+  }
+
   /** Cross-engine-portable hashing (the `portable = true` paths).
     *
     * Engine hashes (Spark murmur3/xxhash64) are JVM-internal, so a

@@ -27,7 +27,9 @@ class EmptyCorpusSpec extends SparkSpec {
     "x44_incremental_curation", "x45_token_mix", "x46_corpus_stats",
     "x48_frame_dedup", "x50_quality_classifier", "x53_semantic_dedup",
     "x54_shuffle_shard", "x55_domain_cap", "x56_semantic_dedup_hier",
-    "x57_embed_neardup_reps")
+    "x57_embed_neardup_reps", "x58_prod_twin_drift",
+    "x59_semantic_dedup_auto", "x60_paragraph_dedup",
+    "x61_dupgram_profile")
 
   test("documents/embeddings catalog entries are total on empty tables") {
     val dir = java.nio.file.Files.createTempDirectory("graft_empty_docs_").toString
