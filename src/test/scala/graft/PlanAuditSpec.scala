@@ -215,4 +215,29 @@ class PlanAuditSpec extends SparkSpec {
     assert(!exec.toString.contains("Generate"),
       s"repetition should not explode grams:\n$exec")
   }
+
+  test("x60: paragraph winners are a partial-min aggregate, never a " +
+    "window over the paragraph key") {
+    val exec = planNoAqe("x60_paragraph_dedup")
+    val p = exec.toString
+    // map-side combine for the keep-first rule: a boilerplate paragraph
+    // on millions of pages must partially reduce inside map tasks, not
+    // sort in one window reducer (AQE can split a skewed join key but
+    // not a skewed window partition)
+    assert(p.contains("partial_min"),
+      s"winner selection not partial-agg'd in:\n$p")
+    assert(!p.contains("Window"),
+      s"paragraph-key window would single-reducer a mega-dup para:\n$p")
+  }
+
+  test("x61: gram frequency partial-aggregates and joins 1:1 — no " +
+    "cartesian, no window") {
+    val exec = planNoAqe("x61_dupgram_profile")
+    val p = exec.toString
+    assert(p.contains("partial_count"),
+      s"gram df not map-side combined in:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"dup-gram profile must stay equi-join only:\n$p")
+    assert(!p.contains("Window"), s"no window expected in:\n$p")
+  }
 }
