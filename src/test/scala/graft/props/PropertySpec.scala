@@ -226,4 +226,57 @@ class PropertySpec extends SparkSpec {
       assert(twice == onceRows)
     }
   }
+
+  test("paragraph dedup: kept total = distinct paragraphs; idempotent") {
+    val paraAlphabet = Seq("shared header line", "alpha body", "beta body",
+      "common footer", "gamma text", "delta text")
+    val docGen = Gen.listOfN(8, Gen.chooseNum(0, 4).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf(paraAlphabet))))
+    samples(docGen, 3).foreach { corpus =>
+      val docs = corpus.zipWithIndex
+        .map { case (ps, i) => (i.toLong, ps.mkString("\n")) }
+      val out = graft.neardup.ParaDedup
+        .dedupParagraphs(docs.toDF("doc_id", "text"), "doc_id", "text")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getString(3)))
+      // totality + per-doc sanity
+      assert(out.length == docs.length)
+      val paraCounts = docs.map { case (id, _) => id -> corpus(id.toInt).size }.toMap
+      out.foreach { case (id, nPara, nKept, _) =>
+        assert(nPara == paraCounts(id) && nKept <= nPara, s"doc $id: $nPara/$nKept")
+      }
+      // the survivors across the corpus are EXACTLY the distinct paragraphs
+      val keptParas = out.flatMap(_._4.split("\n").filter(_.nonEmpty))
+      val distinct = corpus.flatten.distinct
+      assert(keptParas.sorted.toSeq == distinct.sorted,
+        s"kept ${keptParas.toSeq} != distinct $distinct")
+      // idempotence: rebuilt texts contain no duplicate paragraph anywhere
+      val again = graft.neardup.ParaDedup
+        .dedupParagraphs(out.toSeq.map(r => (r._1, r._4)).toDF("doc_id", "text"),
+          "doc_id", "text")
+        .collect().map(r => (r.getLong(1), r.getLong(2)))
+      assert(again.forall { case (n, k) => n == k }, "second pass dropped rows")
+    }
+  }
+
+  test("dup-gram profile matches a brute-force Scala oracle") {
+    val tokGen = Gen.listOfN(10, Gen.oneOf("a", "b", "c", "d", "e"))
+    val corpusGen = Gen.listOfN(6, tokGen)
+    samples(corpusGen, 3).foreach { corpus =>
+      val k = 3
+      val docs = corpus.zipWithIndex.map { case (ts, i) => (i.toLong, ts.mkString(" ")) }
+      // brute-force: distinct k-grams per doc, df over docs, n_dup = df>=2
+      val gramsPerDoc = corpus.map(_.sliding(k).filter(_.size == k)
+        .map(_.mkString(" ")).toSet)
+      val df = gramsPerDoc.flatten.groupBy(identity).view.mapValues(_.size).toMap
+      val out = graft.neardup.NearDup
+        .dupGramProfile(docs.toDF("doc_id", "text"), "doc_id", "text", k = k)
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      gramsPerDoc.zipWithIndex.foreach { case (gs, i) =>
+        val wantDup = gs.count(g => df(g) >= 2)
+        assert(out(i.toLong) == ((gs.size.toLong, wantDup.toLong)),
+          s"doc $i: got ${out(i.toLong)}, want (${gs.size}, $wantDup)")
+      }
+    }
+  }
 }
