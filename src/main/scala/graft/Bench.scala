@@ -27,10 +27,19 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // optional filter: `runMain graft.Bench x21 q06` times only those
+    // optional filter: `runMain graft.Bench x21 q06` times only those.
+    // SPARK_GRAFT_EXCLUDE (comma-separated prefixes) drops queries from
+    // an otherwise-full sweep — the scale-corpus protocol needs "all but
+    // x07" (its twin-dense fixture makes TRUE pair output grow ~dup²,
+    // see PLANS.md), which an include-list can't spell without
+    // enumerating the catalog.
+    val excluded = sys.env.get("SPARK_GRAFT_EXCLUDE")
+      .map(_.split(",").toSeq.filter(_.nonEmpty)).getOrElse(Nil)
     val names = {
       val all = SparkEntry.queries.keys.toSeq.sorted
-      if (args.isEmpty) all else all.filter(n => args.exists(n.startsWith))
+      val included =
+        if (args.isEmpty) all else all.filter(n => args.exists(n.startsWith))
+      included.filterNot(n => excluded.exists(n.startsWith))
     }
     names.foreach { n =>
       try SparkEntry.queries(n)(spark, warmDir).count()
@@ -80,10 +89,14 @@ object Bench {
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     // land the FULL-precision line in a file: sbt wraps stdout in [info]
     // noise that breaks the driver's JSON parse. FULL runs only — an
-    // arg-filtered dev run must not overwrite the file with a
-    // partial-suite total
-    if (args.isEmpty)
-      java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH.json"), line + "\n")
+    // arg-filtered or exclusion-trimmed dev run must not overwrite the
+    // file with a partial-suite total. SPARK_GRAFT_OUT redirects the
+    // full-precision line to another path (the scale-corpus records:
+    // BENCH_10x.json / BENCH_100x.json) without touching BENCH.json.
+    val outPath = sys.env.get("SPARK_GRAFT_OUT")
+      .orElse(if (args.isEmpty && excluded.isEmpty) Some("BENCH.json") else None)
+    outPath.foreach(p =>
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(p), line + "\n"))
     // The driver captures only the LAST ~2000 chars of stdout (observed:
     // BENCH_r{7,8}.json carry a 2000-char "tail" whose parse failed
     // because the full 109-query line is ~4KB and its head was cut off).
