@@ -51,6 +51,26 @@ object SparkEntry {
       lpad((col("doc_id") % 10000).cast("string"), 4, "0")).as("text")
   private def docsWithPii(s: SparkSession, d: String): DataFrame =
     docs(s, d).select(col("doc_id"), piiText)
+
+  /** Documents re-lined with deterministic paragraph structure — tokens
+    * chunked [[paraChunkTokens]] at a time, joined by '\n'. The fixture
+    * corpus is single-line, so the sub-document operators (x60/x62)
+    * derive their paragraphs from it; exact-dup and shared-prefix
+    * near-dup docs then yield genuine cross-doc duplicate paragraphs.
+    */
+  private def structuredDocs(s: SparkSession, d: String): DataFrame = {
+    val toks = TextAnalysis.tokens(col("text"))
+    docs(s, d).select(col("doc_id"),
+      when(size(toks) < 1, lit(""))
+        .otherwise(concat_ws("\n",
+          transform(
+            sequence(lit(0),
+              floor((size(toks) - 1) / lit(paraChunkTokens.toDouble))
+                .cast("int")),
+            i => concat_ws(" ",
+              slice(toks, i * paraChunkTokens + 1, lit(paraChunkTokens))))))
+        .as("text"))
+  }
   private def cleanSess(s: SparkSession, d: String) =
     Ecommerce.cleanSessions(Ecommerce.sessionsFromEvents(ev(s, d)))
 
@@ -290,7 +310,8 @@ object SparkEntry {
   private val semHierMinCoarse   = 4    // x56 coarse-cell floor
   private val exportShards = 8 // x54 shuffle-shard export shard count
   private val domainCapK = 10  // x55 max docs kept per source domain
-  private val paraChunkTokens = 12 // x60 derived-paragraph width (tokens)
+  private val paraChunkTokens = 12 // x60/x62 derived-paragraph width (tokens)
+  private val paraBoilerMaxDf = 1  // x62 max distinct docs before a paragraph is boilerplate
   private val dupGramK = 8 // x61 duplicated-n-gram width (= decontamination's)
 
   /** The exact-integer IVF model as DuckDB CTEs (`b acc vec c0 s1 a1
@@ -1234,6 +1255,21 @@ object SparkEntry {
         fixedCountPred(docs(s, d), "doc_id", target = ivfIntTarget),
         nlist = ivfIntNlist, nprobe = ivfIntNprobe, k = ivfIntK)
     }),
+    // kNN-GRAPH construction: every vector of the corpus gets its top-k
+    // approximate neighbors from the shared exact-integer IVF model —
+    // the input of graph-based curation (near-dup components over
+    // embeddings, diversity sampling). All-queries shape: shuffle
+    // equi-join on cid (probes are corpus-sized, never broadcast),
+    // x53's adaptive nlist ∝ √n schedule, assignment checkpoint-pinned
+    "x63_knn_graph" -> ((s, d) => {
+      val emb = Multimodal.fakeEmbedInt(s,
+        Multimodal.withPayload(docs(s, d), "doc_id", "text"),
+        dim = fakeEmbedDim).toDF().cache()
+      val nlist = math.max(ivfIntNlist.toLong,
+        math.ceil(math.sqrt(docs(s, d).count() / 2.0)).toLong).toInt
+      Similarity.knnGraphInt(emb, "doc_id", "embedding",
+        nlist = nlist, nprobe = ivfIntNprobe, k = ivfIntK)
+    }),
     // SEMANTIC dedup (SemDeDup, Abbas et al. 2023): k-means-cluster the
     // integer fake embeds (the shared x20i model), then drop every doc
     // with a lower-id cluster-mate inside the cosine epsilon ball —
@@ -1301,20 +1337,17 @@ object SparkEntry {
     // [paraChunkTokens] at a time, joined by '\n' — then runs the real
     // split→winner-agg→rebuild operator on it; exact-dup and shared-
     // prefix near-dup docs yield genuine cross-doc duplicate paragraphs
-    "x60_paragraph_dedup" -> ((s, d) => {
-      val toks = TextAnalysis.tokens(col("text"))
-      val structured = docs(s, d).select(col("doc_id"),
-        when(size(toks) < 1, lit(""))
-          .otherwise(concat_ws("\n",
-            transform(
-              sequence(lit(0),
-                floor((size(toks) - 1) / lit(paraChunkTokens.toDouble))
-                  .cast("int")),
-              i => concat_ws(" ",
-                slice(toks, i * paraChunkTokens + 1, lit(paraChunkTokens))))))
-          .as("text"))
-      ParaDedup.dedupParagraphs(structured, "doc_id", "text")
-    }),
+    "x60_paragraph_dedup" -> ((s, d) =>
+      ParaDedup.dedupParagraphs(structuredDocs(s, d), "doc_id", "text")),
+    // cross-document boilerplate removal (the C4/RefinedWeb rule, the
+    // complement of x60's keep-first policy): a paragraph occurring in
+    // > [paraBoilerMaxDf] distinct docs is dropped from ALL of them —
+    // first copy included — while rare paragraphs survive everywhere.
+    // Same derived-paragraph structure as x60, so the two sub-document
+    // policies are directly comparable on the same corpus
+    "x62_boilerplate_rm" -> ((s, d) =>
+      ParaDedup.removeBoilerplate(structuredDocs(s, d), "doc_id", "text",
+        maxDocFreq = paraBoilerMaxDf)),
     // duplicated-n-gram profile (the exact-substring-dedup cut signal,
     // Lee et al. 2022): per doc, distinct word 8-grams shared verbatim
     // with ANY other doc + the fraction — same gram width as x36's
@@ -2438,6 +2471,33 @@ object SparkEntry {
         |                                 ORDER BY sim DESC, nid ASC) AS BIGINT) AS rnk
         |  FROM sc)
         |SELECT qid, nid, sim, rnk FROM r WHERE rnk <= $ivfIntK""".stripMargin,
+    // kNN-graph replay: x20i's probe/score/rank chain with q = ALL
+    // vectors and x53's adaptive-nlist scalar subquery — the assignment
+    // CTEs, probe ranking, and final top-k are shared spellings, so the
+    // three integer-IVF oracles cannot drift apart
+    "x63_knn_graph" ->
+      s"""WITH ${ivfIntAssignCtes(
+             s"(SELECT greatest($ivfIntNlist, CAST(ceil(sqrt(count(*) / 2.0)) AS BIGINT)) FROM documents)")},
+        |ps AS (
+        |  SELECT a2.doc_id AS qid, a2.v AS qvec, c1.cid,
+        |         ${intCosSql("a2.v", "c1.cvec")} AS csim
+        |  FROM a2, c1),
+        |pr AS (
+        |  SELECT qid, qvec, cid FROM (
+        |    SELECT qid, qvec, cid,
+        |           row_number() OVER (PARTITION BY qid
+        |                              ORDER BY csim DESC, cid ASC) AS rn
+        |    FROM ps) t WHERE rn <= $ivfIntNprobe),
+        |sc AS (
+        |  SELECT pr.qid, a2.doc_id AS nid,
+        |         round(${intCosSql("pr.qvec", "a2.v")}, 6) AS sim
+        |  FROM pr JOIN a2 ON a2.cid = pr.cid AND a2.doc_id <> pr.qid),
+        |r AS (
+        |  SELECT qid, nid, sim,
+        |         CAST(row_number() OVER (PARTITION BY qid
+        |                                 ORDER BY sim DESC, nid ASC) AS BIGINT) AS rnk
+        |  FROM sc)
+        |SELECT qid, nid, sim, rnk FROM r WHERE rnk <= $ivfIntK""".stripMargin,
     // SemDeDup replay: the SAME shared assignment CTEs as x20i, then
     // the within-cluster epsilon-ball drop rule — a doc is dropped iff
     // a lower-id cluster-mate reaches the cosine threshold (round-6dp,
@@ -2488,6 +2548,36 @@ object SparkEntry {
         |SELECT d.doc_id, coalesce(n_para, 0) AS n_para,
         |       coalesce(n_kept, 0) AS n_kept,
         |       coalesce(text_dedup, '') AS text_dedup
+        |FROM documents d LEFT JOIN ag USING (doc_id)""".stripMargin,
+    // boilerplate-removal replay: x60's paragraph derivation, then a
+    // per-paragraph distinct-doc frequency join — kept = df within the
+    // interpolated threshold, ALL occurrences of an over-threshold
+    // paragraph dropped (no keep-first exception)
+    "x62_boilerplate_rm" ->
+      s"""WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+        |                             x -> x <> '') AS t
+        |  FROM documents),
+        |paras AS (
+        |  SELECT doc_id, i AS pos,
+        |         array_to_string(t[i*$paraChunkTokens+1 : i*$paraChunkTokens+$paraChunkTokens], ' ') AS para
+        |  FROM toks, UNNEST(range(0, (len(t)+${paraChunkTokens - 1})//$paraChunkTokens)) AS u(i)),
+        |ne AS (
+        |  SELECT doc_id, pos, para, md5(para) AS pkey
+        |  FROM paras WHERE trim(para) <> ''),
+        |fr AS (
+        |  SELECT pkey, count(DISTINCT doc_id) AS df FROM ne GROUP BY pkey),
+        |fl AS (
+        |  SELECT doc_id, pos, para, df <= $paraBoilerMaxDf AS kept
+        |  FROM ne JOIN fr USING (pkey)),
+        |ag AS (
+        |  SELECT doc_id, count(*) AS n_para,
+        |         count(*) FILTER (WHERE kept) AS n_kept,
+        |         string_agg(para, chr(10) ORDER BY pos) FILTER (WHERE kept) AS text_clean
+        |  FROM fl GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(n_para, 0) AS n_para,
+        |       coalesce(n_kept, 0) AS n_kept,
+        |       coalesce(text_clean, '') AS text_clean
         |FROM documents d LEFT JOIN ag USING (doc_id)""".stripMargin,
     // duplicated-gram replay: x36's shingle dialect at width dupGramK,
     // gram doc-frequency join, FILTER rollup, LEFT JOIN totality

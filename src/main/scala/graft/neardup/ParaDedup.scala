@@ -63,18 +63,52 @@ object ParaDedup {
     val flagged = paras.join(winners, Seq("pkey"))
       .withColumn("kept",
         col("id") === col("w.id") && col("pos") === col("w.pos"))
+    rebuild(df, idCol, flagged, "text_dedup", glue)
+  }
+
+  /** Boilerplate paragraph removal (the C4/RefinedWeb cross-document
+    * rule, the other half of [[dedupParagraphs]]'s keep-first policy):
+    * a paragraph appearing in MORE than `maxDocFreq` distinct documents
+    * is dropped from EVERY document — the first copy too, because a nav
+    * header on a million pages is noise in all of them, not content in
+    * the first. Paragraphs at or under the threshold are kept wherever
+    * they occur (within-document repeats of a rare paragraph survive:
+    * the frequency is per-document, not per-occurrence).
+    *
+    * Scale: same three linear exchanges as [[dedupParagraphs]], with
+    * the winners aggregate replaced by a per-pkey distinct-id count —
+    * `count(DISTINCT id)` over (pkey, id) partially deduplicates
+    * map-side, so the million-page header reduces inside every task.
+    */
+  def removeBoilerplate(df: DataFrame, idCol: String, textCol: String,
+                        maxDocFreq: Int = 1, sep: String = "\n",
+                        glue: String = "\n"): DataFrame = {
+    val paras = paragraphs(df, idCol, textCol, sep)
+    val dfreq = paras.groupBy("pkey")
+      .agg(countDistinct(col("id")).as("df"))
+    val flagged = paras.join(dfreq, Seq("pkey"))
+      .withColumn("kept", col("df") <= maxDocFreq)
+    rebuild(df, idCol, flagged, "text_clean", glue)
+  }
+
+  /** Shared per-document reassembly: count paragraphs in/kept and glue
+    * the survivors back in original `pos` order, LEFT-joined to the
+    * full input so paragraph-less documents stay in the output.
+    */
+  private def rebuild(df: DataFrame, idCol: String, flagged: DataFrame,
+                      outCol: String, glue: String): DataFrame = {
     val perDoc = flagged.groupBy("id")
       .agg(count(lit(1)).as("n_para"),
         count(when(col("kept"), 1)).as("n_kept"),
         concat_ws(glue, transform(
           array_sort(collect_list(when(col("kept"),
             struct(col("pos"), col("para"))))),
-          s => s.getField("para"))).as("text_dedup"))
+          s => s.getField("para"))).as(outCol))
     df.select(col(idCol).as("doc_id"))
       .join(perDoc.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("n_para"), lit(0L)).as("n_para"),
         coalesce(col("n_kept"), lit(0L)).as("n_kept"),
-        coalesce(col("text_dedup"), lit("")).as("text_dedup"))
+        coalesce(col(outCol), lit("")).as(outCol))
   }
 }

@@ -341,6 +341,50 @@ object Similarity {
       .filter(col("rnk") <= k)
   }
 
+  /** Full kNN-GRAPH construction: every corpus vector is a query
+    * against the shared exact-integer IVF model ([[ivfIntModel]]), so
+    * the output is each node's top-k approximate neighbors — the input
+    * of graph-based curation (SemDeDup's cluster graph, connected-
+    * component near-dup groups over embeddings, diversity sampling).
+    *
+    * Differs from [[cosineTopKIvfInt]] (a query-SUBSET operator) in
+    * the two places an all-queries shape changes the plan:
+    *  - the probe frame is corpus-sized, so the candidate stage is a
+    *    shuffle equi-join on cid, NOT a broadcast of the probes;
+    *  - the assignment feeds both join sides (probe derivation and
+    *    candidate scoring) and is checkpoint-pinned once, the same
+    *    trade [[semDedupInt]] makes.
+    *
+    * Scale: with nlist ∝ √n (the caller's knob, x63 uses x53's exact
+    * schedule) per-query candidates are nprobe·n/nlist ≈ nprobe·√(2n)
+    * and total work ~n^1.5 — the flat-IVF optimum; past ~10⁷ vectors
+    * the hierarchical cell-restricted assignment ([[semDedupIntHier]])
+    * is the same ~n^1.25 upgrade it is for dedup. Every arithmetic
+    * step is exact-integer or a fixed IEEE sequence, so the DuckDB
+    * twin replays the graph byte-for-byte.
+    */
+  def knnGraphInt(emb: DataFrame, idCol: String, vecCol: String,
+                  nlist: Int = 16, nprobe: Int = 2, k: Int = 5): DataFrame = {
+    val (refined, assigned0) = ivfIntModel(emb, idCol, vecCol, nlist)
+    val assigned = assigned0.localCheckpoint(true)
+    val probes = assigned
+      .select(col("nid").as("qid"), col("nvec").as("qvec"))
+      .crossJoin(broadcast(refined))
+      .select(col("qid"), col("qvec"), col("cid"),
+        cosExactInt(col("qvec"), col("cvec")).as("csim"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("qid").orderBy(col("csim").desc, col("cid").asc)))
+      .filter(col("rn") <= nprobe).select("qid", "qvec", "cid")
+    val scored = assigned
+      .join(probes, Seq("cid"))
+      .filter(col("nid") =!= col("qid"))
+      .select(col("qid"), col("nid"),
+        round(cosExactInt(col("qvec"), col("nvec")), 6).as("sim"))
+    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("nid").asc)
+    scored.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+  }
+
   /** Semantic deduplication (SemDeDup — Abbas et al., "SemDeDup: Data-
     * efficient learning at web-scale through semantic deduplication",
     * arXiv:2303.09540): cluster the corpus embeddings with k-means,

@@ -29,6 +29,37 @@ class ParaDedupSpec extends SparkSpec {
     assert(out(6L) == ((1L, 1L, "keep me")))
   }
 
+  test("boilerplate removal drops over-threshold paragraphs from every doc") {
+    val docs = Seq(
+      (1L, "alpha beta\nnav header\ngamma"),
+      (2L, "nav header\ndelta"),     // nav header in 2 docs > maxDocFreq=1:
+      (3L, "nav header"),            //   dropped everywhere, doc 3 empties
+      (4L, "rare\nrare"),            // within-doc repeat of a 1-doc para kept BOTH times
+      (5L, ""))                      // paragraph-less doc stays present
+      .toDF("doc_id", "text")
+    val out = ParaDedup.removeBoilerplate(docs, "doc_id", "text", maxDocFreq = 1)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out(1L) == ((3L, 2L, "alpha beta\ngamma")))
+    assert(out(2L) == ((2L, 1L, "delta")))
+    assert(out(3L) == ((1L, 0L, "")))
+    assert(out(4L) == ((2L, 2L, "rare\nrare")))
+    assert(out(5L) == ((0L, 0L, "")))
+  }
+
+  test("boilerplate removal at maxDocFreq=2 keeps two-doc paragraphs") {
+    val docs = Seq(
+      (1L, "shared\nuniq1"),
+      (2L, "shared\nuniq2"),
+      (3L, "everywhere"), (4L, "everywhere"), (5L, "everywhere"))
+      .toDF("doc_id", "text")
+    val out = ParaDedup.removeBoilerplate(docs, "doc_id", "text", maxDocFreq = 2)
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(out(1L) == "shared\nuniq1") // df=2 ≤ 2: kept in both docs
+    assert(out(2L) == "shared\nuniq2")
+    assert(out(3L) == "" && out(4L) == "" && out(5L) == "") // df=3 > 2
+  }
+
   test("dup-gram profile counts grams shared with other docs") {
     val docs = Seq(
       (1L, "a b c d"),  // grams: "a b c", "b c d"

@@ -50,8 +50,13 @@ object ScaleGen {
     val SHIFT = 100000000L
     val alpha = "abcdefghijklmnopqrstuvwxyz"
 
+    // spread the (tiny, often single-partition) base table across the
+    // local cores BEFORE the broadcast cross join — the per-copy text
+    // substitution runs pre-shuffle, and at factor 1000 a one-partition
+    // base serializes 5M-row × per-char work onto one task
     def copies(df: DataFrame): DataFrame =
-      df.crossJoin(spark.range(factor).select(col("id").as("__copy")))
+      df.repartition(32)
+        .crossJoin(spark.range(factor).select(col("id").as("__copy")))
 
     // documents
     val docs = spark.read.parquet(s"$src/documents.parquet")
@@ -64,12 +69,18 @@ object ScaleGen {
         }
         cases
       case "subst" =>
-        // translate() needs literal alphabets, so the expression is one
-        // when-branch per copy — factor-deep but generator-only code
+        // Data-driven substitution, flat at any factor: a when-branch
+        // per copy (the pre-round-9 spelling) blows Janino past 100ish
+        // branches, so instead the per-copy alphabet is element_at'd out
+        // of one literal array and applied per character — identical
+        // output to translate(text, alpha, perm(c)) for every factor
         val perms = (0 until factor).map(c => if (c == 0) alpha else perm(c))
-        (0 until factor).foldLeft(lit(null).cast("string")) { (acc, c) =>
-          when(col("__copy") === c, translate(col("text"), alpha, perms(c))).otherwise(acc)
-        }
+        val permArr = array(perms.map(lit): _*)
+        val p = element_at(permArr, (col("__copy") + 1).cast("int"))
+        concat_ws("",
+          transform(split(col("text"), ""), ch =>
+            when(ch >= "a" && ch <= "z", p.substr(ascii(ch) - 96, lit(1)))
+              .otherwise(ch)))
       case "tag" =>
         concat(lit("copy"), col("__copy").cast("string"), lit(" "), col("text"))
     }
