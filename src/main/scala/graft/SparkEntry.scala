@@ -313,6 +313,8 @@ object SparkEntry {
   private val paraChunkTokens = 12 // x60/x62 derived-paragraph width (tokens)
   private val paraBoilerMaxDf = 1  // x62 max distinct docs before a paragraph is boilerplate
   private val dupGramK = 8 // x61 duplicated-n-gram width (= decontamination's)
+  private val bloomMBits  = 258048L // x64 bloom size: 4096 63-bit words (~32 KB)
+  private val bloomHashes = 3       // x64 bits set per gram
 
   /** The exact-integer IVF model as DuckDB CTEs (`b acc vec c0 s1 a1
     * c1p c1 s2 a2`): byte-sum embeds, Knuth-spread init, one integer
@@ -508,6 +510,17 @@ object SparkEntry {
     * one truth definition. Produces CTEs `toks sh hb mh bands hot b2
     * cand sizes inter p`; `p` is (doc_a, doc_b, jaccard).
     */
+  /** DuckDB twin of `NearDup.portableBase` WITHOUT the mod-P fold: the
+    * raw 60-bit md5 base (first 15 hex nibbles as a non-negative
+    * BIGINT) — the same nibble-decode spelling as the minhash `hb` CTE,
+    * inlined so callers that need the full base (the x64 bloom) don't
+    * pre-reduce it.
+    */
+  private def md5Base60Sql(c: String): String =
+    s"list_sum(list_transform(range(1, 16), j -> " +
+      s"(strpos('0123456789abcdef', substr(md5($c), CAST(j AS INT), 1)) - 1)::BIGINT" +
+      s" << CAST((15 - j) * 4 AS INT)))::BIGINT"
+
   private val minhashPortablePairCtes: String = {
     val coefs = (0 until mhNumHashes).map(i =>
       s"($i, ${graft.neardup.NearDup.portableCoef(i, 0)}, ${graft.neardup.NearDup.portableCoef(i, 1)})")
@@ -1738,6 +1751,21 @@ object SparkEntry {
         all.filter(col("doc_id") % 20 === 0),
         "doc_id", "text", k = 8)
     }),
+    // bloom-gated decontamination — x36's 100 TB spelling: the eval gram
+    // index collapses to a 32 KB broadcast bit array, training grams are
+    // screened map-side in the scan stage, and only bloom-hit grams
+    // reach the exact-confirm join. Portable md5-base bit positions, so
+    // the oracle rebuilds the identical array and replays membership —
+    // n_bloom (FPs included) is hash-checked, and n_shared must equal
+    // x36's exact count for every flagged doc (no false negatives)
+    "x64_bloom_decontaminate" -> ((s, d) => {
+      val all = docs(s, d)
+      Decontaminate.bloomReport(
+        all.filter(col("doc_id") % 20 =!= 0),
+        all.filter(col("doc_id") % 20 === 0),
+        "doc_id", "text", k = dupGramK,
+        mBits = bloomMBits, bloomK = bloomHashes)
+    }),
     // sequence packing: concatenate docs into 512-token training
     // sequences, packed independently per shard (doc_id % 8) — the
     // shard-local window is the only shuffle, and shard count is the
@@ -2900,6 +2928,45 @@ object SparkEntry {
         |FROM tr JOIN ev ON tr.shingle = ev.shingle
         |GROUP BY tr.doc_id
         |HAVING count(*) >= 1""".stripMargin,
+    // bloom replay: rebuild the eval-set bit array from the SAME 60-bit
+    // md5 bases, splitmix multipliers and 63-bit-word layout, then
+    // re-evaluate membership for every training gram — the oracle
+    // reproduces the false positives bit-for-bit, so n_bloom is
+    // hash-checked; n_shared is x36's exact count via the confirm join
+    "x64_bloom_decontaminate" -> {
+      def posSql(j: Int) =
+        s"(bb % 1000000007 * ${graft.neardup.Bloom.coef(j)} % 999999937 % $bloomMBits)"
+      def bitSql(j: Int) =
+        s"(b[CAST(${posSql(j)} // 63 AS INT) + 1]" +
+          s" & (1::BIGINT << CAST(${posSql(j)} % 63 AS INT))) <> 0"
+      s"""WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+        |                             x -> x <> '') AS t
+        |  FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, array_to_string(t[i:i+${dupGramK - 1}], ' ') AS shingle
+        |  FROM toks, UNNEST(range(1, len(t) - ${dupGramK - 2})) AS u(i)
+        |  WHERE len(t) >= $dupGramK),
+        |ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 20 = 0),
+        |evb AS (SELECT ${md5Base60Sql("shingle")} AS bb FROM ev),
+        |setb AS (
+        |  SELECT p // 63 AS w, bit_or(1::BIGINT << CAST(p % 63 AS INT)) AS bits
+        |  FROM (${(0 until bloomHashes)
+                    .map(j => s"SELECT ${posSql(j)} AS p FROM evb")
+                    .mkString(" UNION ALL ")})
+        |  GROUP BY 1),
+        |blm AS (
+        |  SELECT list(coalesce(bits, 0) ORDER BY w) AS b
+        |  FROM range(0, ${bloomMBits / 63}) t(w) LEFT JOIN setb USING (w)),
+        |tr AS (SELECT doc_id, shingle, ${md5Base60Sql("shingle")} AS bb
+        |       FROM sh WHERE doc_id % 20 <> 0),
+        |hit AS (
+        |  SELECT doc_id, shingle FROM tr, blm
+        |  WHERE ${(0 until bloomHashes).map(bitSql).mkString(" AND ")})
+        |SELECT h.doc_id, count(*) AS n_bloom, count(ev.shingle) AS n_shared
+        |FROM hit h LEFT JOIN ev ON h.shingle = ev.shingle
+        |GROUP BY h.doc_id""".stripMargin
+    },
     "x37_pack_sequences" ->
       """WITH toks AS (
         |  SELECT doc_id,

@@ -37,6 +37,40 @@ object Decontaminate {
       .filter(col("n_shared") >= minShared)
   }
 
+  /** Bloom-gated contamination report — the 100 TB spelling of
+    * [[report]]: the eval gram index is collapsed to a fixed-size
+    * broadcast bit array ([[Bloom]]), every training gram is screened
+    * map-side, and ONLY bloom-hit grams reach the exact-confirm join.
+    * Per bloom-hit doc: `n_bloom` (grams the filter flags, false
+    * positives included) and `n_shared` (exactly-confirmed grams —
+    * [[report]]'s number; 0 for pure-false-positive docs, so the FP
+    * exposure is itself part of the checked output). No false negatives
+    * by construction: every doc [[report]] flags appears here with the
+    * identical `n_shared`.
+    *
+    * Scale shape: build is a constant-size `bit_or` aggregate over the
+    * (small) eval index; probe is whole-stage-codegen arithmetic inside
+    * the training scan stage; the exact-confirm join input shrinks from
+    * all-corpus grams to the bloom-hit fraction — on a clean corpus,
+    * near-zero rows cross a join at all. Because bit positions derive
+    * from the portable md5 base, the oracle rebuilds the same bit array
+    * and replays membership — FPs and all — so `n_bloom` is
+    * hash-checked, not rows-only.
+    */
+  def bloomReport(train: DataFrame, eval: DataFrame, idCol: String,
+                  textCol: String, k: Int = 8, mBits: Long = 258048L,
+                  bloomK: Int = 3): DataFrame = {
+    val trainSh = NearDup.shingles(train, idCol, textCol, k)
+    val evalSh = NearDup.shingles(eval, idCol, textCol, k)
+      .select("shingle").distinct().cache()
+    val blm = Bloom.build(evalSh, "shingle", mBits, bloomK)
+    val hits = Bloom.probe(trainSh, "shingle", blm, mBits, bloomK)
+      .filter(col("bloom_hit"))
+    hits.join(evalSh.withColumn("__ex", lit(1)), Seq("shingle"), "left")
+      .groupBy(col("id").as("doc_id"))
+      .agg(count(lit(1)).as("n_bloom"), count(col("__ex")).as("n_shared"))
+  }
+
   /** The filtered training set: docs from `train` that share fewer than
     * `minShared` distinct k-grams with the eval set (anti join on the
     * report — map-side after the broadcast-friendly overlap join).
