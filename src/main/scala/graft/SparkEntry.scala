@@ -269,6 +269,23 @@ object SparkEntry {
     * Shortest-round-trip double formatting re-parses to the identical
     * bits in any correct reader.
     */
+  /** DuckDB twin of `Similarity.jlProject` over a DOUBLE[] column `v`:
+    * each projected component is the explicit left-associated ±v[i]
+    * chain — multiplying by ±1.0 and adding (Spark) vs negating and
+    * adding/subtracting (SQL) are the same exact IEEE ops, so the
+    * projected doubles are bit-equal. Signs come from the SAME
+    * `jlSign` pure function the Spark plan uses — generated here,
+    * never hand-written.
+    */
+  private def jlProjectSqlList(v: String, dim: Int, r: Int): String =
+    (0 until r).map { t =>
+      (0 until dim).map { i =>
+        val s = graft.sim.Similarity.jlSign(t, i)
+        if (i == 0) { if (s > 0) s"$v[1]" else s"-$v[1]" }
+        else { if (s > 0) s" + $v[${i + 1}]" else s" - $v[${i + 1}]" }
+      }.mkString
+    }.mkString("[", ", ", "]")
+
   private def lshPlanesSqlValues(tables: Int, nbits: Int, dim: Int): String =
     (0 until tables).flatMap { t =>
       (0 until nbits).map { b =>
@@ -315,6 +332,9 @@ object SparkEntry {
   private val dupGramK = 8 // x61 duplicated-n-gram width (= decontamination's)
   private val bloomMBits  = 258048L // x64 bloom size: 4096 63-bit words (~32 KB)
   private val bloomHashes = 3       // x64 bits set per gram
+  private val jlOutDim = 16 // x67 JL projected dims (64 → 16: 4× cheaper sims)
+  private val jlShortlist = 100 // x68 rerank shortlist per query (recall knob)
+  private val jlRecallBound = 0.3 // x68 floor: measured 0.39–0.67 on fixtures
 
   /** The exact-integer IVF model as DuckDB CTEs (`b acc vec c0 s1 a1
     * c1p c1 s2 a2`): byte-sum embeds, Knuth-spread init, one integer
@@ -381,6 +401,34 @@ object SparkEntry {
     * shared x20i assignment CTEs with the corpus-adaptive √(n/2)
     * nlist bound, then the within-cluster epsilon-ball drop rule.
     */
+  // kNN-graph replay (x63, nested by x65): x20i's probe/score/rank chain
+  // with q = ALL vectors and x53's adaptive-nlist scalar subquery — the
+  // assignment CTEs, probe ranking, and final top-k are shared
+  // spellings, so the integer-IVF oracles cannot drift apart
+  private lazy val knnGraphOracleSql: String =
+    s"""WITH ${ivfIntAssignCtes(
+           s"(SELECT greatest($ivfIntNlist, CAST(ceil(sqrt(count(*) / 2.0)) AS BIGINT)) FROM documents)")},
+      |ps AS (
+      |  SELECT a2.doc_id AS qid, a2.v AS qvec, c1.cid,
+      |         ${intCosSql("a2.v", "c1.cvec")} AS csim
+      |  FROM a2, c1),
+      |pr AS (
+      |  SELECT qid, qvec, cid FROM (
+      |    SELECT qid, qvec, cid,
+      |           row_number() OVER (PARTITION BY qid
+      |                              ORDER BY csim DESC, cid ASC) AS rn
+      |    FROM ps) t WHERE rn <= $ivfIntNprobe),
+      |sc AS (
+      |  SELECT pr.qid, a2.doc_id AS nid,
+      |         round(${intCosSql("pr.qvec", "a2.v")}, 6) AS sim
+      |  FROM pr JOIN a2 ON a2.cid = pr.cid AND a2.doc_id <> pr.qid),
+      |r AS (
+      |  SELECT qid, nid, sim,
+      |         CAST(row_number() OVER (PARTITION BY qid
+      |                                 ORDER BY sim DESC, nid ASC) AS BIGINT) AS rnk
+      |  FROM sc)
+      |SELECT qid, nid, sim, rnk FROM r WHERE rnk <= $ivfIntK""".stripMargin
+
   private lazy val semDedupFlatOracleSql: String =
     s"""WITH ${ivfIntAssignCtes(
            s"(SELECT greatest($ivfIntNlist, CAST(ceil(sqrt(count(*) / 2.0)) AS BIGINT)) FROM documents)")},
@@ -1102,6 +1150,18 @@ object SparkEntry {
     "x05_cosine_topk" -> ((s, d) =>
       Similarity.cosineTopK(Tables.embeddings(s, d), "vec_id", "embedding",
         fixedCountPred(Tables.embeddings(s, d), "vec_id", target = 40), k = 5)),
+    // Johnson-Lindenstrauss compressed-space top-k: deterministic ±1
+    // (Achlioptas) projection 64 → 16 dims as pure column arithmetic in
+    // the scan stage, then x05's brute shape over the projected vectors
+    // — each similarity costs r/dim of the exact one. Project once at
+    // ingest, run every ANN/dedup pass compressed: the 100 TB lever.
+    // Signs are splitmix-derived pure functions, so the oracle rebuilds
+    // the identical matrix and the projected top-k is hash-checked;
+    // quality vs exact space is gated by x68, not assumed
+    "x67_jl_topk" -> ((s, d) =>
+      Similarity.cosineTopKJl(Tables.embeddings(s, d), "vec_id", "embedding",
+        fixedCountPred(Tables.embeddings(s, d), "vec_id", target = 40),
+        dim = 64, r = jlOutDim, k = 5)),
     // 8 hash tables: single-table bucketing recalls only ~7-10% of the
     // true top-5 on these near-uniform vectors; 8 tables reach ~35-48%
     // (gated by x35) at linear extra cost — the production LSH-ANN shape
@@ -1249,6 +1309,30 @@ object SparkEntry {
           when(col("denom") === 0, lit(true))
             .otherwise(col("hits") / col("denom") >= 0.5).as("mean_recall_ok"))
     }),
+    // recall gate for the two-stage JL pipeline (shortlist in projected
+    // space, exact rerank — the production composition) vs exact-space
+    // brute force — same literal-TRUE-oracle pattern and ANSI
+    // zero-branch as x27. Measured on the near-uniform fixtures (the
+    // deliberately hard case): 0.39 (sf0.1) – 0.67 (sf0.01) at
+    // shortlist=100, vs 0.09 for raw projected top-5 — the 0.3 floor is
+    // the x35-family honest band, and `shortlist` is the recall knob
+    "x68_jl_recall" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val qp = fixedCountPred(emb, "vec_id", target = 40)
+      val brute = Similarity.cosineTopK(emb, "vec_id", "embedding",
+        qp, k = 5).select("qid", "nid")
+      val jl = Similarity.cosineTopKJlRerank(emb, "vec_id", "embedding",
+        qp, dim = 64, r = jlOutDim, shortlist = jlShortlist, k = 5)
+        .select("qid", "nid")
+      val hits = brute.join(jl, Seq("qid", "nid"), "left_semi")
+        .agg(count(lit(1)).as("hits"))
+      val nq = emb.filter(qp).agg(count(lit(1)).as("n_queries"))
+      nq.crossJoin(brute.agg(count(lit(1)).as("denom"))).crossJoin(hits)
+        .select(col("n_queries"),
+          when(col("denom") === 0, lit(true))
+            .otherwise(col("hits") / col("denom") >= jlRecallBound)
+            .as("mean_recall_ok"))
+    }),
     // EXACT-INTEGER IVF (hash-green variant of the x20 family): float
     // k-means sums doubles in partition order, so x20's centroids — and
     // therefore its assignment — can never be SQL-reproduced (the one
@@ -1282,6 +1366,23 @@ object SparkEntry {
         math.ceil(math.sqrt(docs(s, d).count() / 2.0)).toLong).toInt
       Similarity.knnGraphInt(emb, "doc_id", "embedding",
         nlist = nlist, nprobe = ivfIntNprobe, k = ivfIntK)
+    }),
+    // mutual-kNN communities over x63's graph: sim-thresholded directed
+    // edges → mutual-pair symmetrization (one self-semi-join on the
+    // reversed key — kills hub chains) → the shared log-diameter CC
+    // fold. The cluster assignment graph-based curation consumes;
+    // oracle = x63's full replay nested under the x22 recursive-CTE
+    // component closure
+    "x65_knn_communities" -> ((s, d) => {
+      val emb = Multimodal.fakeEmbedInt(s,
+        Multimodal.withPayload(docs(s, d), "doc_id", "text"),
+        dim = fakeEmbedDim).toDF().cache()
+      val nlist = math.max(ivfIntNlist.toLong,
+        math.ceil(math.sqrt(docs(s, d).count() / 2.0)).toLong).toInt
+      Similarity.mutualKnnClusters(
+        Similarity.knnGraphInt(emb, "doc_id", "embedding",
+          nlist = nlist, nprobe = ivfIntNprobe, k = ivfIntK),
+        threshold = semDedupThreshold)
     }),
     // SEMANTIC dedup (SemDeDup, Abbas et al. 2023): k-means-cluster the
     // integer fake embeds (the shared x20i model), then drop every doc
@@ -1536,6 +1637,13 @@ object SparkEntry {
           rates = Map("error" -> 100, "signup" -> 100, "click" -> 10),
           defaultRate = 5)
         .groupBy("event_type").agg(count(lit(1)).as("n_kept"))),
+    // deterministic 80/10/10 train/val/test split: the pure Knuth-spread
+    // bucket of doc_id → a stable per-doc label; no rand(), no engine
+    // hash — re-materializing the corpus never moves a doc across the
+    // eval boundary. Map-only, pipelines in the scan stage
+    "x66_split_assign" -> ((s, d) =>
+      Sampling.splitAssign(
+        docs(s, d).select("doc_id", "lang", "source"), "doc_id")),
 
     // filter-only scan revenue (predicate pushdown showcase): all three
     // predicates reach the parquet reader, sum in exact decimal
@@ -2503,29 +2611,31 @@ object SparkEntry {
     // vectors and x53's adaptive-nlist scalar subquery — the assignment
     // CTEs, probe ranking, and final top-k are shared spellings, so the
     // three integer-IVF oracles cannot drift apart
-    "x63_knn_graph" ->
-      s"""WITH ${ivfIntAssignCtes(
-             s"(SELECT greatest($ivfIntNlist, CAST(ceil(sqrt(count(*) / 2.0)) AS BIGINT)) FROM documents)")},
-        |ps AS (
-        |  SELECT a2.doc_id AS qid, a2.v AS qvec, c1.cid,
-        |         ${intCosSql("a2.v", "c1.cvec")} AS csim
-        |  FROM a2, c1),
-        |pr AS (
-        |  SELECT qid, qvec, cid FROM (
-        |    SELECT qid, qvec, cid,
-        |           row_number() OVER (PARTITION BY qid
-        |                              ORDER BY csim DESC, cid ASC) AS rn
-        |    FROM ps) t WHERE rn <= $ivfIntNprobe),
-        |sc AS (
-        |  SELECT pr.qid, a2.doc_id AS nid,
-        |         round(${intCosSql("pr.qvec", "a2.v")}, 6) AS sim
-        |  FROM pr JOIN a2 ON a2.cid = pr.cid AND a2.doc_id <> pr.qid),
-        |r AS (
-        |  SELECT qid, nid, sim,
-        |         CAST(row_number() OVER (PARTITION BY qid
-        |                                 ORDER BY sim DESC, nid ASC) AS BIGINT) AS rnk
-        |  FROM sc)
-        |SELECT qid, nid, sim, rnk FROM r WHERE rnk <= $ivfIntK""".stripMargin,
+    "x63_knn_graph" -> knnGraphOracleSql,
+    // mutual-kNN communities: x63's full kNN replay as a nested
+    // subquery-CTE, thresholded, symmetrized by the reversed-key
+    // self-join, closed by the x22 recursive component fold
+    "x65_knn_communities" ->
+      // outer CTE names are cc_-prefixed: the nested replay has its own
+      // WITH chain (ps/pr/sc/r), and an outer name reusing one of those
+      // would SHADOW it inside the subquery (observed: outer `r` caught
+      // the inner final SELECT's `FROM r`)
+      s"""WITH RECURSIVE cc_e0 AS (
+        |  SELECT qid, nid FROM ($knnGraphOracleSql) g
+        |  WHERE sim >= $semDedupThreshold),
+        |cc_m AS (
+        |  SELECT a.qid AS doc_a, a.nid AS doc_b
+        |  FROM cc_e0 a JOIN cc_e0 b ON a.qid = b.nid AND a.nid = b.qid
+        |  WHERE a.qid < a.nid),
+        |cc_ed AS (SELECT doc_a AS src, doc_b AS dst FROM cc_m
+        |          UNION SELECT doc_b, doc_a FROM cc_m),
+        |cc_r AS (
+        |  SELECT src AS id, src AS label FROM cc_ed
+        |  UNION
+        |  SELECT cc_ed.dst AS id, cc_r.label
+        |  FROM cc_r JOIN cc_ed ON cc_ed.src = cc_r.id)
+        |SELECT id AS doc_id, CAST(min(label) AS BIGINT) AS cluster_id
+        |FROM cc_r GROUP BY id""".stripMargin,
     // SemDeDup replay: the SAME shared assignment CTEs as x20i, then
     // the within-cluster epsilon-ball drop rule — a doc is dropped iff
     // a lower-id cluster-mate reaches the cosine threshold (round-6dp,
@@ -3298,6 +3408,18 @@ object SparkEntry {
       """SELECT event_id,
         |       CAST(regexp_extract(props, '"k": (-?[0-9]+)', 1) AS INTEGER) AS k
         |FROM events""".stripMargin,
+    // split replay: the same portable-pmod bucket arithmetic as the
+    // sampling family, CASE'd into the three labels
+    "x66_split_assign" ->
+      """SELECT doc_id, lang, source,
+        |       CAST(((doc_id % 1000000007) * 2654435761 % 100 + 100) % 100
+        |            AS BIGINT) AS bucket,
+        |       CASE WHEN ((doc_id % 1000000007) * 2654435761 % 100 + 100) % 100 < 80
+        |              THEN 'train'
+        |            WHEN ((doc_id % 1000000007) * 2654435761 % 100 + 100) % 100 < 90
+        |              THEN 'val'
+        |            ELSE 'test' END AS split
+        |FROM documents""".stripMargin,
     "x24_stratified_sample" ->
       """SELECT event_type, count(*) AS n_kept FROM events
         |WHERE ((event_id % 1000000007) * 2654435761 % 100 + 100) % 100 <
@@ -3336,6 +3458,29 @@ object SparkEntry {
         |                                 ORDER BY sim DESC, nid ASC) AS BIGINT) AS rnk
         |  FROM s)
         |SELECT qid, nid, sim, rnk FROM r WHERE rnk <= 5""".stripMargin,
+    // JL replay: rebuild the projected vectors from the interpolated
+    // sign chains (bit-equal doubles — see jlProjectSqlList), then x05's
+    // brute chain over the compressed space
+    "x67_jl_topk" ->
+      s"""WITH pv AS (
+        |  SELECT vec_id, ${jlProjectSqlList("v", 64, jlOutDim)} AS p
+        |  FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings) t0),
+        |q AS (SELECT vec_id AS qid, p AS qvec FROM pv
+        |      WHERE ${fixedCountPredSql("embeddings", "vec_id", 40)}),
+        |s AS (
+        |  SELECT q.qid, e.vec_id AS nid,
+        |         round(list_cosine_similarity(q.qvec, e.p), 6) AS sim
+        |  FROM q, pv e WHERE e.vec_id <> q.qid),
+        |r AS (
+        |  SELECT qid, nid, sim,
+        |         CAST(row_number() OVER (PARTITION BY qid
+        |                                 ORDER BY sim DESC, nid ASC) AS BIGINT) AS rnk
+        |  FROM s)
+        |SELECT qid, nid, sim, rnk FROM r WHERE rnk <= 5""".stripMargin,
+    "x68_jl_recall" ->
+      s"""SELECT count(*) AS n_queries, TRUE AS mean_recall_ok
+        |FROM embeddings
+        |WHERE ${fixedCountPredSql("embeddings", "vec_id", 40)}""".stripMargin,
     // bucketed LSH-ANN: DuckDB rebuilds the SAME hyperplane buckets from
     // the interpolated plane literals (lshPlanesSqlValues), so the
     // candidate set — not just the scoring — is cross-engine-checked

@@ -38,6 +38,25 @@ object Sampling {
     (key % lit(1000000007L) * lit(2654435761L) % b + b) % b
   }
 
+  /** Deterministic train/val/test split assignment: every row gets a
+    * stable `split` label from its key's hash bucket — bucket < trainPct
+    * → train, < trainPct+valPct → val, else test. Because the bucket is
+    * the pure Knuth spread of the key (no rand(), no engine hash), the
+    * split is reproducible across runs, engines, partitionings and
+    * cluster sizes — re-materializing a 100 TB corpus never moves a
+    * document across the eval boundary, which is the property that
+    * keeps longitudinal evals honest. Map-only, pipelines in the scan
+    * stage; per-stratum proportions converge to the global rates since
+    * the bucket is independent of any attribute.
+    */
+  def splitAssign(df: DataFrame, keyCol: String, trainPct: Int = 80,
+                  valPct: Int = 10, buckets: Int = 100): DataFrame =
+    df.withColumn("bucket", hashBucket(col(keyCol), buckets))
+      .withColumn("split",
+        when(col("bucket") < trainPct, "train")
+          .when(col("bucket") < trainPct + valPct, "val")
+          .otherwise("test"))
+
   /** Keep each row of stratum `s` with probability `rates(s)/buckets`
     * (strata absent from the map use `defaultRate`). Rates are integer
     * bucket counts so the predicate stays exact integer arithmetic.

@@ -29,7 +29,9 @@ class EmptyCorpusSpec extends SparkSpec {
     "x54_shuffle_shard", "x55_domain_cap", "x56_semantic_dedup_hier",
     "x57_embed_neardup_reps", "x58_prod_twin_drift",
     "x59_semantic_dedup_auto", "x60_paragraph_dedup",
-    "x61_dupgram_profile")
+    "x61_dupgram_profile", "x62_boilerplate_rm", "x63_knn_graph",
+    "x64_bloom_decontaminate", "x65_knn_communities", "x66_split_assign",
+    "x67_jl_topk")
 
   test("documents/embeddings catalog entries are total on empty tables") {
     val dir = java.nio.file.Files.createTempDirectory("graft_empty_docs_").toString

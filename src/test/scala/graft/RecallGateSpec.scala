@@ -11,7 +11,8 @@ class RecallGateSpec extends SparkSpec {
 
   private val gates = Seq("x27_ann_recall", "x32_embed_neardup_recall",
     "x33_minhash_recall", "x34_simhash_recall", "x35_lsh_ann_recall",
-    "x40_multimodal_gate", "x47_pq_recall", "x49_ivfpq_recall")
+    "x40_multimodal_gate", "x47_pq_recall", "x49_ivfpq_recall",
+    "x68_jl_recall")
 
   private def gateHolds(name: String, dir: String): Unit = {
     val out = SparkEntry.queries(name)(spark, dir)
