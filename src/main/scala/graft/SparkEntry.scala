@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import graft.ops._
 import graft.pipelines.{Curation, Ecommerce, Iot, PetsNutrition}
 import graft.sources.{Fixtures, Sources}
-import graft.text.{Pii, TextAnalysis}
+import graft.text.{Pii, Retrieval, TextAnalysis}
 import graft.neardup.{Decontaminate, NearDup, ParaDedup}
 import graft.sim.Similarity
 import graft.multimodal.Multimodal
@@ -335,6 +335,11 @@ object SparkEntry {
   private val jlOutDim = 16 // x67 JL projected dims (64 → 16: 4× cheaper sims)
   private val jlShortlist = 100 // x68 rerank shortlist per query (recall knob)
   private val jlRecallBound = 0.3 // x68 floor: measured 0.39–0.67 on fixtures
+  private val bmK1 = 1.2    // x70 BM25 TF-saturation knob (textbook default)
+  private val bmB  = 0.75   // x70 BM25 length-normalization knob
+  private val bmK  = 5      // x70 hits returned per query
+  private val bmDfFrac = 0.9 // x70 fractional df-cap (documents' 31-word synthetic vocabulary tops out at df ~0.79)
+  private val bmQueryTarget = 40L // x70 fixed-count query-sample size
 
   /** The exact-integer IVF model as DuckDB CTEs (`b acc vec c0 s1 a1
     * c1p c1 s2 a2`): byte-sum embeds, Knuth-spread init, one integer
@@ -1874,6 +1879,31 @@ object SparkEntry {
         "doc_id", "text", k = dupGramK,
         mBits = bloomMBits, bloomK = bloomHashes)
     }),
+    // SEMANTIC decontamination — the meaning-level third leg of the
+    // x36/x64 family (same %20 train/eval split, so the three paths are
+    // directly comparable): flag training docs inside the cosine
+    // epsilon-ball of ANY eval embedding. Benchmark side broadcast
+    // whole, training side screened map-side in its scan stage —
+    // linear in the corpus with a constant-size eval set. Exact-integer
+    // cosine (the x20i embeds), so every flagged pair hash-replays
+    "x69_semantic_decontaminate" -> ((s, d) => {
+      val emb = Multimodal.fakeEmbedInt(s,
+        Multimodal.withPayload(docs(s, d), "doc_id", "text"),
+        dim = fakeEmbedDim).toDF()
+      Similarity.semanticDecontaminate(
+        emb.filter(col("doc_id") % 20 =!= 0),
+        emb.filter(col("doc_id") % 20 === 0),
+        "doc_id", "embedding", threshold = semDedupThreshold)
+    }),
+    // BM25 lexical top-k retrieval: query docs (fixed-count sample)
+    // against the whole corpus over a df-capped inverted index —
+    // rational idf + fixed-point contributions keep every score an
+    // exact integer both engines replay (see text.Retrieval for the
+    // two documented deviations from the textbook formula)
+    "x70_bm25_topk" -> ((s, d) =>
+      Retrieval.bm25TopK(docs(s, d), "doc_id", "text",
+        fixedCountPred(docs(s, d), "doc_id", bmQueryTarget),
+        k1 = bmK1, b = bmB, k = bmK, maxDfFrac = bmDfFrac)),
     // sequence packing: concatenate docs into 512-token training
     // sequences, packed independently per shard (doc_id % 8) — the
     // shard-local window is the only shuffle, and shard count is the
@@ -3077,6 +3107,58 @@ object SparkEntry {
         |FROM hit h LEFT JOIN ev ON h.shingle = ev.shingle
         |GROUP BY h.doc_id""".stripMargin
     },
+    // x69: the byte-sum embed CTEs + one eval-broadcast screen — the
+    // cosine/round spelling is x53's epsilon-ball with the %20 split
+    "x69_semantic_decontaminate" ->
+      s"""WITH $intEmbedVecCtes,
+        |tr AS (SELECT doc_id, v FROM vec WHERE doc_id % 20 <> 0),
+        |ev AS (SELECT v FROM vec WHERE doc_id % 20 = 0),
+        |hits AS (
+        |  SELECT tr.doc_id, round(${intCosSql("tr.v", "ev.v")}, 6) AS sim
+        |  FROM tr, ev)
+        |SELECT doc_id, count(*) AS n_close, max(sim) AS max_sim
+        |FROM hits WHERE sim >= $semDedupThreshold
+        |GROUP BY doc_id""".stripMargin,
+    // x70: inverted index + true-df + 1-row stats, then the identical
+    // fixed-IEEE contribution sequence floored to integer millionths —
+    // every float constant below is interpolated from the SAME Scala
+    // doubles the Spark plan lits (shortest-round-trip formatting, and
+    // ::DOUBLE casts keep DuckDB out of DECIMAL arithmetic)
+    "x70_bm25_topk" ->
+      s"""WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+        |                             x -> x <> '') AS tk
+        |  FROM documents),
+        |tf AS (
+        |  SELECT doc_id AS nid, len(tk)::BIGINT AS dl, u.term, count(*) AS tf
+        |  FROM toks, UNNEST(tk) AS u(term)
+        |  GROUP BY 1, 2, 3),
+        |dfs AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        |st AS (SELECT count(*) AS n, sum(len(tk))::BIGINT AS sl FROM toks),
+        |q AS (SELECT tf.nid AS qid, tf.term, dfs.df, st.n, st.sl
+        |      FROM tf JOIN dfs USING (term) CROSS JOIN st
+        |      WHERE ${fixedCountPredSql("documents", "tf.nid", bmQueryTarget)}
+        |        AND dfs.df <= floor($bmDfFrac::DOUBLE * CAST(st.n AS DOUBLE))),
+        |sc AS (
+        |  SELECT q.qid, tf.nid,
+        |         CAST(floor(
+        |           ((CAST(q.n - q.df AS DOUBLE) + 0.5::DOUBLE)
+        |             / (CAST(q.df AS DOUBLE) + 0.5::DOUBLE))
+        |           * (CAST(tf.tf AS DOUBLE) * ${bmK1 + 1}::DOUBLE
+        |              / (CAST(tf.tf AS DOUBLE)
+        |                 + ${bmK1}::DOUBLE * (${1 - bmB}::DOUBLE
+        |                     + ${bmB}::DOUBLE * CAST(tf.dl AS DOUBLE)
+        |                       / (CAST(q.sl AS DOUBLE) / CAST(q.n AS DOUBLE)))))
+        |           * 1e6) AS BIGINT) AS c
+        |  FROM q JOIN tf USING (term)
+        |  WHERE tf.nid <> q.qid),
+        |ag AS (SELECT qid, nid, CAST(sum(c) AS BIGINT) AS score
+        |       FROM sc GROUP BY 1, 2),
+        |r AS (SELECT qid, nid, score,
+        |        CAST(row_number() OVER (PARTITION BY qid
+        |               ORDER BY score DESC, nid ASC) AS BIGINT) AS rnk
+        |      FROM ag)
+        |SELECT qid, nid, score, rnk FROM r WHERE rnk <= $bmK""".stripMargin,
     "x37_pack_sequences" ->
       """WITH toks AS (
         |  SELECT doc_id,

@@ -625,6 +625,45 @@ object Similarity {
       semDedupIntHier(emb, idCol, vecCol, nlist, ncoarse, threshold)
     }
 
+  /** SEMANTIC decontamination: flag training docs whose embedding sits
+    * inside the cosine epsilon-ball of ANY benchmark/eval embedding —
+    * the meaning-level complement of the n-gram overlap paths
+    * (`Decontaminate.report` exact-lexical, `bloomReport` bloom-gated):
+    * a paraphrased eval answer shares few 8-grams but lands next to the
+    * eval doc in embedding space.
+    *
+    * Scale shape: the eval side is a BENCHMARK set — thousands of
+    * vectors against a 100 TB corpus — so it is broadcast whole and
+    * every training vector is screened map-side in its scan stage
+    * (cross join + filter = one codegen'd loop per row, no shuffle on
+    * the training side at all; the same shape as x36's broadcast-semi
+    * join and x42's broadcast rate map). Cost is |train| · |eval|
+    * per-row arithmetic with |eval| constant — linear in the corpus.
+    * For an eval side too big to broadcast, restrict candidates with
+    * the shared IVF cells ([[ivfIntModel]]) exactly as [[semDedupInt]]
+    * does; the broadcast spelling here IS the production shape for real
+    * benchmark sizes.
+    *
+    * Integer-exact cosine ([[cosExactInt]]) rounded 6dp, so the DuckDB
+    * twin replays every flagged pair. Output: one row per CONTAMINATED
+    * training doc (idCol, n_close, max_sim) — `n_close` eval docs
+    * inside the ball, `max_sim` the worst offender (deterministic: max
+    * over rounded doubles).
+    */
+  def semanticDecontaminate(train: DataFrame, eval: DataFrame,
+                            idCol: String, vecCol: String,
+                            threshold: Double): DataFrame = {
+    val t = train.select(col(idCol).as("__tid"),
+      col(vecCol).cast("array<long>").as("tvec"))
+    val e = eval.select(col(vecCol).cast("array<long>").as("evec"))
+    t.crossJoin(broadcast(e))
+      .select(col("__tid"),
+        round(cosExactInt(col("tvec"), col("evec")), 6).as("sim"))
+      .filter(col("sim") >= threshold)
+      .groupBy(col("__tid").as(idCol))
+      .agg(count(lit(1)).as("n_close"), max(col("sim")).as("max_sim"))
+  }
+
   /** Embedding near-duplicate pairs: all pairs with cosine ≥ threshold,
     * candidate generation bounded by LSH buckets (a true 100 TB-safe
     * near-dup join: bucket-equi-join, not cross join).

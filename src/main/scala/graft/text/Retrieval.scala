@@ -1,0 +1,106 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Lexical top-k retrieval over the corpus — the BM25 scoring family
+  * (Robertson/Sparck-Jones probabilistic weighting with TF saturation
+  * and length normalization), the standard tool for query-driven
+  * corpus exploration and for mining training data relevant to a seed
+  * set ("retrieve documents like these benchmark questions").
+  *
+  * Two deliberate deviations from textbook BM25, both for cross-engine
+  * exactness (and both rank-preserving in the ways that matter):
+  *
+  *  - RATIONAL idf: `(N - df + 0.5) / (df + 0.5)` — classic BM25 takes
+  *    the ln of this. ln is the one op IEEE-754 does NOT require
+  *    correctly rounded (libm vs JVM may differ in the last bit), so
+  *    the log is dropped rather than hashed-on-hope. Per TERM the map
+  *    is strictly monotone (rarer term ⇒ bigger weight, same as with
+  *    ln); multi-term sums weight rare terms more sharply than the
+  *    log-scaled original — documented, deterministic, and the shape
+  *    100 TB cares about (the join structure) is identical.
+  *  - FIXED-POINT contributions: each term's `idf · tf_sat` is floored
+  *    to integer millionths BEFORE the per-(query, doc) sum. Double
+  *    addition is order-dependent and a shuffled groupBy sums in
+  *    arbitrary order — summing exact integers instead makes the score
+  *    independent of partitioning (the same trick the integer-embed
+  *    family uses), at a bounded 1e-6-per-term score quantization.
+  *
+  * Everything upstream of the floor is a fixed sequence of IEEE
+  * +,-,*,/ on integer-exact doubles — both engines replay it bitwise.
+  *
+  * Scale shape: one inverted-index pass (explode + partial-agg count)
+  * builds (doc, term, tf, dl); df comes from one more partial agg.
+  * Terms present in more than `maxDfFrac` of the corpus are dropped
+  * from SCORING (their rational idf ≈ 1 — no ranking signal, dominant
+  * join cost; the classical stopword-pruning move, expressed as a
+  * FRACTION so the cap scales with the corpus instead of silently
+  * emptying the index as N grows past any absolute bound). True df —
+  * computed BEFORE the cap — still feeds idf for surviving terms.
+  * The query side is a fixed-count sample: its term list stays
+  * broadcast-sized, so the candidate join is broadcast on one side and
+  * the per-doc side never shuffles until the (qid, nid) partial-agg
+  * sum. Cost ∝ Σ_{query terms} df(term) — linear in corpus size for a
+  * fixed query count, linear in the query count, never all-pairs. The
+  * further pruning path at web scale is impact ordering (WAND /
+  * block-max): skip postings that cannot reach the current top-k
+  * bound — noted, not implemented; the frac-cap is the first-order
+  * version of the same idea.
+  */
+object Retrieval {
+
+  /** Top-k BM25-scored corpus docs per query doc. Output one row per
+    * (query, hit): (qid, nid, score, rnk) — `score` in integer
+    * millionths, `rnk` the dense 1-based rank (score DESC, nid ASC
+    * deterministic tiebreak). The query doc itself is excluded.
+    */
+  def bm25TopK(corpus: DataFrame, idCol: String, textCol: String,
+               queryPred: Column, k1: Double = 1.2, b: Double = 0.75,
+               k: Int = 5, maxDfFrac: Double = 0.9): DataFrame = {
+    val toks = corpus.select(col(idCol).as("nid"),
+      TextAnalysis.tokens(col(textCol)).as("tk"))
+    // inverted index with per-doc length riding along: (nid, dl, term, tf)
+    val tf = toks
+      .select(col("nid"), size(col("tk")).as("dl"),
+        explode(col("tk")).as("term"))
+      .groupBy("nid", "dl", "term")
+      .agg(count(lit(1)).as("tf"))
+    // corpus stats: one 1-row aggregate (docs INCLUDING token-less ones;
+    // integer sum, so avgdl is one exact division both engines replay)
+    val stats = toks.agg(count(lit(1)).as("n"), sum(size(col("tk"))).as("sl"))
+    // true document frequency, computed BEFORE the cap so idf is honest
+    val dfs = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    // query term lists (distinct by construction — tf is grouped),
+    // annotated with df + corpus stats and CAP-FILTERED here, so the
+    // fractional cap prunes the candidate join itself (capped terms
+    // never reach the corpus-sized side; the bound is the floor of one
+    // IEEE multiply both engines replay)
+    val qterms = tf.join(
+        corpus.filter(queryPred).select(col(idCol).as("qid")),
+        col("nid") === col("qid"))
+      .select("qid", "term")
+      .join(dfs, Seq("term"))
+      .crossJoin(stats)
+      .filter(col("df") <= floor(lit(maxDfFrac) * col("n").cast("double")))
+    // every float literal is computed HERE and interpolated into the
+    // oracle SQL by the caller — neither engine does constant
+    // arithmetic of its own, so the doubles agree bitwise
+    val avgdl = col("sl").cast("double") / col("n").cast("double")
+    val idf = ((col("n") - col("df")).cast("double") + lit(0.5)) /
+      (col("df").cast("double") + lit(0.5))
+    val tfsat = col("tf").cast("double") * lit(k1 + 1) /
+      (col("tf").cast("double") +
+        lit(k1) * (lit(1 - b) + lit(b) * col("dl").cast("double") / avgdl))
+    val scored = tf
+      .join(broadcast(qterms), Seq("term"))
+      .filter(col("nid") =!= col("qid"))
+      .select(col("qid"), col("nid"),
+        floor(idf * tfsat * lit(1e6)).as("c"))
+    val w = Window.partitionBy("qid").orderBy(col("score").desc, col("nid").asc)
+    scored.groupBy("qid", "nid").agg(sum(col("c")).as("score"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+  }
+}

@@ -240,4 +240,33 @@ class PlanAuditSpec extends SparkSpec {
       s"dup-gram profile must stay equi-join only:\n$p")
     assert(!p.contains("Window"), s"no window expected in:\n$p")
   }
+
+  test("x69: the eval embedding side broadcasts — the training side " +
+    "is screened map-side, no shuffle before the per-doc aggregate") {
+    val exec = planNoAqe("x69_semantic_decontaminate")
+    val p = exec.toString
+    // the benchmark screen is a broadcast nested-loop (cross join vs a
+    // constant-size eval frame) evaluated inside the training scan
+    // stage; the ONLY training-sized exchange is the final groupBy
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"eval side not broadcast in:\n$p")
+    assert(p.contains("partial_count"),
+      s"offender counting not map-side combined in:\n$p")
+  }
+
+  test("x70: query terms broadcast into the postings join; the score " +
+    "sum partial-aggregates before its exchange") {
+    val exec = planNoAqe("x70_bm25_topk")
+    val p = exec.toString
+    // the (qid, term, df, stats) frame is broadcast-sized by the
+    // fixed-count query rule; the corpus-sized postings side must meet
+    // it via BroadcastHashJoin, never a shuffled join
+    assert(p.contains("BroadcastHashJoin [term"),
+      s"query-term side not broadcast in:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"retrieval must stay term-equi-join:\n$p")
+    // fixed-point contributions partial-sum map-side
+    assert(p.contains("partial_sum"),
+      s"score sum not map-side combined in:\n$p")
+  }
 }
