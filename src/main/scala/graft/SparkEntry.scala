@@ -340,6 +340,8 @@ object SparkEntry {
   private val bmK  = 5      // x70 hits returned per query
   private val bmDfFrac = 0.9 // x70 fractional df-cap (documents' 31-word synthetic vocabulary tops out at df ~0.79)
   private val bmQueryTarget = 40L // x70 fixed-count query-sample size
+  private val tokenBudget = 1500L // x71 per-domain token budget (keeps ~1/3 of each sf0.01 domain)
+  private val bpeTopN = 20 // x72 merge candidates returned
 
   /** The exact-integer IVF model as DuckDB CTEs (`b acc vec c0 s1 a1
     * c1p c1 s2 a2`): byte-sum embeds, Knuth-spread init, one integer
@@ -1904,6 +1906,20 @@ object SparkEntry {
       Retrieval.bm25TopK(docs(s, d), "doc_id", "text",
         fixedCountPred(docs(s, d), "doc_id", bmQueryTarget),
         k1 = bmK1, b = bmB, k = bmK, maxDfFrac = bmDfFrac)),
+    // token-budget selection: fill each domain's training budget with
+    // its best docs (quality-ranked prefix walk over cumulative token
+    // mass) — the mass-based counterpart of x55's count cap; one
+    // domain-keyed exchange, integer-exact throughout
+    "x71_token_budget_select" -> ((s, d) =>
+      Sampling.tokenBudgetSelect(docs(s, d), "doc_id", "text", "source",
+        budget = tokenBudget)),
+    // BPE pair counting (tokenizer-training step 1): corpus pays one
+    // token explode into a word-frequency table; pair extraction runs
+    // over the VOCABULARY weighted by freq — the standard BPE-trainer
+    // trick, integer-exact, rank-replayed by the oracle
+    "x72_bpe_pair_counts" -> ((s, d) =>
+      TextAnalysis.bpePairCounts(docs(s, d), "doc_id", "text",
+        topN = bpeTopN)),
     // sequence packing: concatenate docs into 512-token training
     // sequences, packed independently per shard (doc_id % 8) — the
     // shard-local window is the only shuffle, and shard count is the
@@ -3159,6 +3175,43 @@ object SparkEntry {
         |               ORDER BY score DESC, nid ASC) AS BIGINT) AS rnk
         |      FROM ag)
         |SELECT qid, nid, score, rnk FROM r WHERE rnk <= $bmK""".stripMargin,
+    // x71: same tokenization CTE, per-domain ordered prefix sum — the
+    // window frame is spelled identically on both sides
+    "x71_token_budget_select" ->
+      s"""WITH toks AS (
+        |  SELECT doc_id, source, list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+        |                                     x -> x <> '') AS tk
+        |  FROM documents),
+        |b AS (SELECT doc_id, source, len(tk)::BIGINT AS n_tokens,
+        |             len(list_distinct(tk))::BIGINT AS q
+        |      FROM toks),
+        |c AS (SELECT doc_id, source, n_tokens, q,
+        |        CAST(sum(n_tokens) OVER (PARTITION BY source
+        |               ORDER BY q DESC, doc_id ASC
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |             AS BIGINT) AS cum_tokens
+        |      FROM b)
+        |SELECT doc_id, source, n_tokens, q, cum_tokens,
+        |       cum_tokens <= $tokenBudget AS kept
+        |FROM c""".stripMargin,
+    // x72: word-frequency table, vocabulary-sized pair explode
+    // (range(1, len) is end-exclusive = the Spark guard's 1..len-1),
+    // exact-integer counts, post-agg global rank
+    "x72_bpe_pair_counts" ->
+      s"""WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+        |                             x -> x <> '') AS tk
+        |  FROM documents),
+        |w AS (SELECT u.w AS w, count(*) AS freq
+        |      FROM toks, UNNEST(tk) AS u(w) GROUP BY 1),
+        |p AS (SELECT substr(w, CAST(i AS INT), 2) AS pair, freq
+        |      FROM w, UNNEST(range(1, length(w))) AS r(i)),
+        |a AS (SELECT pair, CAST(sum(freq) AS BIGINT) AS cnt
+        |      FROM p GROUP BY pair),
+        |r AS (SELECT pair, cnt,
+        |        CAST(row_number() OVER (ORDER BY cnt DESC, pair ASC) AS BIGINT) AS rnk
+        |      FROM a)
+        |SELECT pair, cnt, rnk FROM r WHERE rnk <= $bpeTopN""".stripMargin,
     "x37_pack_sequences" ->
       """WITH toks AS (
         |  SELECT doc_id,

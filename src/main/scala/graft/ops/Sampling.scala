@@ -124,4 +124,44 @@ object Sampling {
           .orderBy(col("score").desc, col(idCol).asc)).cast("long"))
     ranked.filter(col("rnk") <= k)
   }
+
+  /** TOKEN-BUDGET selection — the "fill an N-token training budget with
+    * the best documents of each domain" rule (the mass-based
+    * counterpart of [[domainCap]]'s count cap, and the greedy form of
+    * the mixture weights [[rebalanceBy]] applies as rates): rank each
+    * domain's docs by a caller-supplied integer quality score
+    * (id-tiebroken — deterministic, SQL-replayable), walk the ranking
+    * accumulating token mass, and keep docs while the running total
+    * stays inside the budget. A doc that would overflow the budget is
+    * dropped along with everything ranked below it that still fits —
+    * the contract is a PREFIX of the quality ranking (the reproducible
+    * spelling), not a best-fit knapsack.
+    *
+    * Output: one row per input doc (idCol, domainCol, n_tokens, q,
+    * cum_tokens, kept) — the per-doc frame downstream mixing joins on.
+    *
+    * Scale shape: one corpus pass computes (tokens, score) map-side,
+    * then ONE domain-keyed exchange feeds the per-domain ordered
+    * cumulative sum. A prefix-sum cannot WindowGroupLimit-prune (every
+    * row's keep bit depends on the mass above it), so a mega-domain
+    * sorts in one reducer — the mitigation at 100 TB is the same
+    * two-stage trade the paragraph operators make: pre-cap the domain
+    * with [[domainCap]] at a generous K ≈ budget/min_doc_tokens first
+    * (rank-prunable), then run the exact prefix walk on the survivors.
+    */
+  def tokenBudgetSelect(df: DataFrame, idCol: String, textCol: String,
+                        domainCol: String, budget: Long): DataFrame = {
+    val t = graft.text.TextAnalysis.tokens(col(textCol))
+    // integer quality: distinct-token count (lexical diversity) — any
+    // deterministic integer score slots in; this one needs no second
+    // corpus pass and its SQL twin is one list_distinct
+    val base = df.select(col(idCol), col(domainCol),
+      size(t).cast("long").as("n_tokens"),
+      size(array_distinct(t)).cast("long").as("q"))
+    val w = Window.partitionBy(domainCol)
+      .orderBy(col("q").desc, col(idCol).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    base.withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .withColumn("kept", col("cum_tokens") <= budget)
+  }
 }

@@ -1,6 +1,7 @@
 package graft.text
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for a large-scale training-data pipeline:
@@ -371,5 +372,41 @@ object TextAnalysis {
       .groupBy(idCol)
       .agg(sum("w_micro").as("score_micro"))
       .withColumn("pred_ok", col("score_micro") >= 0)
+  }
+
+  /** BPE pair counting — the first merge step of byte-pair-encoding
+    * tokenizer training (Sennrich et al. 2016), the primitive a
+    * corpus-scale tokenizer trainer iterates: count adjacent
+    * symbol-pair frequencies over the corpus, weighted by word
+    * frequency. Output: the top `topN` pairs (pair, cnt, rnk),
+    * deterministic tiebreak (cnt DESC, pair ASC).
+    *
+    * Scale shape — the standard BPE-trainer trick, spelled in Spark:
+    * the corpus-sized work is ONE token explode into a map-side
+    * partially-aggregated word-frequency table; pair extraction then
+    * runs over the VOCABULARY (distinct words — bounded by the
+    * language, not the corpus), weighted by `freq`, so a 100 TB corpus
+    * pays one linear pass + a vocabulary-sized explode. The final
+    * aggregate is bounded by charset², and the global top-N window is
+    * post-agg on that bounded frame (the W1 discipline). All counts
+    * are exact integers — the oracle replays every rank.
+    */
+  def bpePairCounts(df: DataFrame, idCol: String, textCol: String,
+                    topN: Int = 20): DataFrame = {
+    val vocab = df.select(explode(tokens(col(textCol))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+    // adjacent char pairs of each distinct word; the guard keeps
+    // 1-char words at zero pairs (sequence(1, 0) would DESCEND, the
+    // wordGramsCol pitfall)
+    val pairs = vocab
+      .select(col("freq"), explode(
+        when(length(col("w")) >= 2,
+          transform(sequence(lit(1), length(col("w")) - 1),
+            i => col("w").substr(i, lit(2))))
+          .otherwise(array().cast("array<string>"))).as("pair"))
+    pairs.groupBy("pair").agg(sum(col("freq")).as("cnt"))
+      .withColumn("rnk", row_number().over(
+        Window.orderBy(col("cnt").desc, col("pair").asc)).cast("long"))
+      .filter(col("rnk") <= topN)
   }
 }

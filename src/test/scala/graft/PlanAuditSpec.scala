@@ -269,4 +269,30 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("partial_sum"),
       s"score sum not map-side combined in:\n$p")
   }
+
+  test("x71: budget selection shuffles exactly once, keyed on the domain") {
+    val exec = planNoAqe("x71_token_budget_select")
+    val ex = shuffles(exec)
+    assert(ex.length == 1, s"expected ONE domain exchange:\n$exec")
+    assert(ex.head.toString.contains("source"),
+      s"exchange not keyed on the domain column:\n${ex.head}")
+  }
+
+  test("x72: word frequencies partial-aggregate; the pair explode runs " +
+    "on the vocabulary side, after the corpus aggregate") {
+    val exec = planNoAqe("x72_bpe_pair_counts")
+    val p = exec.toString
+    assert(p.contains("partial_count"),
+      s"word freq not map-side combined in:\n$p")
+    // the pair Generate must sit ABOVE the word-frequency aggregate in
+    // the plan (vocabulary-sized input), not directly on the scan —
+    // the pair explode is the CASE-guarded one (plans print root-first,
+    // so an aggregate AFTER it in the string is BELOW it in the tree)
+    val gen = p.indexOf("Generate explode(CASE WHEN")
+    assert(gen >= 0 && p.indexOf("HashAggregate", gen) >= 0,
+      s"no aggregate below the pair explode (vocabulary trick lost):\n$p")
+    // and the global top-N compiles to rank-limit pushdown, no full sort
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-N pairs not limit-pushed:\n$p")
+  }
 }

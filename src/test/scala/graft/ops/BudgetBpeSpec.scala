@@ -1,0 +1,55 @@
+package graft.ops
+
+import graft.SparkSpec
+import graft.text.TextAnalysis
+import org.apache.spark.sql.functions._
+
+/** Token-budget selection (x71) and BPE pair counting (x72) contracts. */
+class BudgetBpeSpec extends SparkSpec {
+  import spark.implicits._
+
+  // domain A: three docs of 4 tokens each, quality (distinct tokens)
+  // 4 > 3 > 2; domain B: one doc over budget on its own
+  private def docsDf = Seq(
+    (1L, "a", "w x y z"),          // q=4, 4 tokens
+    (2L, "a", "w w x y"),          // q=3
+    (3L, "a", "w w x x"),          // q=2
+    (10L, "b", "p q r s t u v w neverfits j k l m")) // 13 tokens
+    .toDF("doc_id", "source", "text")
+
+  test("budget keeps the quality-ranked prefix per domain") {
+    val out = Sampling.tokenBudgetSelect(docsDf, "doc_id", "text",
+        "source", budget = 8L)
+      .collect().map(r => r.getLong(0) -> (r.getLong(4), r.getBoolean(5))).toMap
+    // domain a: cum 4, 8, 12 → docs 1 and 2 fit, doc 3 overflows
+    assert(out(1L) == ((4L, true)) && out(2L) == ((8L, true)))
+    assert(out(3L) == ((12L, false)))
+    // domain b: a single 13-token doc cannot fit an 8-token budget
+    assert(out(10L) == ((13L, false)))
+    assert(out.size == 4, "one row per input doc")
+  }
+
+  test("budget selection is partition-independent") {
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Sampling.tokenBudgetSelect(df, "doc_id", "text", "source", 8L)
+        .collect().map(r => (r.getLong(0), r.getLong(4), r.getBoolean(5))).toSet
+    assert(run(docsDf) == run(docsDf.repartition(5)))
+  }
+
+  test("bpe pairs are word-frequency-weighted and rank-deterministic") {
+    // "ab" appears in both words; word "abc" occurs 2×, "abd" 1× —
+    // so cnt(ab) = 3, cnt(bc) = 2, cnt(bd) = 1; 1-char words add none
+    val df = Seq((1L, "abc abd x"), (2L, "abc y")).toDF("doc_id", "text")
+    val out = TextAnalysis.bpePairCounts(df, "doc_id", "text", topN = 10)
+      .orderBy("rnk").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq(("ab", 3L, 1L), ("bc", 2L, 2L), ("bd", 1L, 3L)))
+  }
+
+  test("bpe pair counting is total on empty and 1-char-only corpora") {
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(TextAnalysis.bpePairCounts(empty, "doc_id", "text").count() == 0L)
+    val ones = Seq((1L, "a b c")).toDF("doc_id", "text")
+    assert(TextAnalysis.bpePairCounts(ones, "doc_id", "text").count() == 0L)
+  }
+}
