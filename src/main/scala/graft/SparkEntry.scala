@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import graft.ops._
 import graft.pipelines.{Curation, Ecommerce, Iot, PetsNutrition}
 import graft.sources.{Fixtures, Sources}
-import graft.text.{Pii, Retrieval, TextAnalysis}
+import graft.text.{Dsir, Pii, Retrieval, TextAnalysis}
 import graft.neardup.{Decontaminate, NearDup, ParaDedup}
 import graft.sim.Similarity
 import graft.multimodal.Multimodal
@@ -342,6 +342,8 @@ object SparkEntry {
   private val bmQueryTarget = 40L // x70 fixed-count query-sample size
   private val tokenBudget = 1500L // x71 per-domain token budget (keeps ~1/3 of each sf0.01 domain)
   private val bpeTopN = 20 // x72 merge candidates returned
+  private val dsirBuckets = 256 // x73 hashed-ngram feature dimension
+  private val dsirK = 100       // x73 selected-subset size (1/5 of sf0.01 corpus)
 
   /** The exact-integer IVF model as DuckDB CTEs (`b acc vec c0 s1 a1
     * c1p c1 s2 a2`): byte-sum embeds, Knuth-spread init, one integer
@@ -1920,6 +1922,14 @@ object SparkEntry {
     "x72_bpe_pair_counts" -> ((s, d) =>
       TextAnalysis.bpePairCounts(docs(s, d), "doc_id", "text",
         topN = bpeTopN)),
+    // DSIR importance selection (Xie et al. 2023): hashed unigram+bigram
+    // model of target (lang='en') vs raw, integer micro-prob weights,
+    // top-k most-target-like docs; the weight table is BUCKET-bounded
+    // (broadcast stays free at any corpus size)
+    "x73_dsir_select" -> ((s, d) =>
+      Dsir.dsirSelect(docs(s, d), "doc_id", "text",
+        targetPred = col("lang") === "en",
+        buckets = dsirBuckets, k = dsirK)),
     // sequence packing: concatenate docs into 512-token training
     // sequences, packed independently per shard (doc_id % 8) — the
     // shard-local window is the only shuffle, and shard count is the
@@ -3212,6 +3222,46 @@ object SparkEntry {
         |        CAST(row_number() OVER (ORDER BY cnt DESC, pair ASC) AS BIGINT) AS rnk
         |      FROM a)
         |SELECT pair, cnt, rnk FROM r WHERE rnk <= $bpeTopN""".stripMargin,
+    // x73: x12's rolling token hash feeds hashed unigram+bigram buckets
+    // (DuckDB lists are 1-based; range(1, len) is end-exclusive = the
+    // Spark guard's 1..len-1, and is empty for 1-token docs so no CASE
+    // is needed), then Laplace micro-prob weights and the per-doc sum —
+    // every integer step spelled identically on both sides
+    "x73_dsir_select" ->
+      s"""WITH t AS (
+        |  SELECT doc_id, lang = 'en' AS is_t,
+        |         list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+        |                     x -> x <> '') AS toks
+        |  FROM documents),
+        |h AS (SELECT doc_id, is_t,
+        |        list_transform(toks, tok ->
+        |          list_reduce(
+        |            list_prepend(CAST(7 AS BIGINT),
+        |              list_transform(string_split(tok, ''),
+        |                             c -> CAST(ascii(c) AS BIGINT))),
+        |            (a, b) -> (a * 31 + b) % 1000000007)) AS th
+        |      FROM t),
+        |f AS (SELECT doc_id, is_t, u.b AS b
+        |      FROM h, UNNEST(list_concat(
+        |        list_transform(th, x -> x % $dsirBuckets),
+        |        list_transform(range(1, len(th)),
+        |          i -> ((th[CAST(i AS INT)] * 131 + th[CAST(i AS INT) + 1])
+        |                % 1000000007) % $dsirBuckets))) AS u(b)),
+        |c AS (SELECT b, count(*)::BIGINT AS c_r,
+        |             sum(CASE WHEN is_t THEN 1 ELSE 0 END)::BIGINT AS c_t
+        |      FROM f GROUP BY 1),
+        |w AS (SELECT b,
+        |        (c_t + 1) * 1000000 // (n.n_t + $dsirBuckets) -
+        |        (c_r + 1) * 1000000 // (n.n_r + $dsirBuckets) AS w_micro
+        |      FROM c, (SELECT sum(c_r) AS n_r, sum(c_t) AS n_t FROM c) n),
+        |s AS (SELECT doc_id, CAST(sum(w_micro) AS BIGINT) AS score_micro
+        |      FROM f JOIN w USING (b) GROUP BY 1),
+        |top AS (SELECT doc_id, score_micro FROM s
+        |        ORDER BY score_micro DESC, doc_id ASC LIMIT $dsirK)
+        |SELECT doc_id, score_micro,
+        |       CAST(row_number() OVER (ORDER BY score_micro DESC, doc_id ASC)
+        |            AS BIGINT) AS rnk
+        |FROM top""".stripMargin,
     "x37_pack_sequences" ->
       """WITH toks AS (
         |  SELECT doc_id,

@@ -295,4 +295,16 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"),
       s"top-N pairs not limit-pushed:\n$p")
   }
+
+  test("x73: bucket-bounded weight table broadcasts; per-doc score " +
+    "partial-aggregates; top-k is limit-pushed") {
+    val exec = planNoAqe("x73_dsir_select")
+    val p = exec.toString
+    assert(p.contains("BroadcastHashJoin"),
+      s"weight table not broadcast to the scoring join:\n$p")
+    assert(p.contains("partial_sum"),
+      s"per-doc score not map-side combined:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"selection not limit-pushed (global sort!):\n$p")
+  }
 }
