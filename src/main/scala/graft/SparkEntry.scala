@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import graft.ops._
 import graft.pipelines.{Curation, Ecommerce, Iot, PetsNutrition}
 import graft.sources.{Fixtures, Sources}
-import graft.text.{Dsir, Pii, Retrieval, TextAnalysis}
+import graft.text.{CcNet, Dsir, Pii, Retrieval, TextAnalysis}
 import graft.neardup.{Decontaminate, NearDup, ParaDedup}
 import graft.sim.Similarity
 import graft.multimodal.Multimodal
@@ -1930,6 +1930,12 @@ object SparkEntry {
       Dsir.dsirSelect(docs(s, d), "doc_id", "text",
         targetPred = col("lang") === "en",
         buckets = dsirBuckets, k = dsirK)),
+    // CCNet-style LM triage (Wenzek et al. 2020): unigram target-LM
+    // score in exact micro-probs, corpus split head/middle/tail at the
+    // exact score tertiles (the q01 percentile-bounds pattern)
+    "x74_ccnet_buckets" -> ((s, d) =>
+      CcNet.ccnetBuckets(docs(s, d), "doc_id", "text",
+        targetPred = col("lang") === "en")),
     // sequence packing: concatenate docs into 512-token training
     // sequences, packed independently per shard (doc_id % 8) — the
     // shard-local window is the only shuffle, and shard count is the
@@ -3262,6 +3268,34 @@ object SparkEntry {
         |       CAST(row_number() OVER (ORDER BY score_micro DESC, doc_id ASC)
         |            AS BIGINT) AS rnk
         |FROM top""".stripMargin,
+    // x74: unigram LM in exact micro-probs (Laplace-smoothed, OOV =
+    // unseen mass), integer mean per doc; only the tertile thresholds
+    // interpolate, via the q01-proven percentile_cont pairing, with the
+    // fraction doubles interpolated identically on both sides
+    "x74_ccnet_buckets" ->
+      s"""WITH t AS (
+        |  SELECT doc_id, lang = 'en' AS is_t,
+        |         list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+        |                     x -> x <> '') AS toks
+        |  FROM documents),
+        |e AS (SELECT doc_id, is_t, u.term AS term
+        |      FROM t, UNNEST(toks) AS u(term)),
+        |tc AS (SELECT term, count(*)::BIGINT AS c_t FROM e WHERE is_t GROUP BY 1),
+        |n AS (SELECT CAST(sum(c_t) + count(*) AS BIGINT) AS d_t FROM tc),
+        |lm AS (SELECT term, (c_t + 1) * 1000000 // n.d_t AS p_micro FROM tc, n),
+        |s AS (SELECT e.doc_id,
+        |        CAST(sum(coalesce(lm.p_micro, 1000000 // n.d_t)) // count(*)
+        |             AS BIGINT) AS score_micro
+        |      FROM e LEFT JOIN lm USING (term), n
+        |      GROUP BY 1),
+        |th AS (SELECT percentile_cont(${1.0 / 3}) WITHIN GROUP (ORDER BY score_micro) AS t1,
+        |              percentile_cont(${2.0 / 3}) WITHIN GROUP (ORDER BY score_micro) AS t2
+        |       FROM s)
+        |SELECT doc_id, score_micro,
+        |       CASE WHEN score_micro > t2 THEN 'head'
+        |            WHEN score_micro > t1 THEN 'middle'
+        |            ELSE 'tail' END AS bucket
+        |FROM s, th""".stripMargin,
     "x37_pack_sequences" ->
       """WITH toks AS (
         |  SELECT doc_id,

@@ -307,4 +307,16 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"),
       s"selection not limit-pushed (global sort!):\n$p")
   }
+
+  test("x74: LM broadcasts to the scoring join; tertile thresholds " +
+    "attach via broadcast, not collect; per-doc sum partial-aggregates") {
+    val exec = planNoAqe("x74_ccnet_buckets")
+    val p = exec.toString
+    assert(p.contains("BroadcastHashJoin"),
+      s"LM table not broadcast to the scoring join:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"1-row frames (OOV mass / tertiles) not broadcast-attached:\n$p")
+    assert(p.contains("partial_sum"),
+      s"per-doc score not map-side combined:\n$p")
+  }
 }
