@@ -344,6 +344,46 @@ object SparkEntry {
   private val bpeTopN = 20 // x72 merge candidates returned
   private val dsirBuckets = 256 // x73 hashed-ngram feature dimension
   private val dsirK = 100       // x73 selected-subset size (1/5 of sf0.01 corpus)
+  private val bpeMerges = 4     // x75 learned-merge count
+
+  /** x75's oracle: the BPE training loop unrolled into a CTE chain —
+    * s0 is the char-segmented word-frequency table; each round k adds
+    * pk (pair counts), mk (the argmax merge, same cnt/lft/rgt
+    * tiebreak as the Spark side) and sk (the greedy re-segmentation
+    * via list_reduce over singleton lists — DuckDB's accumulator must
+    * share the element type, and `acc[0]` is NULL on the empty
+    * accumulator, mirroring Spark's null-safe `get`).
+    */
+  private def bpeTrainOracle(merges: Int): String = {
+    val rounds = (1 to merges).map { k =>
+      s"""p$k AS (SELECT u.p[1] AS lft, u.p[2] AS rgt,
+        |        CAST(sum(freq) AS BIGINT) AS cnt
+        |      FROM s${k - 1}, UNNEST(list_transform(range(1, len(syms)),
+        |        i -> [syms[CAST(i AS INT)], syms[CAST(i AS INT) + 1]])) AS u(p)
+        |      GROUP BY 1, 2),
+        |m$k AS (SELECT lft, rgt, cnt FROM p$k
+        |      ORDER BY cnt DESC, lft ASC, rgt ASC LIMIT 1),
+        |s$k AS (SELECT freq, list_reduce(
+        |          list_prepend(CAST([] AS VARCHAR[]),
+        |            list_transform(syms, s -> [s])),
+        |          (acc, x) -> CASE WHEN acc[len(acc)] = m.lft AND x[1] = m.rgt
+        |            THEN list_append(acc[1:len(acc)-1], m.lft || m.rgt)
+        |            ELSE list_concat(acc, x) END) AS syms
+        |      FROM s${k - 1}, m$k m)""".stripMargin
+    }.mkString(",\n")
+    val union = (1 to merges)
+      .map(k => s"SELECT CAST($k AS BIGINT) AS step, lft, rgt, cnt FROM m$k")
+      .mkString("\nUNION ALL\n")
+    s"""WITH toks AS (
+      |  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+      |                             x -> x <> '') AS tk
+      |  FROM documents),
+      |v AS (SELECT u.w AS w, count(*)::BIGINT AS freq
+      |      FROM toks, UNNEST(tk) AS u(w) GROUP BY 1),
+      |s0 AS (SELECT freq, string_split(w, '') AS syms FROM v),
+      |$rounds
+      |$union""".stripMargin
+  }
 
   /** The exact-integer IVF model as DuckDB CTEs (`b acc vec c0 s1 a1
     * c1p c1 s2 a2`): byte-sum embeds, Knuth-spread init, one integer
@@ -1936,6 +1976,13 @@ object SparkEntry {
     "x74_ccnet_buckets" -> ((s, d) =>
       CcNet.ccnetBuckets(docs(s, d), "doc_id", "text",
         targetPred = col("lang") === "en")),
+    // BPE tokenizer TRAINING (x72's full merge loop): k rounds of
+    // argmax-pair + greedy re-segmentation, all on the vocabulary
+    // frame; the oracle re-learns the identical merge sequence from
+    // an unrolled CTE chain
+    "x75_bpe_train" -> ((s, d) =>
+      TextAnalysis.bpeTrain(docs(s, d), "doc_id", "text",
+        merges = bpeMerges)),
     // sequence packing: concatenate docs into 512-token training
     // sequences, packed independently per shard (doc_id % 8) — the
     // shard-local window is the only shuffle, and shard count is the
@@ -3296,6 +3343,7 @@ object SparkEntry {
         |            WHEN score_micro > t1 THEN 'middle'
         |            ELSE 'tail' END AS bucket
         |FROM s, th""".stripMargin,
+    "x75_bpe_train" -> bpeTrainOracle(bpeMerges),
     "x37_pack_sequences" ->
       """WITH toks AS (
         |  SELECT doc_id,

@@ -391,6 +391,69 @@ object TextAnalysis {
     * post-agg on that bounded frame (the W1 discipline). All counts
     * are exact integers — the oracle replays every rank.
     */
+  /** BPE tokenizer TRAINING (Sennrich et al. 2016) — the full merge
+    * loop, not just [[bpePairCounts]]' first step: k rounds of
+    * (count adjacent symbol pairs weighted by word frequency → take
+    * the most frequent pair → merge it greedily left-to-right in
+    * every vocabulary word). Output: the learned merge table
+    * (step, lft, rgt, cnt), deterministic tiebreak (cnt DESC, lft
+    * ASC, rgt ASC) — exact integers end-to-end, so the DuckDB oracle
+    * re-learns the identical merge sequence.
+    *
+    * Greedy non-overlap is the fold invariant: scanning a word's
+    * symbols left-to-right, merge when the accumulator's LAST symbol
+    * is `lft` and the incoming one is `rgt` — "aaa" under (a,a)
+    * becomes [aa, a], never [aa, aa]. `get(acc, size-1)` is the
+    * null-on-empty spelling (ANSI `element_at` throws on an empty
+    * accumulator; DuckDB's `acc[0]` is NULL — same CASE-false path).
+    *
+    * Scale shape: the corpus pays ONE token explode into the
+    * word-frequency table; every training round runs on the
+    * VOCABULARY (language-bounded, not corpus-bounded). The driver
+    * loop is control-only — each round collects exactly ONE argmax
+    * row (the merge) and re-segments distributively; each round's
+    * vocabulary pins with an eager localCheckpoint (the x22 iterative
+    * discipline — never cache-then-unpersist a parent of a cached
+    * child). At web scale the vocabulary table is millions of rows —
+    * the per-round cost is independent of the 100 TB corpus.
+    */
+  def bpeTrain(df: DataFrame, idCol: String, textCol: String,
+               merges: Int = 4): DataFrame = {
+    val spark = df.sparkSession
+    val pairsOf = (syms: Column) =>
+      when(size(syms) >= 2,
+        transform(sequence(lit(1), size(syms) - 1),
+          i => struct(element_at(syms, i).as("lft"),
+            element_at(syms, i + 1).as("rgt"))))
+        .otherwise(array().cast("array<struct<lft:string,rgt:string>>"))
+    var vocab = df.select(explode(tokens(col(textCol))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+      .select(col("freq"), split(col("w"), "").as("syms"))
+      .localCheckpoint(true)
+    val learned = scala.collection.mutable.Buffer.empty[(Long, String, String, Long)]
+    var exhausted = false
+    for (step <- 1 to merges if !exhausted) {
+      val top = vocab
+        .select(col("freq"), explode(pairsOf(col("syms"))).as("p"))
+        .groupBy(col("p.lft"), col("p.rgt")).agg(sum("freq").as("cnt"))
+        .orderBy(col("cnt").desc, col("lft").asc, col("rgt").asc)
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (l, r, c) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        learned += ((step.toLong, l, r, c))
+        vocab = vocab.select(col("freq"),
+          aggregate(col("syms"), array().cast("array<string>"),
+            (acc, s) => when(
+              get(acc, size(acc) - 1) === lit(l) && s === lit(r),
+              concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
+              .otherwise(concat(acc, array(s)))).as("syms"))
+          .localCheckpoint(true)
+      }
+    }
+    spark.createDataFrame(learned.toSeq).toDF("step", "lft", "rgt", "cnt")
+  }
+
   def bpePairCounts(df: DataFrame, idCol: String, textCol: String,
                     topN: Int = 20): DataFrame = {
     val vocab = df.select(explode(tokens(col(textCol))).as("w"))

@@ -46,10 +46,55 @@ class BudgetBpeSpec extends SparkSpec {
     assert(out.toSeq == Seq(("ab", 3L, 1L), ("bc", 2L, 2L), ("bd", 1L, 3L)))
   }
 
+  test("bpe training learns merges greedily and uses merged symbols") {
+    // "abab"×2: round 1 merges (a,b) — 4 occurrences beat (b,a)'s 2 —
+    // and round 2 merges the MERGED symbol pair (ab,ab)
+    val df = Seq((1L, "abab abab")).toDF("doc_id", "text")
+    val out = TextAnalysis.bpeTrain(df, "doc_id", "text", merges = 4)
+      .orderBy("step").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(out.toSeq == Seq((1L, "a", "b", 4L), (2L, "ab", "ab", 2L)),
+      s"got ${out.toSeq}")
+  }
+
+  test("bpe training is greedy-non-overlapping and stops when pairs run out") {
+    // vocab: aa(3) ab(1) b(1); (a,a) counts 3 (one per 'aa', no overlap
+    // inside a 2-char word), then only (a,b) remains, then nothing
+    val df = Seq((1L, "aa aa ab"), (2L, "aa b")).toDF("doc_id", "text")
+    val out = TextAnalysis.bpeTrain(df, "doc_id", "text", merges = 4)
+      .orderBy("step").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(out.toSeq == Seq((1L, "a", "a", 3L), (2L, "a", "b", 1L)),
+      s"got ${out.toSeq}")
+  }
+
+  test("bpe training counts overlapping pairs per greedy scan, not naively") {
+    // "aaa": adjacent-pair count for (a,a) is 2 in round 1 (both
+    // windows), but the greedy merge yields [aa, a]; round 2 then sees
+    // (aa,a) once — the fold must not re-merge the fresh symbol
+    val df = Seq((1L, "aaa")).toDF("doc_id", "text")
+    val out = TextAnalysis.bpeTrain(df, "doc_id", "text", merges = 2)
+      .orderBy("step").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(out.toSeq == Seq((1L, "a", "a", 2L), (2L, "aa", "a", 1L)),
+      s"got ${out.toSeq}")
+  }
+
+  test("bpe training is deterministic under repartition") {
+    val df = Seq((1L, "abc abd x"), (2L, "abc y"), (3L, "bcd bcd")).toDF("doc_id", "text")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      TextAnalysis.bpeTrain(d, "doc_id", "text", merges = 3)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSet
+    assert(run(df) == run(df.repartition(7)))
+  }
+
   test("bpe pair counting is total on empty and 1-char-only corpora") {
     val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
     assert(TextAnalysis.bpePairCounts(empty, "doc_id", "text").count() == 0L)
     val ones = Seq((1L, "a b c")).toDF("doc_id", "text")
     assert(TextAnalysis.bpePairCounts(ones, "doc_id", "text").count() == 0L)
+    // the trainer is equally total: zero merges learned, empty frame
+    assert(TextAnalysis.bpeTrain(empty, "doc_id", "text").count() == 0L)
+    assert(TextAnalysis.bpeTrain(ones, "doc_id", "text").count() == 0L)
   }
 }
