@@ -354,7 +354,7 @@ object SparkEntry {
     * share the element type, and `acc[0]` is NULL on the empty
     * accumulator, mirroring Spark's null-safe `get`).
     */
-  private def bpeTrainOracle(merges: Int): String = {
+  private def bpeChain(merges: Int): String = {
     val rounds = (1 to merges).map { k =>
       s"""p$k AS (SELECT u.p[1] AS lft, u.p[2] AS rgt,
         |        CAST(sum(freq) AS BIGINT) AS cnt
@@ -363,7 +363,7 @@ object SparkEntry {
         |      GROUP BY 1, 2),
         |m$k AS (SELECT lft, rgt, cnt FROM p$k
         |      ORDER BY cnt DESC, lft ASC, rgt ASC LIMIT 1),
-        |s$k AS (SELECT freq, list_reduce(
+        |s$k AS (SELECT w, freq, list_reduce(
         |          list_prepend(CAST([] AS VARCHAR[]),
         |            list_transform(syms, s -> [s])),
         |          (acc, x) -> CASE WHEN acc[len(acc)] = m.lft AND x[1] = m.rgt
@@ -371,19 +371,34 @@ object SparkEntry {
         |            ELSE list_concat(acc, x) END) AS syms
         |      FROM s${k - 1}, m$k m)""".stripMargin
     }.mkString(",\n")
-    val union = (1 to merges)
-      .map(k => s"SELECT CAST($k AS BIGINT) AS step, lft, rgt, cnt FROM m$k")
-      .mkString("\nUNION ALL\n")
     s"""WITH toks AS (
       |  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\\s+'),
       |                             x -> x <> '') AS tk
       |  FROM documents),
       |v AS (SELECT u.w AS w, count(*)::BIGINT AS freq
       |      FROM toks, UNNEST(tk) AS u(w) GROUP BY 1),
-      |s0 AS (SELECT freq, string_split(w, '') AS syms FROM v),
-      |$rounds
+      |s0 AS (SELECT w, freq, string_split(w, '') AS syms FROM v),
+      |$rounds""".stripMargin
+  }
+
+  private def bpeTrainOracle(merges: Int): String = {
+    val union = (1 to merges)
+      .map(k => s"SELECT CAST($k AS BIGINT) AS step, lft, rgt, cnt FROM m$k")
+      .mkString("\nUNION ALL\n")
+    s"""${bpeChain(merges)}
       |$union""".stripMargin
   }
+
+  /** x76's oracle: the x75 chain's FINAL vocabulary segmentation,
+    * joined back to the per-doc word explode.
+    */
+  private def bpeSegmentOracle(merges: Int): String =
+    s"""${bpeChain(merges)}
+      |SELECT e.doc_id, count(*)::BIGINT AS n_words,
+      |       CAST(sum(len(s.syms)) AS BIGINT) AS n_bpe_tokens
+      |FROM (SELECT doc_id, u.w AS w FROM toks, UNNEST(tk) AS u(w)) e
+      |JOIN s$merges s USING (w)
+      |GROUP BY 1""".stripMargin
 
   /** The exact-integer IVF model as DuckDB CTEs (`b acc vec c0 s1 a1
     * c1p c1 s2 a2`): byte-sum embeds, Knuth-spread init, one integer
@@ -1983,6 +1998,12 @@ object SparkEntry {
     "x75_bpe_train" -> ((s, d) =>
       TextAnalysis.bpeTrain(docs(s, d), "doc_id", "text",
         merges = bpeMerges)),
+    // BPE APPLICATION: segment the corpus with the trained tokenizer —
+    // the corpus explodes once and looks its words' segmentations up
+    // in the broadcast (already-segmented) vocabulary
+    "x76_bpe_segment" -> ((s, d) =>
+      TextAnalysis.bpeSegment(docs(s, d), "doc_id", "text",
+        merges = bpeMerges)),
     // sequence packing: concatenate docs into 512-token training
     // sequences, packed independently per shard (doc_id % 8) — the
     // shard-local window is the only shuffle, and shard count is the
@@ -3344,6 +3365,7 @@ object SparkEntry {
         |            ELSE 'tail' END AS bucket
         |FROM s, th""".stripMargin,
     "x75_bpe_train" -> bpeTrainOracle(bpeMerges),
+    "x76_bpe_segment" -> bpeSegmentOracle(bpeMerges),
     "x37_pack_sequences" ->
       """WITH toks AS (
         |  SELECT doc_id,

@@ -419,7 +419,16 @@ object TextAnalysis {
     */
   def bpeTrain(df: DataFrame, idCol: String, textCol: String,
                merges: Int = 4): DataFrame = {
-    val spark = df.sparkSession
+    val (learned, _) = bpeLoop(df, textCol, merges)
+    df.sparkSession.createDataFrame(learned)
+      .toDF("step", "lft", "rgt", "cnt")
+  }
+
+  /** The shared training loop: returns (learned merges, the final
+    * segmented vocabulary (w, freq, syms)).
+    */
+  private def bpeLoop(df: DataFrame, textCol: String, merges: Int)
+      : (Seq[(Long, String, String, Long)], DataFrame) = {
     val pairsOf = (syms: Column) =>
       when(size(syms) >= 2,
         transform(sequence(lit(1), size(syms) - 1),
@@ -428,7 +437,7 @@ object TextAnalysis {
         .otherwise(array().cast("array<struct<lft:string,rgt:string>>"))
     var vocab = df.select(explode(tokens(col(textCol))).as("w"))
       .groupBy("w").agg(count(lit(1)).as("freq"))
-      .select(col("freq"), split(col("w"), "").as("syms"))
+      .select(col("w"), col("freq"), split(col("w"), "").as("syms"))
       .localCheckpoint(true)
     val learned = scala.collection.mutable.Buffer.empty[(Long, String, String, Long)]
     var exhausted = false
@@ -442,7 +451,7 @@ object TextAnalysis {
       else {
         val (l, r, c) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
         learned += ((step.toLong, l, r, c))
-        vocab = vocab.select(col("freq"),
+        vocab = vocab.select(col("w"), col("freq"),
           aggregate(col("syms"), array().cast("array<string>"),
             (acc, s) => when(
               get(acc, size(acc) - 1) === lit(l) && s === lit(r),
@@ -451,7 +460,26 @@ object TextAnalysis {
           .localCheckpoint(true)
       }
     }
-    spark.createDataFrame(learned.toSeq).toDF("step", "lft", "rgt", "cnt")
+    (learned.toSeq, vocab)
+  }
+
+  /** BPE tokenizer APPLICATION — segment the corpus with the
+    * [[bpeTrain]]-learned tokenizer and report per-doc subword stats:
+    * (idCol, n_words, n_bpe_tokens). The whole point of training on
+    * the vocabulary is that application is a broadcast join: the
+    * corpus' words explode once and look their segmentation up in the
+    * (language-bounded, already-segmented) vocabulary — no per-doc
+    * fold re-runs the merges. Exact integers, hash-replayed by the
+    * same unrolled CTE chain as x75 plus one join+aggregate.
+    */
+  def bpeSegment(df: DataFrame, idCol: String, textCol: String,
+                 merges: Int = 4): DataFrame = {
+    val (_, vocab) = bpeLoop(df, textCol, merges)
+    df.select(col(idCol), explode(tokens(col(textCol))).as("w"))
+      .join(broadcast(vocab.select(col("w"),
+        size(col("syms")).cast("long").as("n_sub"))), Seq("w"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_words"), sum("n_sub").as("n_bpe_tokens"))
   }
 
   def bpePairCounts(df: DataFrame, idCol: String, textCol: String,

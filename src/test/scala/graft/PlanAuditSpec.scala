@@ -319,4 +319,14 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("partial_sum"),
       s"per-doc score not map-side combined:\n$p")
   }
+
+  test("x76: the segmented vocabulary broadcasts into the corpus join; " +
+    "per-doc counts partial-aggregate") {
+    val exec = planNoAqe("x76_bpe_segment")
+    val p = exec.toString
+    assert(p.contains("BroadcastHashJoin"),
+      s"vocabulary not broadcast to the application join:\n$p")
+    assert(p.contains("partial_count") && p.contains("partial_sum"),
+      s"per-doc stats not map-side combined:\n$p")
+  }
 }

@@ -80,6 +80,22 @@ class BudgetBpeSpec extends SparkSpec {
       s"got ${out.toSeq}")
   }
 
+  test("bpe segmentation applies the learned merges via the vocabulary") {
+    val df = Seq((1L, "aa aa ab"), (2L, "aa b")).toDF("doc_id", "text")
+    // one merge (a,a): aa→[aa], ab→[a,b], b→[b]
+    val out = TextAnalysis.bpeSegment(df, "doc_id", "text", merges = 1)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out == Map(1L -> ((3L, 4L)), 2L -> ((2L, 2L))), s"$out")
+    // zero merges degenerate to character counts per word
+    val chars = TextAnalysis.bpeSegment(df, "doc_id", "text", merges = 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(chars == Map(1L -> 6L, 2L -> 3L), s"$chars")
+    // more merges never increase the subword count
+    val m4 = TextAnalysis.bpeSegment(df, "doc_id", "text", merges = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(m4.forall { case (id, n) => n <= out(id)._2 }, s"$m4 vs $out")
+  }
+
   test("bpe training is deterministic under repartition") {
     val df = Seq((1L, "abc abd x"), (2L, "abc y"), (3L, "bcd bcd")).toDF("doc_id", "text")
     def run(d: org.apache.spark.sql.DataFrame) =
