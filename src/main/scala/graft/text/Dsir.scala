@@ -46,15 +46,21 @@ object Dsir {
     split(tok, ""), lit(7L),
     (a, ch) => pmod(a * lit(31L) + ascii(ch), lit(M)))
 
-  /** Hashed unigram + bigram buckets of a token array (with
-    * multiplicity — the model counts occurrences, not presence).
-    * Bigram hash chains the two token hashes with the x12 base-131
-    * step; the `size >= 2` guard keeps one-token docs at zero bigrams
-    * (sequence(1, 0) would DESCEND — the wordGramsCol pitfall).
+  /** Hashed unigram + bigram buckets from an array of ALREADY-COMPUTED
+    * token hashes (with multiplicity — the model counts occurrences,
+    * not presence). Bigram hash chains two token hashes with the x12
+    * base-131 step; the `size >= 2` guard keeps one-token docs at zero
+    * bigrams (sequence(1, 0) would DESCEND — the wordGramsCol pitfall).
+    *
+    * `th` MUST be a materialized column (cached/stored), never the
+    * hash-expression tree inlined: Catalyst re-evaluates a captured
+    * expression at every `element_at` inside the lambda, which turns
+    * the bigram pass O(tokens²)-interpreted per doc — measured 62 s vs
+    * 0.7 s on the sf0.1 corpus. [[dsirSelect]] guarantees this by
+    * hashing into the cached staged frame.
     */
-  private[text] def featureBuckets(toks: Column, buckets: Int): Column = {
+  private[text] def featureBuckets(th: Column, buckets: Int): Column = {
     val b = lit(buckets.toLong)
-    val th = transform(toks, tokHash(_))
     val uni = transform(th, h => pmod(h, b))
     val bi = when(size(th) >= 2,
       transform(sequence(lit(1), size(th) - 1),
@@ -73,10 +79,13 @@ object Dsir {
   def dsirSelect(df: DataFrame, idCol: String, textCol: String,
                  targetPred: Column, buckets: Int = 256,
                  k: Int = 100): DataFrame = {
+    // hash each token ONCE into the cached frame — see featureBuckets'
+    // materialization contract
     val staged = df.select(col(idCol), targetPred.as("is_t"),
-      TextAnalysis.tokens(col(textCol)).as("toks")).cache()
+      transform(TextAnalysis.tokens(col(textCol)), tokHash(_)).as("th"))
+      .cache()
     val feats = staged.select(col(idCol), col("is_t"),
-      explode(featureBuckets(col("toks"), buckets)).as("b"))
+      explode(featureBuckets(col("th"), buckets)).as("b"))
     val cnts = feats.groupBy("b").agg(
       count(lit(1)).as("c_r"),
       sum(when(col("is_t"), 1L).otherwise(0L)).as("c_t"))
