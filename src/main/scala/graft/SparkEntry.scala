@@ -345,6 +345,7 @@ object SparkEntry {
   private val dsirBuckets = 256 // x73 hashed-ngram feature dimension
   private val dsirK = 100       // x73 selected-subset size (1/5 of sf0.01 corpus)
   private val bpeMerges = 4     // x75 learned-merge count
+  private val semDecontamEvalTarget = 40L // x69 fixed-count eval-benchmark size
 
   /** x75's oracle: the BPE training loop unrolled into a CTE chain —
     * s0 is the char-segmented word-frequency table; each round k adds
@@ -1939,19 +1940,25 @@ object SparkEntry {
         mBits = bloomMBits, bloomK = bloomHashes)
     }),
     // SEMANTIC decontamination — the meaning-level third leg of the
-    // x36/x64 family (same %20 train/eval split, so the three paths are
-    // directly comparable): flag training docs inside the cosine
-    // epsilon-ball of ANY eval embedding. Benchmark side broadcast
-    // whole, training side screened map-side in its scan stage —
-    // linear in the corpus with a constant-size eval set. Exact-integer
-    // cosine (the x20i embeds), so every flagged pair hash-replays
+    // x36/x64 family: flag training docs inside the cosine epsilon-ball
+    // of ANY eval embedding. Benchmark side broadcast whole, training
+    // side screened map-side in its scan stage. The eval set is a
+    // FIXED-COUNT sample (the x70 discipline), NOT x36/x64's %20
+    // fraction: those screens join on shingle KEYS (cost ∝ matches,
+    // fraction is fine), but an embedding screen is all-pairs — a
+    // corpus-fraction eval made this the catalog's one quadratic entry
+    // (measured 1514 s ≈ 1060× at the 100× corpus; fixed-count brings
+    // it linear, matching the production truth that eval benchmarks
+    // don't grow with the training corpus). Exact-integer cosine (the
+    // x20i embeds), so every flagged pair hash-replays
     "x69_semantic_decontaminate" -> ((s, d) => {
       val emb = Multimodal.fakeEmbedInt(s,
         Multimodal.withPayload(docs(s, d), "doc_id", "text"),
         dim = fakeEmbedDim).toDF()
+      val evalPred = fixedCountPred(emb, "doc_id", semDecontamEvalTarget)
       Similarity.semanticDecontaminate(
-        emb.filter(col("doc_id") % 20 =!= 0),
-        emb.filter(col("doc_id") % 20 === 0),
+        emb.filter(!evalPred),
+        emb.filter(evalPred),
         "doc_id", "embedding", threshold = semDedupThreshold)
     }),
     // BM25 lexical top-k retrieval: query docs (fixed-count sample)
@@ -3208,11 +3215,15 @@ object SparkEntry {
         |GROUP BY h.doc_id""".stripMargin
     },
     // x69: the byte-sum embed CTEs + one eval-broadcast screen — the
-    // cosine/round spelling is x53's epsilon-ball with the %20 split
+    // cosine/round spelling is x53's epsilon-ball; the eval set is the
+    // fixed-count sample twin (same Knuth spread + floor-divided
+    // bucket count as the Spark side)
     "x69_semantic_decontaminate" ->
       s"""WITH $intEmbedVecCtes,
-        |tr AS (SELECT doc_id, v FROM vec WHERE doc_id % 20 <> 0),
-        |ev AS (SELECT v FROM vec WHERE doc_id % 20 = 0),
+        |tr AS (SELECT doc_id, v FROM vec
+        |       WHERE NOT ${fixedCountPredSql("documents", "doc_id", semDecontamEvalTarget)}),
+        |ev AS (SELECT v FROM vec
+        |       WHERE ${fixedCountPredSql("documents", "doc_id", semDecontamEvalTarget)}),
         |hits AS (
         |  SELECT tr.doc_id, round(${intCosSql("tr.v", "ev.v")}, 6) AS sim
         |  FROM tr, ev)
