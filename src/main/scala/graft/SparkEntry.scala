@@ -346,6 +346,10 @@ object SparkEntry {
   private val dsirK = 100       // x73 selected-subset size (1/5 of sf0.01 corpus)
   private val bpeMerges = 4     // x75 learned-merge count
   private val semDecontamEvalTarget = 40L // x69 fixed-count eval-benchmark size
+  private val rrfQueryTarget = 20L // x77 fixed-count query sample over the doc∩vec corpus
+  private val rrfLegK = 10 // x77 per-ranker candidate-list depth fed to the fuse
+  private val rrfC = 60    // x77 RRF damping constant (Cormack et al. 2009's 60)
+  private val rrfTopK = 5  // x77 fused hits returned per query
 
   /** x75's oracle: the BPE training loop unrolled into a CTE chain —
     * s0 is the char-segmented word-frequency table; each round k adds
@@ -1970,6 +1974,23 @@ object SparkEntry {
       Retrieval.bm25TopK(docs(s, d), "doc_id", "text",
         fixedCountPred(docs(s, d), "doc_id", bmQueryTarget),
         k1 = bmK1, b = bmB, k = bmK, maxDfFrac = bmDfFrac)),
+    // hybrid retrieval: the x70 sparse (BM25) and x05 dense (brute
+    // cosine) rankers run over the doc∩vec corpus (doc_id = vec_id)
+    // with ONE shared query sample, fused by reciprocal-rank fusion —
+    // rank-only integer contributions, so the fused list hashes
+    // cross-engine (see Retrieval.rrfFuse)
+    "x77_rrf_fusion" -> ((s, d) => {
+      val corpus = docs(s, d).join(
+        Tables.embeddings(s, d).withColumnRenamed("vec_id", "doc_id"),
+        Seq("doc_id"))
+      val pred = fixedCountPred(corpus, "doc_id", rrfQueryTarget)
+      val sparse = Retrieval.bm25TopK(corpus, "doc_id", "text", pred,
+        k1 = bmK1, b = bmB, k = rrfLegK, maxDfFrac = bmDfFrac)
+      val dense = Similarity.cosineTopK(corpus, "doc_id", "embedding", pred,
+        k = rrfLegK)
+      Retrieval.rrfFuse(Seq(sparse.select("qid", "nid", "rnk"),
+        dense.select("qid", "nid", "rnk")), kRrf = rrfC, k = rrfTopK)
+    }),
     // token-budget selection: fill each domain's training budget with
     // its best docs (quality-ranked prefix walk over cumulative token
     // mass) — the mass-based counterpart of x55's count cap; one
@@ -3270,6 +3291,74 @@ object SparkEntry {
         |               ORDER BY score DESC, nid ASC) AS BIGINT) AS rnk
         |      FROM ag)
         |SELECT qid, nid, score, rnk FROM r WHERE rnk <= $bmK""".stripMargin,
+    // x77: the x70 BM25 chain and the x05 cosine chain re-run over the
+    // doc∩vec corpus CTE, then the RRF fuse — every contribution is
+    // floor(1e6 / (C + rnk)) on integer-exact doubles, so the fused
+    // integer scores replay bitwise
+    "x77_rrf_fusion" ->
+      s"""WITH c AS (
+        |  SELECT d.doc_id, d.text, e.embedding
+        |  FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id),
+        |toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+        |                             x -> x <> '') AS tk
+        |  FROM c),
+        |tf AS (
+        |  SELECT doc_id AS nid, len(tk)::BIGINT AS dl, u.term, count(*) AS tf
+        |  FROM toks, UNNEST(tk) AS u(term)
+        |  GROUP BY 1, 2, 3),
+        |dfs AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        |st AS (SELECT count(*) AS n, sum(len(tk))::BIGINT AS sl FROM toks),
+        |q AS (SELECT tf.nid AS qid, tf.term, dfs.df, st.n, st.sl
+        |      FROM tf JOIN dfs USING (term) CROSS JOIN st
+        |      WHERE ${fixedCountPredSql("c", "tf.nid", rrfQueryTarget)}
+        |        AND dfs.df <= floor($bmDfFrac::DOUBLE * CAST(st.n AS DOUBLE))),
+        |sc AS (
+        |  SELECT q.qid, tf.nid,
+        |         CAST(floor(
+        |           ((CAST(q.n - q.df AS DOUBLE) + 0.5::DOUBLE)
+        |             / (CAST(q.df AS DOUBLE) + 0.5::DOUBLE))
+        |           * (CAST(tf.tf AS DOUBLE) * ${bmK1 + 1}::DOUBLE
+        |              / (CAST(tf.tf AS DOUBLE)
+        |                 + ${bmK1}::DOUBLE * (${1 - bmB}::DOUBLE
+        |                     + ${bmB}::DOUBLE * CAST(tf.dl AS DOUBLE)
+        |                       / (CAST(q.sl AS DOUBLE) / CAST(q.n AS DOUBLE)))))
+        |           * 1e6) AS BIGINT) AS cb
+        |  FROM q JOIN tf USING (term)
+        |  WHERE tf.nid <> q.qid),
+        |ag AS (SELECT qid, nid, CAST(sum(cb) AS BIGINT) AS score
+        |       FROM sc GROUP BY 1, 2),
+        |sr AS (SELECT qid, nid,
+        |         CAST(row_number() OVER (PARTITION BY qid
+        |                ORDER BY score DESC, nid ASC) AS BIGINT) AS rnk
+        |       FROM ag),
+        |dq AS (SELECT doc_id AS qid, embedding::DOUBLE[] AS qvec FROM c
+        |       WHERE ${fixedCountPredSql("c", "doc_id", rrfQueryTarget)}),
+        |dsim AS (
+        |  SELECT dq.qid, e.doc_id AS nid,
+        |         round(list_cosine_similarity(dq.qvec, e.embedding::DOUBLE[]), 6) AS sim
+        |  FROM dq, c e WHERE e.doc_id <> dq.qid),
+        |dr AS (SELECT qid, nid,
+        |         CAST(row_number() OVER (PARTITION BY qid
+        |                ORDER BY sim DESC, nid ASC) AS BIGINT) AS rnk
+        |       FROM dsim),
+        |u AS (
+        |  SELECT qid, nid,
+        |         CAST(floor(1000000.0 / ($rrfC::DOUBLE + CAST(rnk AS DOUBLE)))
+        |           AS BIGINT) AS cc
+        |  FROM sr WHERE rnk <= $rrfLegK
+        |  UNION ALL
+        |  SELECT qid, nid,
+        |         CAST(floor(1000000.0 / ($rrfC::DOUBLE + CAST(rnk AS DOUBLE)))
+        |           AS BIGINT)
+        |  FROM dr WHERE rnk <= $rrfLegK),
+        |f AS (SELECT qid, nid, CAST(sum(cc) AS BIGINT) AS score
+        |      FROM u GROUP BY 1, 2),
+        |fr AS (SELECT qid, nid, score,
+        |         CAST(row_number() OVER (PARTITION BY qid
+        |                ORDER BY score DESC, nid ASC) AS BIGINT) AS rnk
+        |       FROM f)
+        |SELECT qid, nid, score, rnk FROM fr WHERE rnk <= $rrfTopK""".stripMargin,
     // x71: same tokenization CTE, per-domain ordered prefix sum — the
     // window frame is spelled identically on both sides
     "x71_token_budget_select" ->

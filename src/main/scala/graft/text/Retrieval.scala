@@ -103,4 +103,36 @@ object Retrieval {
       .withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= k)
   }
+
+  /** Reciprocal-rank fusion (Cormack/Clarke/Buettcher 2009) of per-query
+    * ranked lists — the standard hybrid-retrieval combiner: each ranker
+    * contributes `1 / (kRrf + rank)` per hit and the fused order is the
+    * sum, so agreement between rankers beats a high rank in any single
+    * one. This is how sparse (BM25) and dense (embedding) retrieval are
+    * fused in production RAG / training-data-mining stacks — RRF needs
+    * no score calibration, only ranks, which is exactly why it
+    * cross-engine-hashes: ranks are integers, and the contribution is
+    * spelled as `floor(1000000.0 / (kRrf + rnk))` — ONE correctly-
+    * rounded IEEE division of integer-exact doubles, floored to
+    * millionths (the bm25 fixed-point trick) — so the fused score is an
+    * order-independent integer sum both engines replay bitwise.
+    *
+    * Inputs are (qid, nid, rnk) frames — any ranker output with a
+    * 1-based rank column. Scale shape: a union of top-k lists is
+    * O(queries · k · rankers) rows — tiny next to the rankers
+    * themselves — and the fuse is one partial-agg sum plus a per-query
+    * window over ≤ k·rankers rows. Output: (qid, nid, score, rnk) with
+    * the deterministic (score DESC, nid ASC) tiebreak, top `k` only.
+    */
+  def rrfFuse(rankers: Seq[DataFrame], kRrf: Int = 60, k: Int = 5): DataFrame = {
+    val contrib = rankers
+      .map(_.select(col("qid"), col("nid"),
+        floor(lit(1000000.0) /
+          (lit(kRrf.toDouble) + col("rnk").cast("double"))).as("c")))
+      .reduce(_ unionAll _)
+    val w = Window.partitionBy("qid").orderBy(col("score").desc, col("nid").asc)
+    contrib.groupBy("qid", "nid").agg(sum(col("c")).as("score"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+  }
 }

@@ -64,4 +64,37 @@ class RetrievalSpec extends SparkSpec {
     assert(Retrieval.bm25TopK(empty, "doc_id", "text",
       col("doc_id") === 1L).count() == 0L)
   }
+
+  // ---- reciprocal-rank fusion (x77) ----
+
+  private def ranked(rows: (Long, Long, Long)*) =
+    rows.toSeq.toDF("qid", "nid", "rnk")
+
+  test("rrf: two-list agreement at rank 2 beats a single rank-1 hit") {
+    // C=60: doc 20 contributes floor(1e6/62)*2 = 32258, doc 10 only
+    // floor(1e6/61) = 16393 — consensus wins, the RRF selling point
+    val a = ranked((1L, 10L, 1L), (1L, 20L, 2L))
+    val b = ranked((1L, 30L, 1L), (1L, 20L, 2L))
+    val out = Retrieval.rrfFuse(Seq(a, b)).orderBy("rnk").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.head == ((20L, 32258L, 1L)))
+    // 10 and 30 tie at 16393 — deterministic nid-asc break
+    assert(out.map(_._1).toSeq == Seq(20L, 10L, 30L))
+    assert(out(1)._2 == 16393L && out(2)._2 == 16393L)
+  }
+
+  test("rrf: top-k cap and per-query isolation") {
+    val a = ranked((1 to 8).map(i => (1L, i.toLong, i.toLong)): _*)
+    val b = ranked((2L, 99L, 1L))
+    val out = Retrieval.rrfFuse(Seq(a, b), k = 3).collect()
+    assert(out.count(_.getLong(0) == 1L) == 3)
+    assert(out.filter(_.getLong(0) == 2L).map(_.getLong(1)).toSeq == Seq(99L))
+  }
+
+  test("rrf: single-ranker fuse preserves the input order") {
+    val a = ranked((1L, 5L, 1L), (1L, 7L, 2L), (1L, 3L, 3L))
+    val out = Retrieval.rrfFuse(Seq(a)).orderBy("rnk").collect()
+      .map(_.getLong(1)).toSeq
+    assert(out == Seq(5L, 7L, 3L))
+  }
 }
