@@ -106,6 +106,38 @@ object Sampling {
       .drop("m_domain", "m_target")
   }
 
+  /** Temperature-scaled domain mixing — the multilingual/pretraining
+    * "kept mass ∝ n_d^α" rule (XLM/mT5 exponent-sampling, α = 1−1/τ):
+    * every domain keeps rate (n_min/n_d)^(1/τ), so τ interpolates from
+    * [[rebalance]]'s uniform mixture (τ=1: every domain shrinks to
+    * n_min) out to the natural distribution (τ→∞: keep everything).
+    * τ=2 is the α=0.5 multilingual-sampling choice — kept mass grows
+    * ∝ √n_d, upweighting the tail RELATIVE to the head without ever
+    * upsampling rows. The smallest domain always keeps everything.
+    *
+    * The fractional power never touches a float: keep iff
+    * `h^τ · n_d < n_min · B^τ` for h = hashBucket(key, B) — exactly
+    * P(h < B·(n_min/n_d)^(1/τ)) up to the 1/B quantization, all in
+    * Long arithmetic both engines replay (B=1000, τ=2 bounds every
+    * product by 1e6·n_d — overflow-free while domains stay under
+    * ~9.2e12 rows; τ is an INTEGER exponent spelled as repeated
+    * multiplication, no pow()). Same two-pass shape as [[rebalanceBy]]:
+    * broadcast domain counts, then a map-only integer predicate — the
+    * corpus never shuffles.
+    */
+  def temperatureSample(df: DataFrame, domainCol: String, keyCol: String,
+                        tau: Int = 2, buckets: Int = 1000): DataFrame = {
+    require(tau >= 1, s"tau must be a positive integer, got $tau")
+    val counts = df.groupBy(domainCol).agg(count(lit(1)).as("n_domain"))
+    val rates = counts.crossJoin(counts.agg(min("n_domain").as("n_min")))
+    val h = hashBucket(col(keyCol), buckets)
+    val hPow = Seq.fill(tau)(h).reduce(_ * _)
+    val bPow = Seq.fill(tau)(lit(buckets.toLong)).reduce(_ * _)
+    df.join(broadcast(rates), Seq(domainCol))
+      .filter(hPow * col("n_domain") < col("n_min") * bPow)
+      .drop("n_domain", "n_min")
+  }
+
   /** Per-domain cap — the "at most K documents per host/source" rule
     * web-corpus curation applies so no single domain dominates the
     * mixture (the FineWeb/Gopher-style counterpart of [[rebalance]]'s

@@ -152,6 +152,34 @@ class TrainingDataOpsSpec extends SparkSpec {
     assert(ids1 == ids2)
   }
 
+  test("temperatureSample keeps the tail whole and keeps ~sqrt-rate of the head") {
+    // 16 book docs vs 1600 web docs (100× head): τ=2 keeps all books
+    // and ~sqrt(16/1600) = 10% of web — vs rebalance's 1%; kept mass
+    // grows with domain size (unlike the uniform mixture)
+    val docs = ((0L until 16L).map(id => (id, "books")) ++
+      (1000L until 2600L).map(id => (id, "web"))).toDF("doc_id", "source")
+    val kept = Sampling.temperatureSample(docs, "source", "doc_id")
+      .groupBy("source").agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kept("books") == 16L, s"smallest domain must keep all rows: $kept")
+    assert(kept("web") >= 80L && kept("web") <= 320L,
+      s"web should keep ~10% (160), got $kept")
+    assert(kept("web") > kept("books"),
+      "kept mass must still grow with domain size (tail upweighted, not flattened)")
+    // τ=1 degenerates to the uniform rebalance: same kept id set
+    val t1 = Sampling.temperatureSample(docs, "source", "doc_id",
+      tau = 1, buckets = 100).select("doc_id").as[Long].collect().toSet
+    val rb = Sampling.rebalance(docs, "source", "doc_id")
+      .select("doc_id").as[Long].collect().toSet
+    assert(t1 == rb, "tau=1 must reproduce rebalance exactly")
+    // determinism across partitionings
+    val a = Sampling.temperatureSample(docs.repartition(7), "source", "doc_id")
+      .select("doc_id").as[Long].collect().toSet
+    val b = Sampling.temperatureSample(docs, "source", "doc_id")
+      .select("doc_id").as[Long].collect().toSet
+    assert(a == b)
+  }
+
   test("domainCap keeps the K best-scored docs per domain, id-tiebroken") {
     // web has 12 docs with score = id%5 (ties galore); books has 2
     val docs = ((0L until 12L).map(id => (id, "web", id % 5)) ++
