@@ -6,7 +6,7 @@ import graft.ops._
 import graft.pipelines.{Curation, Ecommerce, Iot, PetsNutrition}
 import graft.sources.{Fixtures, Sources}
 import graft.text.{CcNet, Dsir, Pii, Retrieval, TextAnalysis}
-import graft.neardup.{Decontaminate, NearDup, ParaDedup}
+import graft.neardup.{Decontaminate, NearDup, ParaDedup, SpanDedup}
 import graft.sim.Similarity
 import graft.multimodal.Multimodal
 
@@ -346,6 +346,8 @@ object SparkEntry {
   private val dsirK = 100       // x73 selected-subset size (1/5 of sf0.01 corpus)
   private val bpeMerges = 4     // x75 learned-merge count
   private val semDecontamEvalTarget = 40L // x69 fixed-count eval-benchmark size
+  private val tempTau = 2       // x78 mixing temperature (α = 1−1/τ = 0.5)
+  private val tempBuckets = 1000 // x78 hash-rate resolution (1/B quantization)
   private val rrfQueryTarget = 20L // x77 fixed-count query sample over the doc∩vec corpus
   private val rrfLegK = 10 // x77 per-ranker candidate-list depth fed to the fuse
   private val rrfC = 60    // x77 RRF damping constant (Cormack et al. 2009's 60)
@@ -1537,6 +1539,14 @@ object SparkEntry {
     // decontamination so the two signals compose
     "x61_dupgram_profile" -> ((s, d) =>
       NearDup.dupGramProfile(docs(s, d), "doc_id", "text", k = dupGramK)),
+    // exact duplicated-SPAN removal (Lee et al. ExactSubstr, the acting
+    // form of x61's profile): every token covered by a corpus-repeated
+    // k-gram is cut from every copy, survivors rejoined in order — the
+    // k-gram relational spelling of the paper's suffix-array scan
+    // (three linear exchanges, nothing quadratic; see SpanDedup)
+    "x79_span_dedup" -> ((s, d) =>
+      SpanDedup.removeDuplicatedSpans(docs(s, d), "doc_id", "text",
+        k = dupGramK)),
 
     // ---- north-star extensions: text analysis ----
     "x08_langid" -> ((s, d) => TextAnalysis.langId(docs(s, d), "doc_id", "text")),
@@ -1560,6 +1570,11 @@ object SparkEntry {
         .withColumnRenamed("id", "doc_id")
     }),
     "x09_text_quality" -> ((s, d) => TextAnalysis.quality(docs(s, d), "doc_id", "text")),
+    // per-source distinct-n lexical diversity (distinct-1/distinct-2):
+    // the before/after health check of every curation pass — two
+    // explode→distinct-count passes, one row per domain
+    "x80_diversity_profile" -> ((s, d) =>
+      TextAnalysis.diversityProfile(docs(s, d), "source", "text")),
     "x10_token_counts" -> ((s, d) => TextAnalysis.tokenCounts(docs(s, d), "doc_id", "text")),
     "x11_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(docs(s, d), "doc_id", "text")),
     "x12_rolling_hash" -> ((s, d) => TextAnalysis.rollingHash(docs(s, d), "doc_id", "text")),
@@ -2188,7 +2203,18 @@ object SparkEntry {
     "x55_domain_cap" -> ((s, d) =>
       Sampling.domainCap(docs(s, d), "doc_id", "source",
         size(TextAnalysis.tokens(col("text"))).cast("long"),
-        k = domainCapK))
+        k = domainCapK)),
+    // temperature-scaled mixing (τ=2, the XLM/mT5 α=0.5 exponent) over
+    // LANGUAGES — the literal multilingual-sampling use case, and the
+    // one naturally-skewed domain facet in the fixtures (en dominates):
+    // every lang keeps rate √(n_min/n_d) via the integer predicate
+    // h²·n_d < n_min·B² — x42's uniform rebalance and the natural
+    // distribution are the τ=1 / τ→∞ ends of the same knob. The full
+    // kept SET is the output, pinned by the hash arithmetic
+    "x78_temperature_mix" -> ((s, d) =>
+      Sampling.temperatureSample(docs(s, d), "lang", "doc_id",
+        tau = tempTau, buckets = tempBuckets)
+        .select("doc_id", "lang"))
   )
 
   /** DuckDB truth set shared by the x33 (MinHash) and x34 (SimHash)
@@ -2888,6 +2914,36 @@ object SparkEntry {
         |       coalesce(n_dup, 0) AS n_dup,
         |       round(coalesce(n_dup * 1.0 / n_grams, 0), 4) AS dup_frac
         |FROM documents d LEFT JOIN st USING (doc_id)""".stripMargin,
+    // x79: positioned grams (occurrence-counted, NOT distinct-per-doc),
+    // covered positions exploded from dup starts, NOT-EXISTS survivor
+    // rebuild ordered by position — mirrors SpanDedup step for step
+    "x79_span_dedup" ->
+      s"""WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+        |                             x -> x <> '') AS t
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, CAST(i AS BIGINT) AS gpos,
+        |         array_to_string(t[i:i+${dupGramK - 1}], ' ') AS gram
+        |  FROM toks, UNNEST(range(1, len(t) - ${dupGramK - 2})) AS u(i)
+        |  WHERE len(t) >= $dupGramK),
+        |dup AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
+        |ds AS (SELECT doc_id, gpos FROM g JOIN dup USING (gram)),
+        |cov AS (SELECT DISTINCT doc_id, gpos + j AS p
+        |        FROM ds, UNNEST(range(0, $dupGramK)) AS v(j)),
+        |nc AS (SELECT doc_id, count(*) AS n_removed FROM cov GROUP BY doc_id),
+        |tok AS (SELECT doc_id, t[CAST(i AS INT)] AS tok, CAST(i AS BIGINT) AS p
+        |        FROM toks, UNNEST(range(1, len(t) + 1)) AS u(i)),
+        |kept AS (
+        |  SELECT tk.doc_id, tk.p, tk.tok FROM tok tk
+        |  WHERE NOT EXISTS (SELECT 1 FROM cov
+        |                    WHERE cov.doc_id = tk.doc_id AND cov.p = tk.p)),
+        |rb AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY p) AS text_clean
+        |       FROM kept GROUP BY doc_id)
+        |SELECT b.doc_id, len(b.t)::BIGINT AS n_tokens,
+        |       coalesce(nc.n_removed, 0) AS n_removed,
+        |       coalesce(rb.text_clean, '') AS text_clean
+        |FROM toks b LEFT JOIN nc USING (doc_id) LEFT JOIN rb USING (doc_id)""".stripMargin,
     "x35_lsh_ann_recall" ->
       s"""SELECT count(*) AS n_queries, TRUE AS recall_ok
          |FROM embeddings
@@ -3181,6 +3237,19 @@ object SparkEntry {
         |                                 ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rnk
         |  FROM t)
         |SELECT doc_id, source, score, rnk FROM r WHERE rnk <= $domainCapK""".stripMargin,
+    // x78: same hashBucket spelling as x42 at B=$tempBuckets, squared —
+    // h²·n_d < n_min·B² replays the √(n_min/n_d) keep rate in BIGINTs
+    "x78_temperature_mix" ->
+      s"""WITH cn AS (
+        |  SELECT lang, count(*) AS n_domain FROM documents GROUP BY lang),
+        |mn AS (SELECT min(n_domain) AS n_min FROM cn),
+        |h AS (
+        |  SELECT d.doc_id, d.lang, cn.n_domain, mn.n_min,
+        |         ((d.doc_id % 1000000007) * 2654435761 % $tempBuckets
+        |            + $tempBuckets) % $tempBuckets AS hb
+        |  FROM documents d JOIN cn USING (lang) CROSS JOIN mn)
+        |SELECT doc_id, lang FROM h
+        |WHERE hb * hb * n_domain < n_min * ${tempBuckets.toLong * tempBuckets}""".stripMargin,
     "x36_decontaminate" ->
       """WITH toks AS (
         |  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'),
@@ -4007,6 +4076,31 @@ object SparkEntry {
         |       WHEN fr_hits = greatest(en_hits, de_hits, fr_hits, es_hits) THEN 'fr'
         |       ELSE 'es' END AS pred_lang
         |FROM h""".stripMargin,
+    // x80: same tokenization, positional bigrams, per-source distinct
+    // counts and 4-dp ratios — the x61 division/coalesce idiom
+    "x80_diversity_profile" ->
+      """WITH t AS (
+        |  SELECT source, list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |                             x -> x <> '') AS tk
+        |  FROM documents),
+        |d AS (SELECT source AS domain, count(*) AS n_docs,
+        |             sum(len(tk))::BIGINT AS n_tokens
+        |      FROM t GROUP BY 1),
+        |u1 AS (SELECT source AS domain, count(DISTINCT g) AS uniq_1
+        |       FROM t, UNNEST(tk) AS x(g) GROUP BY 1),
+        |u2 AS (SELECT source AS domain, count(DISTINCT g) AS uniq_2,
+        |              count(*) AS n_bigrams
+        |       FROM (SELECT source,
+        |               tk[CAST(i AS INT)] || ' ' || tk[CAST(i AS INT) + 1] AS g
+        |             FROM t, UNNEST(range(1, len(tk))) AS v(i)
+        |             WHERE len(tk) >= 2)
+        |       GROUP BY 1)
+        |SELECT d.domain, d.n_docs, d.n_tokens,
+        |       coalesce(u1.uniq_1, 0) AS uniq_1,
+        |       coalesce(u2.uniq_2, 0) AS uniq_2,
+        |       round(coalesce(u1.uniq_1 * 1.0 / d.n_tokens, 0), 4) AS distinct_1,
+        |       round(coalesce(u2.uniq_2 * 1.0 / u2.n_bigrams, 0), 4) AS distinct_2
+        |FROM d LEFT JOIN u1 USING (domain) LEFT JOIN u2 USING (domain)""".stripMargin,
     "x09_text_quality" ->
       """WITH t AS (
         |  SELECT doc_id, text,

@@ -500,4 +500,45 @@ object TextAnalysis {
         Window.orderBy(col("cnt").desc, col("pair").asc)).cast("long"))
       .filter(col("rnk") <= topN)
   }
+
+  /** Per-domain lexical-diversity profile — the distinct-n metric
+    * (distinct n-grams / total n-grams, the standard corpus-diversity
+    * check run before and after every curation pass: aggressive
+    * dedup/filtering should RAISE distinct-n; a collapsing generator or
+    * over-sampled template corpus lowers it). One row per domain:
+    * doc count, token mass, distinct unigram/bigram counts and the two
+    * ratios (4-dp, one division each — both engines replay it).
+    *
+    * Scale shape: two explode→partial-agg passes (unigrams, bigrams) —
+    * `count(DISTINCT gram)` over a domain-keyed shuffle partially
+    * dedupes map-side; nothing is collected and the output is one row
+    * per domain. Bigrams are built positionally (transform over the
+    * token index), not by re-tokenizing — the x73 materialize-first
+    * lesson.
+    */
+  def diversityProfile(df: DataFrame, domainCol: String,
+                       textCol: String): DataFrame = {
+    val base = df.select(col(domainCol).as("domain"),
+      tokens(col(textCol)).as("t"))
+    val toks = base.select(col("domain"), size(col("t")).as("n"), col("t"))
+    val docStats = toks.groupBy("domain")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("n_tokens"))
+    val uni = toks.select(col("domain"), explode(col("t")).as("g"))
+      .groupBy("domain").agg(countDistinct(col("g")).as("uniq_1"))
+    val bi = toks.filter(col("n") >= 2)
+      .select(col("domain"), explode(transform(
+        sequence(lit(1), col("n") - 1),
+        i => concat_ws(" ", element_at(col("t"), i),
+          element_at(col("t"), i + 1)))).as("g"))
+      .groupBy("domain")
+      .agg(countDistinct(col("g")).as("uniq_2"), count(lit(1)).as("n_bigrams"))
+    docStats.join(uni, Seq("domain"), "left").join(bi, Seq("domain"), "left")
+      .select(col("domain"), col("n_docs"), col("n_tokens"),
+        coalesce(col("uniq_1"), lit(0L)).as("uniq_1"),
+        coalesce(col("uniq_2"), lit(0L)).as("uniq_2"),
+        round(coalesce(col("uniq_1") * lit(1.0) / col("n_tokens"), lit(0.0)), 4)
+          .as("distinct_1"),
+        round(coalesce(col("uniq_2") * lit(1.0) / col("n_bigrams"), lit(0.0)), 4)
+          .as("distinct_2"))
+  }
 }

@@ -419,4 +419,23 @@ class ExtensionsSpec extends SparkSpec {
     assert(m.n_bytes == 4 && m.fake_width == 4 && m.fake_height == 28 &&
       m.format == "png")
   }
+
+  test("diversity profile: distinct-n drops under template repetition") {
+    // "rich" has 6 distinct tokens in 6; "tmpl" repeats one 3-gram —
+    // distinct-1 = 3/9, distinct-2 = 4/8 (wrap bigrams differ once)
+    val df = Seq(
+      (1L, "rich", "alpha beta gamma delta epsilon zeta"),
+      (2L, "tmpl", "a b c a b c a b c"),
+      (3L, "tmpl", ""))
+      .toDF("doc_id", "source", "text")
+    val out = TextAnalysis.diversityProfile(df, "source", "text").collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getDouble(5), r.getDouble(6)))).toMap
+    assert(out("rich") == ((1L, 6L, 6L, 5L, 1.0, 1.0)))
+    // tmpl: 9 tokens {a,b,c}; bigrams: ab,bc,ca repeating -> 3 of 8
+    assert(out("tmpl") == ((2L, 9L, 3L, 3L, 0.3333, 0.375)))
+    assert(out("tmpl")._5 < out("rich")._5,
+      "template corpus must score lower distinct-1")
+  }
 }
