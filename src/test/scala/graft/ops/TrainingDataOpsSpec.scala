@@ -113,6 +113,32 @@ class TrainingDataOpsSpec extends SparkSpec {
     assert(out == Set((1L, 0L, 1L, 12L, 1L, 1L)), s"got $out")
   }
 
+  test("buildCorpusV2 span-cuts shared runs and mixes before packing") {
+    val eval = Seq((100L, "completely unrelated evaluation material here"))
+      .toDF("doc_id", "text")
+    // docs 1/2 pass every v1 gate and are NOT whole-doc twins, but they
+    // share a verbatim 8-token run — v1 keeps both intact, v2 must cut
+    // the shared span from BOTH and pack only the unique tails
+    val shared = "the quick brown fox jumps over a lazy"
+    val train = Seq(
+      (1L, s"$shared dog and the first story ends happily today"),
+      (2L, s"$shared dog and the second story ends sadly today"))
+      .toDF("doc_id", "text")
+    val v2 = graft.pipelines.Curation
+      .buildCorpusV2(train.withColumn("source", lit("web")), eval,
+        "doc_id", "text", "source", budget = 256, shards = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+    // common prefix = 11 tokens (shared 8 + "dog and the"): four
+    // overlapping dup 8-grams (starts 1..4) merge into one covered
+    // span 1..11, so 16 - 11 = 5 tokens survive per doc ("first story
+    // ends happily today" / "second ... sadly ..."); both docs keep a row
+    assert(v2.toSet == Set((1L, 1L, 5L), (2L, 1L, 5L)), s"got $v2")
+    val v1 = graft.pipelines.Curation
+      .buildCorpus(train, eval, "doc_id", "text", budget = 256, shards = 8)
+      .collect().map(r => r.getLong(3)).sum
+    assert(v1 == 32L, "v1 packs both docs whole (16 tokens each)")
+  }
+
   test("incremental curation admits only genuinely-new fingerprints") {
     // the x44 shape: ids with doc_id % 10 < 8 are the existing curated
     // table, the rest today's increment; doc 18 duplicates doc 1's text
