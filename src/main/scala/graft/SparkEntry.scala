@@ -353,6 +353,105 @@ object SparkEntry {
   private val rrfC = 60    // x77 RRF damping constant (Cormack et al. 2009's 60)
   private val rrfTopK = 5  // x77 fused hits returned per query
 
+  /** The x81/x82 shared oracle chain: x41's stages (PII inject+redact →
+    * tokenize/fingerprint → gates → eval-shingle decontamination →
+    * fingerprint dedup `dd`) extended by the x79 span-removal CTEs over
+    * the survivors (`dd1`…`scnt`) and the x78 τ=2 source mix
+    * (`dom`…`mixed`). x81 appends the packing window; x82 reads the
+    * stage CTEs back out as funnel counts. ONE definition so the two
+    * oracles cannot drift.
+    */
+  private def corpusV2Ctes: String =
+    s"""p AS (
+      |  SELECT doc_id,
+      |         regexp_replace(regexp_replace(regexp_replace(
+      |           text || ' contact user' || doc_id || '@mail.example.com ip 10.'
+      |             || (doc_id % 250) || '.0.' || (doc_id % 100)
+      |             || ' tel +1-555-' || lpad((doc_id % 10000)::VARCHAR, 4, '0'),
+      |           '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}', '<EMAIL>', 'g'),
+      |           '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g'),
+      |           '\\+\\d[\\d-]{6,14}\\d', '<PHONE>', 'g') AS text
+      |  FROM documents),
+      |e AS (
+      |  SELECT doc_id,
+      |         md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint,
+      |         list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+      |                     x -> x <> '') AS toks,
+      |         length(text) AS n_chars,
+      |         length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS n_punct
+      |  FROM p),
+      |g AS (
+      |  SELECT doc_id, fingerprint, toks,
+      |    len(list_filter(toks, x -> x IN ('the','a','and','of','to'))) AS en_hits,
+      |    len(list_filter(toks, x -> x IN ('der','die','und','das','ein'))) AS de_hits,
+      |    len(list_filter(toks, x -> x IN ('le','la','et','les','des'))) AS fr_hits,
+      |    len(list_filter(toks, x -> x IN ('el','los','y','las','una'))) AS es_hits,
+      |    CASE WHEN len(toks) < 5 THEN 'too_short'
+      |         WHEN n_punct::DOUBLE / greatest(n_chars, 1) > 0.2 THEN 'punct_heavy'
+      |         ELSE 'ok' END AS quality_bucket,
+      |    CASE WHEN len(toks) >= 2
+      |      THEN list_transform(range(1, len(toks)),
+      |                          i -> array_to_string(toks[i:i+1], ' '))
+      |      ELSE []::VARCHAR[] END AS grams
+      |  FROM e),
+      |gate AS (
+      |  SELECT doc_id, fingerprint, toks FROM g
+      |  WHERE doc_id % 20 <> 0
+      |    AND quality_bucket = 'ok'
+      |    AND CASE WHEN greatest(en_hits, de_hits, fr_hits, es_hits) = 0 THEN 'und'
+      |             WHEN en_hits = greatest(en_hits, de_hits, fr_hits, es_hits) THEN 'en'
+      |             WHEN de_hits = greatest(en_hits, de_hits, fr_hits, es_hits) THEN 'de'
+      |             WHEN fr_hits = greatest(en_hits, de_hits, fr_hits, es_hits) THEN 'fr'
+      |             ELSE 'es' END = 'en'
+      |    AND NOT (len(grams) <> 0 AND
+      |             round(1 - len(list_distinct(grams))::DOUBLE / len(grams), 4) >= 0.2)),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, array_to_string(toks[i:i+7], ' ') AS shingle
+      |  FROM e, UNNEST(range(1, len(toks) - 6)) AS u(i)
+      |  WHERE len(toks) >= 8),
+      |ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 20 = 0),
+      |contam AS (
+      |  SELECT DISTINCT s.doc_id FROM sh s JOIN ev USING (shingle)
+      |  WHERE s.doc_id % 20 <> 0),
+      |dd AS (
+      |  SELECT doc_id, toks,
+      |         row_number() OVER (PARTITION BY fingerprint
+      |                            ORDER BY doc_id ASC) AS rn
+      |  FROM gate
+      |  WHERE doc_id NOT IN (SELECT doc_id FROM contam)),
+      |dd1 AS (SELECT doc_id, toks FROM dd WHERE rn = 1),
+      |sg AS (
+      |  SELECT doc_id, CAST(i AS BIGINT) AS gpos,
+      |         array_to_string(toks[i:i+${dupGramK - 1}], ' ') AS gram
+      |  FROM dd1, UNNEST(range(1, len(toks) - ${dupGramK - 2})) AS u(i)
+      |  WHERE len(toks) >= $dupGramK),
+      |sdup AS (SELECT gram FROM sg GROUP BY gram HAVING count(*) >= 2),
+      |sds AS (SELECT doc_id, gpos FROM sg JOIN sdup USING (gram)),
+      |scov AS (SELECT DISTINCT doc_id, gpos + j AS p
+      |         FROM sds, UNNEST(range(0, $dupGramK)) AS v(j)),
+      |stok AS (SELECT doc_id, CAST(i AS BIGINT) AS p
+      |         FROM dd1, UNNEST(range(1, len(toks) + 1)) AS u(i)),
+      |scnt AS (
+      |  SELECT tk.doc_id, count(*) AS n_clean FROM stok tk
+      |  WHERE NOT EXISTS (SELECT 1 FROM scov
+      |                    WHERE scov.doc_id = tk.doc_id AND scov.p = tk.p)
+      |  GROUP BY tk.doc_id),
+      |dom AS (SELECT s.doc_id, d.source, s.n_clean
+      |        FROM scnt s JOIN documents d USING (doc_id)),
+      |cn2 AS (SELECT source, count(*) AS n_domain FROM dom GROUP BY source),
+      |mn2 AS (SELECT min(n_domain) AS n_min FROM cn2),
+      |mixed AS (
+      |  SELECT dom.doc_id, dom.n_clean FROM dom
+      |  JOIN cn2 USING (source) CROSS JOIN mn2
+      |  WHERE (((doc_id % 1000000007) * 2654435761 % $tempBuckets
+      |            + $tempBuckets) % $tempBuckets)
+      |          * (((doc_id % 1000000007) * 2654435761 % $tempBuckets
+      |               + $tempBuckets) % $tempBuckets)
+      |          * n_domain < n_min * ${tempBuckets.toLong * tempBuckets})"""
+  // NO .stripMargin here: the chain is interpolated into the x81/x82
+  // templates and stripped ONCE by their stripMargin — pre-stripping
+  // would let the outer pass eat the first bar of every `||` concat
+
   /** x75's oracle: the BPE training loop unrolled into a CTE chain —
     * s0 is the char-segmented word-frequency table; each round k adds
     * pk (pair counts), mk (the argmax merge, same cnt/lft/rgt
@@ -2135,6 +2234,17 @@ object SparkEntry {
         "doc_id", "text", "source",
         spanK = dupGramK, tau = tempTau, mixBuckets = tempBuckets)
     }),
+    // the "where did my corpus go" attrition funnel over x81's stages:
+    // one row per stage, surviving docs + drop vs previous — the
+    // observability report a production build publishes with its output
+    "x82_curation_funnel" -> ((s, d) => {
+      val withPii = docs(s, d).select(col("doc_id"), piiText, col("source"))
+      Curation.curationFunnel(
+        withPii.filter(col("doc_id") % 20 =!= 0),
+        withPii.filter(col("doc_id") % 20 === 0),
+        "doc_id", "text", "source",
+        spanK = dupGramK, tau = tempTau, mixBuckets = tempBuckets)
+    }),
     // bootstrap quality classifier: rule-label → bag-of-words affinity
     // weights → score every doc (the distill-a-heuristic pattern);
     // integer-exact arithmetic end to end, per-doc scores hash-checked
@@ -3065,94 +3175,10 @@ object SparkEntry {
         |FROM a GROUP BY 1, 2""".stripMargin,
     // x81: x41's chain through the fingerprint dedup (dd), then the x79
     // span-removal CTEs over the survivors, the x78 τ=2 mix over
-    // source, and the same packing window over the span-cleaned counts
+    // source, and the same packing window over the span-cleaned counts.
+    // The chain itself is [[corpusV2Ctes]], shared with the x82 funnel
     "x81_corpus_build_v2" ->
-      s"""WITH p AS (
-        |  SELECT doc_id,
-        |         regexp_replace(regexp_replace(regexp_replace(
-        |           text || ' contact user' || doc_id || '@mail.example.com ip 10.'
-        |             || (doc_id % 250) || '.0.' || (doc_id % 100)
-        |             || ' tel +1-555-' || lpad((doc_id % 10000)::VARCHAR, 4, '0'),
-        |           '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}', '<EMAIL>', 'g'),
-        |           '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g'),
-        |           '\\+\\d[\\d-]{6,14}\\d', '<PHONE>', 'g') AS text
-        |  FROM documents),
-        |e AS (
-        |  SELECT doc_id,
-        |         md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint,
-        |         list_filter(string_split_regex(lower(trim(text)), '\\s+'),
-        |                     x -> x <> '') AS toks,
-        |         length(text) AS n_chars,
-        |         length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS n_punct
-        |  FROM p),
-        |g AS (
-        |  SELECT doc_id, fingerprint, toks,
-        |    len(list_filter(toks, x -> x IN ('the','a','and','of','to'))) AS en_hits,
-        |    len(list_filter(toks, x -> x IN ('der','die','und','das','ein'))) AS de_hits,
-        |    len(list_filter(toks, x -> x IN ('le','la','et','les','des'))) AS fr_hits,
-        |    len(list_filter(toks, x -> x IN ('el','los','y','las','una'))) AS es_hits,
-        |    CASE WHEN len(toks) < 5 THEN 'too_short'
-        |         WHEN n_punct::DOUBLE / greatest(n_chars, 1) > 0.2 THEN 'punct_heavy'
-        |         ELSE 'ok' END AS quality_bucket,
-        |    CASE WHEN len(toks) >= 2
-        |      THEN list_transform(range(1, len(toks)),
-        |                          i -> array_to_string(toks[i:i+1], ' '))
-        |      ELSE []::VARCHAR[] END AS grams
-        |  FROM e),
-        |gate AS (
-        |  SELECT doc_id, fingerprint, toks FROM g
-        |  WHERE doc_id % 20 <> 0
-        |    AND quality_bucket = 'ok'
-        |    AND CASE WHEN greatest(en_hits, de_hits, fr_hits, es_hits) = 0 THEN 'und'
-        |             WHEN en_hits = greatest(en_hits, de_hits, fr_hits, es_hits) THEN 'en'
-        |             WHEN de_hits = greatest(en_hits, de_hits, fr_hits, es_hits) THEN 'de'
-        |             WHEN fr_hits = greatest(en_hits, de_hits, fr_hits, es_hits) THEN 'fr'
-        |             ELSE 'es' END = 'en'
-        |    AND NOT (len(grams) <> 0 AND
-        |             round(1 - len(list_distinct(grams))::DOUBLE / len(grams), 4) >= 0.2)),
-        |sh AS (
-        |  SELECT DISTINCT doc_id, array_to_string(toks[i:i+7], ' ') AS shingle
-        |  FROM e, UNNEST(range(1, len(toks) - 6)) AS u(i)
-        |  WHERE len(toks) >= 8),
-        |ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 20 = 0),
-        |contam AS (
-        |  SELECT DISTINCT s.doc_id FROM sh s JOIN ev USING (shingle)
-        |  WHERE s.doc_id % 20 <> 0),
-        |dd AS (
-        |  SELECT doc_id, toks,
-        |         row_number() OVER (PARTITION BY fingerprint
-        |                            ORDER BY doc_id ASC) AS rn
-        |  FROM gate
-        |  WHERE doc_id NOT IN (SELECT doc_id FROM contam)),
-        |dd1 AS (SELECT doc_id, toks FROM dd WHERE rn = 1),
-        |sg AS (
-        |  SELECT doc_id, CAST(i AS BIGINT) AS gpos,
-        |         array_to_string(toks[i:i+${dupGramK - 1}], ' ') AS gram
-        |  FROM dd1, UNNEST(range(1, len(toks) - ${dupGramK - 2})) AS u(i)
-        |  WHERE len(toks) >= $dupGramK),
-        |sdup AS (SELECT gram FROM sg GROUP BY gram HAVING count(*) >= 2),
-        |sds AS (SELECT doc_id, gpos FROM sg JOIN sdup USING (gram)),
-        |scov AS (SELECT DISTINCT doc_id, gpos + j AS p
-        |         FROM sds, UNNEST(range(0, $dupGramK)) AS v(j)),
-        |stok AS (SELECT doc_id, CAST(i AS BIGINT) AS p
-        |         FROM dd1, UNNEST(range(1, len(toks) + 1)) AS u(i)),
-        |scnt AS (
-        |  SELECT tk.doc_id, count(*) AS n_clean FROM stok tk
-        |  WHERE NOT EXISTS (SELECT 1 FROM scov
-        |                    WHERE scov.doc_id = tk.doc_id AND scov.p = tk.p)
-        |  GROUP BY tk.doc_id),
-        |dom AS (SELECT s.doc_id, d.source, s.n_clean
-        |        FROM scnt s JOIN documents d USING (doc_id)),
-        |cn2 AS (SELECT source, count(*) AS n_domain FROM dom GROUP BY source),
-        |mn2 AS (SELECT min(n_domain) AS n_min FROM cn2),
-        |mixed AS (
-        |  SELECT dom.doc_id, dom.n_clean FROM dom
-        |  JOIN cn2 USING (source) CROSS JOIN mn2
-        |  WHERE (((doc_id % 1000000007) * 2654435761 % $tempBuckets
-        |            + $tempBuckets) % $tempBuckets)
-        |          * (((doc_id % 1000000007) * 2654435761 % $tempBuckets
-        |               + $tempBuckets) % $tempBuckets)
-        |          * n_domain < n_min * ${tempBuckets.toLong * tempBuckets}),
+      s"""WITH $corpusV2Ctes,
         |a AS (
         |  SELECT doc_id, n_clean AS n_tokens, doc_id % 8 AS shard,
         |         sum(n_clean) OVER (PARTITION BY doc_id % 8 ORDER BY doc_id
@@ -3163,6 +3189,34 @@ object SparkEntry {
         |       count(*) AS n_docs, sum(n_tokens)::BIGINT AS seq_tokens,
         |       min(doc_id) AS first_doc, max(doc_id) AS last_doc
         |FROM a GROUP BY 1, 2""".stripMargin,
+    // x82: the same chain, read out as per-stage surviving-doc counts
+    // with the drop vs the previous stage (8-row lag window)
+    "x82_curation_funnel" ->
+      s"""WITH $corpusV2Ctes,
+        |counts AS (
+        |  SELECT 1 AS stage_id, 'input' AS stage,
+        |         (SELECT count(*) FROM documents WHERE doc_id % 20 <> 0) AS n_docs
+        |  UNION ALL SELECT 2, 'quality_gate',
+        |    (SELECT count(*) FROM g
+        |     WHERE doc_id % 20 <> 0 AND quality_bucket = 'ok')
+        |  UNION ALL SELECT 3, 'language_gate',
+        |    (SELECT count(*) FROM g
+        |     WHERE doc_id % 20 <> 0 AND quality_bucket = 'ok'
+        |       AND CASE WHEN greatest(en_hits, de_hits, fr_hits, es_hits) = 0 THEN 'und'
+        |                WHEN en_hits = greatest(en_hits, de_hits, fr_hits, es_hits) THEN 'en'
+        |                WHEN de_hits = greatest(en_hits, de_hits, fr_hits, es_hits) THEN 'de'
+        |                WHEN fr_hits = greatest(en_hits, de_hits, fr_hits, es_hits) THEN 'fr'
+        |                ELSE 'es' END = 'en')
+        |  UNION ALL SELECT 4, 'repetition_gate', (SELECT count(*) FROM gate)
+        |  UNION ALL SELECT 5, 'decontaminated', (SELECT count(*) FROM dd)
+        |  UNION ALL SELECT 6, 'exact_dedup',
+        |    (SELECT count(*) FROM dd WHERE rn = 1)
+        |  UNION ALL SELECT 7, 'span_dedup', (SELECT count(*) FROM scnt)
+        |  UNION ALL SELECT 8, 'temperature_mix', (SELECT count(*) FROM mixed))
+        |SELECT stage_id::BIGINT AS stage_id, stage, n_docs::BIGINT AS n_docs,
+        |       coalesce(lag(n_docs) OVER (ORDER BY stage_id) - n_docs, 0)::BIGINT
+        |         AS n_dropped
+        |FROM counts""".stripMargin,
     "x48_frame_dedup" ->
       """WITH d AS (
         |  SELECT doc_id, text FROM documents

@@ -162,4 +162,79 @@ object Curation {
     Packing.packSequences(mixed.select("doc_id", "text"), "doc_id", "text",
       budget, shards)
   }
+
+  /** Per-stage attrition funnel for the [[buildCorpusV2]] pipeline —
+    * the "where did my corpus go" report every production build
+    * publishes next to its output: one row per stage with the
+    * surviving doc count and the drop vs the previous stage. The three
+    * gates are split out in quality → language → repetition order
+    * (diagnostic convention; the pipeline itself evaluates them as one
+    * conjunction in one pass — the counts compose identically because
+    * the conjunction is order-free).
+    *
+    * Scale shape: the gate flags are ONE staged-projection pass over
+    * the corpus (the buildCorpus cache shape) feeding all three gate
+    * counts; each later stage adds its own (linear) operator exactly
+    * as the pipeline runs it, and every stage frame is cached once and
+    * counted once — the funnel costs one extra count-aggregate per
+    * stage on top of the build itself. Output: 8 rows.
+    */
+  def curationFunnel(train: DataFrame, eval: DataFrame, idCol: String,
+                     textCol: String, domainCol: String, lang: String = "en",
+                     shingleK: Int = 8, spanK: Int = 8, tau: Int = 2,
+                     mixBuckets: Int = 1000): DataFrame = {
+    def redacted(df: DataFrame): DataFrame = df.select(
+      col(idCol).as("doc_id"), Pii.redactedCol(col(textCol)).as("text"))
+    val flagged = redacted(train)
+      .select(col("doc_id"), col("text"),
+        TextAnalysis.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("text"), col("toks"),
+        TextAnalysis.wordGramsFromToks(col("toks"), 2).as("grams"))
+      .select(col("doc_id"), col("text"),
+        (TextAnalysis.qualityBucketFromToks(col("toks"), col("text")) === "ok")
+          .as("q_ok"),
+        (TextAnalysis.predLangFromToks(col("toks")) === lang).as("lang_ok"),
+        (!TextAnalysis.repetitiveFromGrams(col("grams"))).as("rep_ok"))
+      .cache()
+    val gated = flagged.filter(col("q_ok") && col("lang_ok") && col("rep_ok"))
+      .select("doc_id", "text")
+    val decon = Decontaminate.clean(gated, redacted(eval),
+      "doc_id", "text", shingleK).cache()
+    val deduped = Dedup.keepFirst(
+      decon.withColumn("fingerprint",
+        TextAnalysis.fingerprintCol(col("text"))),
+      Seq("fingerprint"), Seq(col("doc_id").asc)).cache()
+    val spanned = graft.neardup.SpanDedup
+      .removeDuplicatedSpans(deduped, "doc_id", "text", k = spanK)
+      .filter(col("n_tokens") - col("n_removed") >= 1)
+      .select(col("doc_id"), col("text_clean").as("text")).cache()
+    val domains = train.select(col(idCol).as("doc_id"),
+      col(domainCol).as("domain"))
+    val mixed = Sampling.temperatureSample(
+      spanned.join(domains, Seq("doc_id")), "domain", "doc_id",
+      tau, mixBuckets)
+    val stages: Seq[(Int, String, DataFrame)] = Seq(
+      (1, "input", train.select(col(idCol).as("doc_id"))),
+      (2, "quality_gate", flagged.filter(col("q_ok")).select("doc_id")),
+      (3, "language_gate",
+        flagged.filter(col("q_ok") && col("lang_ok")).select("doc_id")),
+      (4, "repetition_gate", gated.select("doc_id")),
+      (5, "decontaminated", decon.select("doc_id")),
+      (6, "exact_dedup", deduped.select("doc_id")),
+      (7, "span_dedup", spanned.select("doc_id")),
+      (8, "temperature_mix", mixed.select("doc_id")))
+    val counts = stages.map { case (i, name, fr) =>
+      fr.agg(count(lit(1)).as("n_docs"))
+        .select(lit(i.toLong).as("stage_id"), lit(name).as("stage"),
+          col("n_docs"))
+    }.reduce(_ unionAll _)
+    // drop-vs-previous over the 8-row funnel (unpartitioned window is
+    // fine at this cardinality — it never sees corpus-sized input)
+    counts.withColumn("n_dropped",
+      coalesce(
+        lag(col("n_docs"), 1).over(
+          org.apache.spark.sql.expressions.Window.orderBy(col("stage_id")))
+          - col("n_docs"),
+        lit(0L)))
+  }
 }

@@ -139,6 +139,34 @@ class TrainingDataOpsSpec extends SparkSpec {
     assert(v1 == 32L, "v1 packs both docs whole (16 tokens each)")
   }
 
+  test("curationFunnel counts every stage and reconciles with the build") {
+    val eval = Seq((100L, "completely unrelated evaluation material here"))
+      .toDF("doc_id", "text")
+    val shared = "the quick brown fox jumps over a lazy"
+    val train = Seq(
+      (1L, s"$shared dog and the first story ends happily today"),
+      (2L, s"$shared dog and the second story ends sadly today"),
+      (5L, "der hund und die katze das ein haus"), // language gate
+      (6L, "tiny doc"))                            // quality gate
+      .toDF("doc_id", "text").withColumn("source", lit("web"))
+    val out = graft.pipelines.Curation
+      .curationFunnel(train, eval, "doc_id", "text", "source")
+      .orderBy("stage_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(out.map(_._2).toSeq == Seq("input", "quality_gate",
+      "language_gate", "repetition_gate", "decontaminated", "exact_dedup",
+      "span_dedup", "temperature_mix"))
+    // 4 in; doc 6 falls at quality, doc 5 at language; docs 1/2 survive
+    // every later stage (span dedup cuts their shared prefix but leaves
+    // both non-empty; one uniform domain keeps everything in the mix)
+    assert(out.map(_._3).toSeq == Seq(4L, 3L, 2L, 2L, 2L, 2L, 2L, 2L),
+      s"got ${out.toSeq}")
+    assert(out.map(_._4).toSeq == Seq(0L, 1L, 1L, 0L, 0L, 0L, 0L, 0L))
+    // counts never increase and each drop reconciles with the lag
+    assert(out.sliding(2).forall(w => w(1)._3 <= w(0)._3 &&
+      w(1)._4 == w(0)._3 - w(1)._3))
+  }
+
   test("incremental curation admits only genuinely-new fingerprints") {
     // the x44 shape: ids with doc_id % 10 < 8 are the existing curated
     // table, the rest today's increment; doc 18 duplicates doc 1's text
