@@ -346,6 +346,7 @@ object SparkEntry {
   private val dsirK = 100       // x73 selected-subset size (1/5 of sf0.01 corpus)
   private val bpeMerges = 4     // x75 learned-merge count
   private val semDecontamEvalTarget = 40L // x69 fixed-count eval-benchmark size
+  private val vocabBucketDocs = 100 // x84 ids per curve bucket
   private val tempTau = 2       // x78 mixing temperature (α = 1−1/τ = 0.5)
   private val tempBuckets = 1000 // x78 hash-rate resolution (1/B quantization)
   private val rrfQueryTarget = 20L // x77 fixed-count query sample over the doc∩vec corpus
@@ -1674,6 +1675,12 @@ object SparkEntry {
     // explode→distinct-count passes, one row per domain
     "x80_diversity_profile" -> ((s, d) =>
       TextAnalysis.diversityProfile(docs(s, d), "source", "text")),
+    // Heaps-law vocabulary growth: cumulative distinct tokens in
+    // doc-id order via the min-first-occurrence aggregate (no rescan);
+    // the tokenizer-sizing / corpus-freshness curve
+    "x84_vocab_growth" -> ((s, d) =>
+      TextAnalysis.vocabGrowth(docs(s, d), "doc_id", "text",
+        bucketDocs = vocabBucketDocs)),
     "x10_token_counts" -> ((s, d) => TextAnalysis.tokenCounts(docs(s, d), "doc_id", "text")),
     "x11_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(docs(s, d), "doc_id", "text")),
     "x12_rolling_hash" -> ((s, d) => TextAnalysis.rollingHash(docs(s, d), "doc_id", "text")),
@@ -2041,6 +2048,18 @@ object SparkEntry {
         all.filter(col("doc_id") % 20 =!= 0),
         all.filter(col("doc_id") % 20 === 0),
         "doc_id", "text", k = 8)
+    }),
+    // eval-side coverage — x36 looked from the train side ("is this
+    // train doc contaminated"); this is the fractional report the eval
+    // owner reads: per eval doc, what share of its 8-grams the training
+    // corpus contains verbatim (seen_frac ≈ 1 = memorization-reachable
+    // even after doc-level decontamination)
+    "x83_eval_coverage" -> ((s, d) => {
+      val all = docs(s, d)
+      Decontaminate.coverage(
+        all.filter(col("doc_id") % 20 =!= 0),
+        all.filter(col("doc_id") % 20 === 0),
+        "doc_id", "text", k = dupGramK)
     }),
     // bloom-gated decontamination — x36's 100 TB spelling: the eval gram
     // index collapses to a 32 KB broadcast bit array, training grams are
@@ -3432,6 +3451,27 @@ object SparkEntry {
         |FROM tr JOIN ev ON tr.shingle = ev.shingle
         |GROUP BY tr.doc_id
         |HAVING count(*) >= 1""".stripMargin,
+    // x83: x36's shingle CTEs read the other way — per-eval-doc totals
+    // and train-set hits, fraction at 4dp, TOTAL over eval docs
+    "x83_eval_coverage" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |                             x -> x <> '') AS t
+        |  FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, array_to_string(t[i:i+7], ' ') AS shingle
+        |  FROM toks, UNNEST(range(1, len(t) - 6)) AS u(i)
+        |  WHERE len(t) >= 8),
+        |tg AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 20 <> 0),
+        |ev AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 20 = 0),
+        |tot AS (SELECT doc_id, count(*) AS n_grams FROM ev GROUP BY 1),
+        |ht AS (SELECT ev.doc_id, count(*) AS n_seen
+        |       FROM ev JOIN tg USING (shingle) GROUP BY 1)
+        |SELECT d.doc_id, coalesce(n_grams, 0) AS n_grams,
+        |       coalesce(n_seen, 0) AS n_seen,
+        |       round(coalesce(n_seen * 1.0 / n_grams, 0), 4) AS seen_frac
+        |FROM documents d LEFT JOIN tot USING (doc_id) LEFT JOIN ht USING (doc_id)
+        |WHERE d.doc_id % 20 = 0""".stripMargin,
     // bloom replay: rebuild the eval-set bit array from the SAME 60-bit
     // md5 bases, splitmix multipliers and 63-bit-word layout, then
     // re-evaluate membership for every training gram — the oracle
@@ -4243,6 +4283,30 @@ object SparkEntry {
         |       WHEN fr_hits = greatest(en_hits, de_hits, fr_hits, es_hits) THEN 'fr'
         |       ELSE 'es' END AS pred_lang
         |FROM h""".stripMargin,
+    // x84: the min-first-occurrence spelling of cumulative distinct,
+    // identical IEEE floor-division bucketing, running sums over the
+    // bucket frame
+    "x84_vocab_growth" ->
+      s"""WITH t AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+        |                             x -> x <> '') AS tk
+        |  FROM documents),
+        |b AS (SELECT CAST(floor(doc_id / ${vocabBucketDocs.toDouble}) AS BIGINT) AS bucket,
+        |             count(*) AS n_docs, sum(len(tk))::BIGINT AS n_tokens
+        |      FROM t GROUP BY 1),
+        |f AS (SELECT g, min(doc_id) AS first_id
+        |      FROM t, UNNEST(tk) AS x(g) GROUP BY g),
+        |nt AS (SELECT CAST(floor(first_id / ${vocabBucketDocs.toDouble}) AS BIGINT) AS bucket,
+        |              count(*) AS n_new FROM f GROUP BY 1)
+        |SELECT b.bucket, b.n_docs, b.n_tokens,
+        |       coalesce(nt.n_new, 0) AS n_new_terms,
+        |       CAST(sum(b.n_tokens) OVER (ORDER BY b.bucket
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |         AS cum_tokens,
+        |       CAST(sum(coalesce(nt.n_new, 0)) OVER (ORDER BY b.bucket
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |         AS vocab_size
+        |FROM b LEFT JOIN nt USING (bucket)""".stripMargin,
     // x80: same tokenization, positional bigrams, per-source distinct
     // counts and 4-dp ratios — the x61 division/coalesce idiom
     "x80_diversity_profile" ->

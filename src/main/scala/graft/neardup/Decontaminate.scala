@@ -80,4 +80,37 @@ object Decontaminate {
     train.join(report(train, eval, idCol, textCol, k, minShared)
         .select(col("doc_id").as(idCol)),
       Seq(idCol), "left_anti")
+
+  /** Per-EVAL-doc k-gram coverage — [[report]] looked from the training
+    * side and answered binarily ("is this train doc contaminated");
+    * this is the fractional complement the eval owner reads: for each
+    * eval doc, what fraction of its distinct word k-grams appears
+    * verbatim anywhere in the training corpus. seen_frac ≈ 1 means the
+    * benchmark is effectively memorization-reachable even after
+    * doc-level decontamination (partial overlaps below `minShared`
+    * survive [[clean]]); ≈ 0 certifies novelty. TOTAL over eval docs
+    * (shorter than k ⇒ zeros).
+    *
+    * Scale shape: the TRAIN side reduces to a distinct gram set — the
+    * corpus-sized half never carries doc ids into the shuffle and the
+    * join output is bounded by the EVAL gram count; one semi-join + two
+    * partial aggs, linear in the corpus, output sized by the eval set.
+    */
+  def coverage(train: DataFrame, eval: DataFrame, idCol: String,
+               textCol: String, k: Int = 8): DataFrame = {
+    val trainGrams = NearDup.shingles(train, idCol, textCol, k)
+      .select("shingle").distinct()
+    val evalSh = NearDup.shingles(eval, idCol, textCol, k)
+    val totals = evalSh.groupBy("id").agg(count(lit(1)).as("n_grams"))
+    val hits = evalSh.join(trainGrams, Seq("shingle"), "left_semi")
+      .groupBy("id").agg(count(lit(1)).as("n_seen"))
+    eval.select(col(idCol).as("doc_id"))
+      .join(totals.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+      .join(hits.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_seen"), lit(0L)).as("n_seen"),
+        round(coalesce(col("n_seen") * lit(1.0) / col("n_grams"), lit(0.0)), 4)
+          .as("seen_frac"))
+  }
 }

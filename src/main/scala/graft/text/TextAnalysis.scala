@@ -501,6 +501,42 @@ object TextAnalysis {
       .filter(col("rnk") <= topN)
   }
 
+  /** Vocabulary-growth (Heaps-law) curve — cumulative distinct-token
+    * count as the corpus is consumed in doc-id order, bucketed
+    * `bucketDocs` ids at a time: the curve tokenizer training reads to
+    * size a vocabulary, and a flattening slope is the classic signal
+    * the corpus has gone repetitive (new data stops contributing new
+    * types). One row per id bucket: docs/tokens in the bucket, terms
+    * FIRST seen in it, plus running totals.
+    *
+    * "Cumulative distinct" sounds like an O(n²) rescan but reduces to
+    * one aggregate: a term contributes to bucket b iff min(doc_id) of
+    * its occurrences lands in b — so the curve is the min-aggregate
+    * (map-side combinable) bucketed, plus a running sum over the
+    * (tiny) bucket frame. Non-negative ids assumed (fixture contract;
+    * the bucket spelling floor(id / B) is replayed as the identical
+    * IEEE division in the oracle).
+    */
+  def vocabGrowth(df: DataFrame, idCol: String, textCol: String,
+                  bucketDocs: Int = 100): DataFrame = {
+    val bucketOf = (c: Column) =>
+      floor(c.cast("double") / lit(bucketDocs.toDouble)).cast("long")
+    val toks = df.select(col(idCol).as("id"), tokens(col(textCol)).as("t"))
+    val perBucket = toks.groupBy(bucketOf(col("id")).as("bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum(size(col("t"))).as("n_tokens"))
+    val firsts = toks.select(col("id"), explode(col("t")).as("term"))
+      .groupBy("term").agg(min(col("id")).as("first_id"))
+    val newTerms = firsts.groupBy(bucketOf(col("first_id")).as("bucket"))
+      .agg(count(lit(1)).as("n_new_terms"))
+    val w = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perBucket.join(newTerms, Seq("bucket"), "left")
+      .select(col("bucket"), col("n_docs"), col("n_tokens"),
+        coalesce(col("n_new_terms"), lit(0L)).as("n_new_terms"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .withColumn("vocab_size", sum(col("n_new_terms")).over(w))
+  }
+
   /** Per-domain lexical-diversity profile — the distinct-n metric
     * (distinct n-grams / total n-grams, the standard corpus-diversity
     * check run before and after every curation pass: aggressive

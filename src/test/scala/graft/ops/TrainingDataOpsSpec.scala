@@ -187,6 +187,41 @@ class TrainingDataOpsSpec extends SparkSpec {
     assert(admitted == Set(19L), s"expected only doc 19 admitted, got $admitted")
   }
 
+  test("eval coverage reports the train-seen fraction per eval doc") {
+    // k=3: eval doc 10 shares its first 3-gram with train doc 1 (1 of
+    // its 2 grams -> 0.5); doc 11 shares nothing; doc 12 is shorter
+    // than k (zeros)
+    val train = Seq((1L, "alpha beta gamma something else entirely"))
+      .toDF("doc_id", "text")
+    val eval = Seq(
+      (10L, "alpha beta gamma delta"),
+      (11L, "completely novel words here"),
+      (12L, "too short")).toDF("doc_id", "text")
+    val out = Decontaminate.coverage(train, eval, "doc_id", "text", k = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out(10L) == ((2L, 1L, 0.5)))
+    assert(out(11L) == ((2L, 0L, 0.0)))
+    assert(out(12L) == ((0L, 0L, 0.0)))
+  }
+
+  test("vocabGrowth accumulates first-seen terms per id bucket") {
+    // bucket size 10: ids 0-9 introduce {a,b}, ids 10-19 re-use {a}
+    // and introduce {c}, ids 20-29 introduce nothing new
+    val df = Seq(
+      (0L, "a b a"), (1L, "b b"),
+      (10L, "a c"), (11L, "c c c"),
+      (20L, "a b c")).toDF("doc_id", "text")
+    val out = TextAnalysis.vocabGrowth(df, "doc_id", "text", bucketDocs = 10)
+      .orderBy("bucket").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(out.toSeq == Seq(
+      (0L, 2L, 5L, 2L, 5L, 2L),
+      (1L, 2L, 5L, 1L, 10L, 3L),
+      (2L, 1L, 3L, 0L, 13L, 3L)), s"got ${out.toSeq}")
+  }
+
   test("rebalance keeps the smallest domain whole and downsamples the rest") {
     // 10 book docs vs 200 web docs: books keep all rows, web lands near
     // the books' size; the kept set is a pure function of the ids
