@@ -41,8 +41,20 @@ object Bench {
         if (args.isEmpty) all else all.filter(n => args.exists(n.startsWith))
       included.filterNot(n => excluded.exists(n.startsWith))
     }
+    // materialize through the noop sink, NOT count(): count() lets
+    // Catalyst prune unreferenced columns and eliminate cardinality-
+    // preserving operators — a map-only projection (x38) or a unique-
+    // keyed left-join rebuild (x60/x61/x79/x83/x84) collapses to a
+    // parquet METADATA count and the operator under test never runs
+    // (caught in round 9: x79 "ran" 5M docs in 0.34s; explain showed a
+    // bare row-count scan). The noop sink evaluates every row and
+    // column and discards them — the honest bench action.
+    def materialize(name: String): Unit =
+      SparkEntry.queries(name)(spark, sfDir)
+        .write.mode("overwrite").format("noop").save()
     names.foreach { n =>
-      try SparkEntry.queries(n)(spark, warmDir).count()
+      try SparkEntry.queries(n)(spark, warmDir)
+        .write.mode("overwrite").format("noop").save()
       catch { case _: Throwable => () }
     }
     spark.catalog.clearCache()
@@ -56,7 +68,7 @@ object Bench {
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
         val ok =
-          try { SparkEntry.queries(name)(spark, sfDir).count(); true }
+          try { materialize(name); true }
           catch { case e: Throwable =>
             System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false
           }
