@@ -259,6 +259,59 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("span dedup matches a brute-force coverage oracle") {
+    // tiny alphabet + short docs ⇒ dup-dense corpora with overlapping
+    // covered spans — the regime where the relational spelling could
+    // diverge from the per-position definition
+    val tokGen = Gen.listOfN(12, Gen.oneOf("a", "b", "c"))
+    val corpusGen = Gen.listOfN(5, tokGen)
+    samples(corpusGen, 3).foreach { corpus =>
+      val k = 3
+      val docs = corpus.zipWithIndex.map { case (ts, i) => (i.toLong, ts.mkString(" ")) }
+      val occ = corpus.flatMap(_.sliding(k).filter(_.size == k).map(_.mkString(" ")))
+        .groupBy(identity).view.mapValues(_.size).toMap
+      val expected = corpus.map { ts =>
+        val starts = ts.sliding(k).zipWithIndex
+          .collect { case (g, idx) if g.size == k && occ(g.mkString(" ")) >= 2 => idx }
+          .toList
+        val covered = starts.flatMap(s => s until s + k).toSet
+        val kept = ts.zipWithIndex.collect { case (t, p) if !covered(p) => t }
+        (ts.size.toLong, covered.size.toLong, kept.mkString(" "))
+      }
+      val out = graft.neardup.SpanDedup
+        .removeDuplicatedSpans(docs.toDF("doc_id", "text"), "doc_id", "text", k = k)
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+        .toMap
+      expected.zipWithIndex.foreach { case (e, i) =>
+        assert(out(i.toLong) == e, s"doc $i: got ${out(i.toLong)}, want $e")
+      }
+    }
+  }
+
+  test("temperatureSample: τ-monotone kept sets; smallest domain whole") {
+    // ids include negatives (hashBucket's TOTAL-domain contract); the
+    // τ=1 predicate h·n_d < n_min·B implies the τ=2 one h²·n_d <
+    // n_min·B² (multiply by h < B), so kept sets must nest as τ grows
+    val domGen = Gen.listOfN(60, Gen.frequency(4 -> "web", 2 -> "news", 1 -> "books"))
+    samples(domGen, 3).foreach { doms =>
+      val df = doms.zipWithIndex
+        .map { case (s, i) => (i.toLong * 7L - 100L, s) }
+        .toDF("doc_id", "source")
+      def kept(tau: Int) = graft.ops.Sampling
+        .temperatureSample(df, "source", "doc_id", tau = tau, buckets = 50)
+        .select("doc_id").as[Long].collect().toSet
+      val (k1, k2, k3) = (kept(1), kept(2), kept(3))
+      assert(k1.subsetOf(k2) && k2.subsetOf(k3), "kept sets must nest in τ")
+      val smallest = doms.groupBy(identity).view.mapValues(_.size).toSeq
+        .minBy { case (s, n) => (n, s) }._1
+      val smallestIds = doms.zipWithIndex
+        .collect { case (s, i) if s == smallest => i.toLong * 7L - 100L }.toSet
+      Seq(k1, k2, k3).foreach(ks => assert(smallestIds.subsetOf(ks),
+        s"smallest domain $smallest must survive whole"))
+    }
+  }
+
   test("dup-gram profile matches a brute-force Scala oracle") {
     val tokGen = Gen.listOfN(10, Gen.oneOf("a", "b", "c", "d", "e"))
     val corpusGen = Gen.listOfN(6, tokGen)
