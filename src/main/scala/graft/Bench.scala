@@ -65,13 +65,19 @@ object Bench {
     // SPARK_GRAFT_REPS=1 for a quick dev pass.
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
     val results = names.map { name =>
-      val times = (1 to reps).map { _ =>
+      // per-rep start/done markers on stderr: a scale sweep that grinds
+      // on one stage for an hour is otherwise unattributable (the
+      // round-9 100× sweep burned 80+ min on an unidentified query —
+      // jstack shows codegen frames, not query names)
+      val times = (1 to reps).map { rep =>
+        System.err.println(s"[bench] $name rep $rep/$reps ...")
         val t0 = System.nanoTime()
         val ok =
           try { materialize(name); true }
           catch { case e: Throwable =>
             System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false
           }
+        System.err.println(f"[bench] $name rep $rep done ${(System.nanoTime() - t0) / 1e9}%.1fs")
         // failures are reported as -1, never as a fast "success"
         val dt = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
         // cache hygiene, OUTSIDE the timed window: queries that persist
