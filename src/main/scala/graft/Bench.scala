@@ -49,12 +49,11 @@ object Bench {
     // (caught in round 9: x79 "ran" 5M docs in 0.34s; explain showed a
     // bare row-count scan). The noop sink evaluates every row and
     // column and discards them — the honest bench action.
-    def materialize(name: String): Unit =
-      SparkEntry.queries(name)(spark, sfDir)
+    def materialize(name: String, dir: String): Unit =
+      SparkEntry.queries(name)(spark, dir)
         .write.mode("overwrite").format("noop").save()
     names.foreach { n =>
-      try SparkEntry.queries(n)(spark, warmDir)
-        .write.mode("overwrite").format("noop").save()
+      try materialize(n, warmDir)
       catch { case _: Throwable => () }
     }
     spark.catalog.clearCache()
@@ -73,7 +72,7 @@ object Bench {
         System.err.println(s"[bench] $name rep $rep/$reps ...")
         val t0 = System.nanoTime()
         val ok =
-          try { materialize(name); true }
+          try { materialize(name, sfDir); true }
           catch { case e: Throwable =>
             System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false
           }
@@ -104,7 +103,19 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // self-describing measurement protocol (round-9 lesson: per-query
+    // deltas across protocol changes — count() vs noop sink, min-of-3 vs
+    // REPS=1, boot-to-boot VM drift — read as code regressions unless the
+    // record itself says how it was taken). boot_id pins the VM boot so a
+    // cross-record compare can check "same boot" without PLANS.md
+    // archaeology; best-effort read (absent off Linux).
+    val bootId =
+      try java.nio.file.Files
+        .readString(java.nio.file.Paths.get("/proc/sys/kernel/random/boot_id"))
+        .trim
+      catch { case _: Exception => "unknown" }
+    val protocol = s""""protocol":"noop-sink/min-of-$reps","boot_id":"$bootId""""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec",$protocol,"queries":$qs,"sf":"$sfDir"}"""
     // land the FULL-precision line in a file: sbt wraps stdout in [info]
     // noise that breaks the driver's JSON parse. FULL runs only — an
     // arg-filtered or exclusion-trimmed dev run must not overwrite the
@@ -130,7 +141,7 @@ object Bench {
       .setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     val bySlow = results.sortBy(-_._2)
     val head = new StringBuilder(
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":{""")
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec",$protocol,"queries":{""")
     var included = 0
     var full = false
     bySlow.foreach { case (k, v) =>

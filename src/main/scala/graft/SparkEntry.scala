@@ -127,18 +127,31 @@ object SparkEntry {
   private val drainEpochs =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
 
+  private val drainsInFlight =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
   private def drainMemorySink(parent: SparkSession, clone: SparkSession,
                               view: String, projected: DataFrame): DataFrame = {
-    val epoch: Long =
-      drainEpochs.merge(view, 1L, (a, b) => a + b)
-    val out = sinkScratchRoot.resolve(s"${view}_out_$epoch")
-    projected.write.mode("overwrite").parquet(out.toString)
-    clone.catalog.dropTempView(view)
-    clone.streams.resetTerminated()
-    // the new epoch is fully written — retire the previous one now
-    if (epoch > 1L)
-      deleteRecursively(sinkScratchRoot.resolve(s"${view}_out_${epoch - 1}"))
-    parent.read.parquet(out.toString)
+    // ENFORCE the sequential-caller contract instead of only documenting
+    // it: a second concurrent drain of the same view would retire an
+    // epoch the first is still writing/reading — fail loudly at entry
+    // rather than serve a torn read later
+    require(drainsInFlight.add(view),
+      s"concurrent drainMemorySink for view '$view': drains per view " +
+        "must be sequential — key concurrent callers by (session, view), " +
+        "e.g. a session-suffixed view name")
+    try {
+      val epoch: Long =
+        drainEpochs.merge(view, 1L, (a, b) => a + b)
+      val out = sinkScratchRoot.resolve(s"${view}_out_$epoch")
+      projected.write.mode("overwrite").parquet(out.toString)
+      clone.catalog.dropTempView(view)
+      clone.streams.resetTerminated()
+      // the new epoch is fully written — retire the previous one now
+      if (epoch > 1L)
+        deleteRecursively(sinkScratchRoot.resolve(s"${view}_out_${epoch - 1}"))
+      parent.read.parquet(out.toString)
+    } finally drainsInFlight.remove(view)
   }
 
   /** Best-effort recursive delete (same tolerance as the shutdown hook:
@@ -459,7 +472,12 @@ object SparkEntry {
     * tiebreak as the Spark side) and sk (the greedy re-segmentation
     * via list_reduce over singleton lists — DuckDB's accumulator must
     * share the element type, and `acc[0]` is NULL on the empty
-    * accumulator, mirroring Spark's null-safe `get`).
+    * accumulator, mirroring Spark's null-safe `get`). sk is a LEFT
+    * JOIN on the 0-or-1-row mk with a NULL-lft fallback to the
+    * PREVIOUS segmentation: when the corpus exhausts its pair supply
+    * before `merges` rounds, the Spark loop breaks and keeps the last
+    * vocabulary — a comma-join `FROM s{k-1}, mk` would instead empty
+    * every later sk and zero the x76 segment oracle (round-9 ADVICE).
     */
   private def bpeChain(merges: Int): String = {
     val rounds = (1 to merges).map { k =>
@@ -470,13 +488,14 @@ object SparkEntry {
         |      GROUP BY 1, 2),
         |m$k AS (SELECT lft, rgt, cnt FROM p$k
         |      ORDER BY cnt DESC, lft ASC, rgt ASC LIMIT 1),
-        |s$k AS (SELECT w, freq, list_reduce(
+        |s$k AS (SELECT w, freq,
+        |        CASE WHEN m.lft IS NULL THEN syms ELSE list_reduce(
         |          list_prepend(CAST([] AS VARCHAR[]),
         |            list_transform(syms, s -> [s])),
         |          (acc, x) -> CASE WHEN acc[len(acc)] = m.lft AND x[1] = m.rgt
         |            THEN list_append(acc[1:len(acc)-1], m.lft || m.rgt)
-        |            ELSE list_concat(acc, x) END) AS syms
-        |      FROM s${k - 1}, m$k m)""".stripMargin
+        |            ELSE list_concat(acc, x) END) END AS syms
+        |      FROM s${k - 1} LEFT JOIN m$k m ON TRUE)""".stripMargin
     }.mkString(",\n")
     s"""WITH toks AS (
       |  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\\s+'),

@@ -121,13 +121,31 @@ object Sampling {
     * Long arithmetic both engines replay (B=1000, τ=2 bounds every
     * product by 1e6·n_d — overflow-free while domains stay under
     * ~9.2e12 rows; τ is an INTEGER exponent spelled as repeated
-    * multiplication, no pow()). Same two-pass shape as [[rebalanceBy]]:
+    * multiplication, no pow(); the B^τ ≤ 1e9 require below ENFORCES
+    * the headroom for every admitted (τ, B), not just the default).
+    * Same two-pass shape as [[rebalanceBy]]:
     * broadcast domain counts, then a map-only integer predicate — the
     * corpus never shuffles.
     */
   def temperatureSample(df: DataFrame, domainCol: String, keyCol: String,
                         tau: Int = 2, buckets: Int = 1000): DataFrame = {
     require(tau >= 1, s"tau must be a positive integer, got $tau")
+    require(buckets >= 2, s"buckets must be >= 2, got $buckets")
+    // enforce the overflow bound the predicate's Long arithmetic needs:
+    // h^tau*n_domain (h < buckets) and n_min*buckets^tau must stay below
+    // 2^63, and n_domain is data we can't see at plan time — so cap
+    // buckets^tau at 1e9, which leaves ~9.2e9 rows of per-domain headroom
+    // (comfortably above any single domain this engine targets; a
+    // 100 TB corpus at 1 KB/doc is 1e11 docs ACROSS all domains). At the
+    // default buckets=1000 this admits tau<=3; higher temperatures must
+    // coarsen the bucket grid (e.g. buckets=100 admits tau<=4), trading
+    // rate quantization for exponent range instead of silently
+    // overflowing (ANSI mode would throw mid-job; non-ANSI would
+    // silently wrap and corrupt the sample).
+    require(math.pow(buckets.toDouble, tau.toDouble) <= 1e9,
+      s"buckets^tau = $buckets^$tau exceeds 1e9: h^tau*n_domain would " +
+        "overflow Long for domains beyond ~9.2e9 rows; lower tau or " +
+        "buckets (tau<=3 at buckets=1000)")
     val counts = df.groupBy(domainCol).agg(count(lit(1)).as("n_domain"))
     val rates = counts.crossJoin(counts.agg(min("n_domain").as("n_min")))
     val h = hashBucket(col(keyCol), buckets)
