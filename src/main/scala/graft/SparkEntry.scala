@@ -338,6 +338,8 @@ object SparkEntry {
   private val semDedupThreshold = 0.999 // x53/x56 epsilon-ball cosine (round-6dp)
   private val semHierClusterSize = 300  // x56 target docs per fine cluster
   private val semHierMinCoarse   = 4    // x56 coarse-cell floor
+  private val knnHierClusterSize = 100  // x63/x65 target docs per fine cluster
+                                        // (scoring = nprobe·cluster per query)
   private val exportShards = 8 // x54 shuffle-shard export shard count
   private val domainCapK = 10  // x55 max docs kept per source domain
   private val paraChunkTokens = 12 // x60/x62 derived-paragraph width (tokens)
@@ -591,17 +593,19 @@ object SparkEntry {
     * shared x20i assignment CTEs with the corpus-adaptive √(n/2)
     * nlist bound, then the within-cluster epsilon-ball drop rule.
     */
-  // kNN-graph replay (x63, nested by x65): x20i's probe/score/rank chain
-  // with q = ALL vectors and x53's adaptive-nlist scalar subquery — the
-  // assignment CTEs, probe ranking, and final top-k are shared
-  // spellings, so the integer-IVF oracles cannot drift apart
-  private lazy val knnGraphOracleSql: String =
-    s"""WITH ${ivfIntAssignCtes(
-           s"(SELECT greatest($ivfIntNlist, CAST(ceil(sqrt(count(*) / 2.0)) AS BIGINT)) FROM documents)")},
+  // kNN-graph replay (x63, nested by x65): the HIERARCHICAL assignment
+  // chain (shared verbatim with x56 via hierAssignCtes) with probes
+  // ranked INSIDE each vector's coarse cell (vcell ⋈ c1c on ccid — the
+  // cell-restricted trade Similarity.knnGraphIntHier makes), then
+  // x20i's probe/score/rank spellings — the integer-IVF oracles cannot
+  // drift apart
+  private lazy val knnGraphHierOracleSql: String =
+    s"""WITH ${hierAssignCtes(hierNlistSqlFor(knnHierClusterSize),
+           hierNcoarseSqlFor(knnHierClusterSize))},
       |ps AS (
-      |  SELECT a2.doc_id AS qid, a2.v AS qvec, c1.cid,
-      |         ${intCosSql("a2.v", "c1.cvec")} AS csim
-      |  FROM a2, c1),
+      |  SELECT vcell.doc_id AS qid, vcell.v AS qvec, c1c.cid,
+      |         ${intCosSql("vcell.v", "c1c.fvec")} AS csim
+      |  FROM vcell JOIN c1c ON c1c.ccid = vcell.ccid),
       |pr AS (
       |  SELECT qid, qvec, cid FROM (
       |    SELECT qid, qvec, cid,
@@ -629,16 +633,34 @@ object SparkEntry {
       |SELECT a2.doc_id, a2.cid, (d.doc_id IS NULL) AS kept
       |FROM a2 LEFT JOIN drops d ON d.doc_id = a2.doc_id""".stripMargin
 
-  /** Hierarchical-SemDeDup oracle (x56, and x59's at-or-above-
-    * crossover branch); shape bounds are the catalog's exact IEEE
-    * ceil/sqrt sequences as scalar subqueries.
+  /** The constant-cluster-size hierarchical shape bounds as DuckDB
+    * scalar subqueries — ONE spelling shared by the x56 and x63/x65
+    * oracles (the catalog entries compute the identical IEEE ceil/sqrt
+    * sequences driver-side: nlist = max(minNlist, ceil(n/clusterSize)),
+    * ncoarse = max(minCoarse, ceil(sqrt(nlist)))). Parameterized on the
+    * target cluster size because the two families tune it differently:
+    * dedup (x56) amortizes a one-off Σ n_c² pair stage, while the kNN
+    * graph (x63/x65) pays nprobe·clusterSize SCORED candidates per
+    * query, so it targets a smaller cell.
     */
-  private lazy val semDedupHierOracleSql: String = {
-    val nlistSql =
-      s"(SELECT greatest($ivfIntNlist, CAST(ceil(count(*) / $semHierClusterSize.0) AS BIGINT)) FROM documents)"
-    val ncSql =
-      s"(SELECT greatest($semHierMinCoarse, CAST(ceil(sqrt(CAST(greatest($ivfIntNlist, CAST(ceil(count(*) / $semHierClusterSize.0) AS BIGINT)) AS DOUBLE))) AS BIGINT)) FROM documents)"
-    s"""WITH $intEmbedVecCtes,
+  private def hierNlistSqlFor(clusterSize: Int): String =
+    s"(SELECT greatest($ivfIntNlist, CAST(ceil(count(*) / $clusterSize.0) AS BIGINT)) FROM documents)"
+  private def hierNcoarseSqlFor(clusterSize: Int): String =
+    s"(SELECT greatest($semHierMinCoarse, CAST(ceil(sqrt(CAST(greatest($ivfIntNlist, CAST(ceil(count(*) / $clusterSize.0) AS BIGINT)) AS DOUBLE))) AS BIGINT)) FROM documents)"
+  private lazy val hierNlistSql: String = hierNlistSqlFor(semHierClusterSize)
+  private lazy val hierNcoarseSql: String =
+    hierNcoarseSqlFor(semHierClusterSize)
+
+  /** The TWO-LEVEL cell-model CTE chain (`fs cs fcs live csl vcell a1
+    * c1p c1 c1c a2`) — the DuckDB twin of `Similarity.hierIntModel`,
+    * shared verbatim by the x56 dedup oracle and the x63/x65 kNN-graph
+    * oracles so the hierarchical replays cannot drift. `vcell` is
+    * (doc_id, v, ccid), `c1c` the refined fine centroids with their
+    * inherited coarse cell, `a2` the final cell-restricted assignment
+    * (doc_id, v, cid).
+    */
+  private def hierAssignCtes(nlistSql: String, ncSql: String): String =
+    s"""$intEmbedVecCtes,
       |fs AS (
       |  SELECT cid, fvec FROM (
       |    SELECT doc_id AS cid, v AS fvec,
@@ -689,14 +711,20 @@ object SparkEntry {
       |    SELECT vcell.doc_id, vcell.v, c1c.cid,
       |           row_number() OVER (PARTITION BY vcell.doc_id
       |             ORDER BY ${intCosSql("vcell.v", "c1c.fvec")} DESC, c1c.cid ASC) AS rn
-      |    FROM vcell JOIN c1c ON c1c.ccid = vcell.ccid) t WHERE rn = 1),
+      |    FROM vcell JOIN c1c ON c1c.ccid = vcell.ccid) t WHERE rn = 1)""".stripMargin
+
+  /** Hierarchical-SemDeDup oracle (x56, and x59's at-or-above-
+    * crossover branch): the shared two-level assignment chain, then the
+    * within-cluster epsilon-ball drop rule.
+    */
+  private lazy val semDedupHierOracleSql: String =
+    s"""WITH ${hierAssignCtes(hierNlistSql, hierNcoarseSql)},
       |drops AS (
       |  SELECT DISTINCT a.doc_id
       |  FROM a2 a JOIN a2 b ON a.cid = b.cid AND b.doc_id < a.doc_id
       |  WHERE round(${intCosSql("a.v", "b.v")}, 6) >= $semDedupThreshold)
       |SELECT a2.doc_id, a2.cid, (d.doc_id IS NULL) AS kept
       |FROM a2 LEFT JOIN drops d ON d.doc_id = a2.doc_id""".stripMargin
-  }
 
   /** x59's branch predicate bound — one definition feeding both the
     * catalog entry (via Similarity.semDedupCrossoverDocs) and the
@@ -1543,19 +1571,27 @@ object SparkEntry {
         nlist = ivfIntNlist, nprobe = ivfIntNprobe, k = ivfIntK)
     }),
     // kNN-GRAPH construction: every vector of the corpus gets its top-k
-    // approximate neighbors from the shared exact-integer IVF model —
-    // the input of graph-based curation (near-dup components over
-    // embeddings, diversity sampling). All-queries shape: shuffle
-    // equi-join on cid (probes are corpus-sized, never broadcast),
-    // x53's adaptive nlist ∝ √n schedule, assignment checkpoint-pinned
+    // approximate neighbors from the shared TWO-LEVEL exact-integer
+    // cell model (x56's hierarchical assignment — ~n^1.25 instead of
+    // the flat n·nlist crossJoin's n^1.5) — the input of graph-based
+    // curation (near-dup components over embeddings, diversity
+    // sampling). All-queries shape: shuffle equi-join on cid (probes
+    // are corpus-sized, never broadcast); constant-cluster-size
+    // schedule (knnHierClusterSize — smaller than x56's: every query
+    // SCORES nprobe·cluster candidates) keeps candidate scoring linear;
+    // assignment checkpoint-pinned
     "x63_knn_graph" -> ((s, d) => {
       val emb = Multimodal.fakeEmbedInt(s,
         Multimodal.withPayload(docs(s, d), "doc_id", "text"),
         dim = fakeEmbedDim).toDF().cache()
       val nlist = math.max(ivfIntNlist.toLong,
-        math.ceil(math.sqrt(docs(s, d).count() / 2.0)).toLong).toInt
-      Similarity.knnGraphInt(emb, "doc_id", "embedding",
-        nlist = nlist, nprobe = ivfIntNprobe, k = ivfIntK)
+        math.ceil(docs(s, d).count() / knnHierClusterSize.toDouble)
+          .toLong).toInt
+      val ncoarse = math.max(semHierMinCoarse.toLong,
+        math.ceil(math.sqrt(nlist.toDouble)).toLong).toInt
+      Similarity.knnGraphIntHier(emb, "doc_id", "embedding",
+        nlist = nlist, ncoarse = ncoarse, nprobe = ivfIntNprobe,
+        k = ivfIntK)
     }),
     // mutual-kNN communities over x63's graph: sim-thresholded directed
     // edges → mutual-pair symmetrization (one self-semi-join on the
@@ -1568,10 +1604,14 @@ object SparkEntry {
         Multimodal.withPayload(docs(s, d), "doc_id", "text"),
         dim = fakeEmbedDim).toDF().cache()
       val nlist = math.max(ivfIntNlist.toLong,
-        math.ceil(math.sqrt(docs(s, d).count() / 2.0)).toLong).toInt
+        math.ceil(docs(s, d).count() / knnHierClusterSize.toDouble)
+          .toLong).toInt
+      val ncoarse = math.max(semHierMinCoarse.toLong,
+        math.ceil(math.sqrt(nlist.toDouble)).toLong).toInt
       Similarity.mutualKnnClusters(
-        Similarity.knnGraphInt(emb, "doc_id", "embedding",
-          nlist = nlist, nprobe = ivfIntNprobe, k = ivfIntK),
+        Similarity.knnGraphIntHier(emb, "doc_id", "embedding",
+          nlist = nlist, ncoarse = ncoarse, nprobe = ivfIntNprobe,
+          k = ivfIntK),
         threshold = semDedupThreshold)
     }),
     // SEMANTIC dedup (SemDeDup, Abbas et al. 2023): k-means-cluster the
@@ -2952,21 +2992,21 @@ object SparkEntry {
         |                                 ORDER BY sim DESC, nid ASC) AS BIGINT) AS rnk
         |  FROM sc)
         |SELECT qid, nid, sim, rnk FROM r WHERE rnk <= $ivfIntK""".stripMargin,
-    // kNN-graph replay: x20i's probe/score/rank chain with q = ALL
-    // vectors and x53's adaptive-nlist scalar subquery — the assignment
-    // CTEs, probe ranking, and final top-k are shared spellings, so the
-    // three integer-IVF oracles cannot drift apart
-    "x63_knn_graph" -> knnGraphOracleSql,
-    // mutual-kNN communities: x63's full kNN replay as a nested
-    // subquery-CTE, thresholded, symmetrized by the reversed-key
+    // kNN-graph replay: the HIERARCHICAL two-level chain (assignment
+    // CTEs shared verbatim with x56), probes ranked inside each
+    // vector's coarse cell, then x20i's probe/score/rank spellings —
+    // the integer-IVF oracles cannot drift apart
+    "x63_knn_graph" -> knnGraphHierOracleSql,
+    // mutual-kNN communities: x63's full hierarchical kNN replay as a
+    // nested subquery-CTE, thresholded, symmetrized by the reversed-key
     // self-join, closed by the x22 recursive component fold
     "x65_knn_communities" ->
       // outer CTE names are cc_-prefixed: the nested replay has its own
-      // WITH chain (ps/pr/sc/r), and an outer name reusing one of those
-      // would SHADOW it inside the subquery (observed: outer `r` caught
-      // the inner final SELECT's `FROM r`)
+      // WITH chain (fs/cs/.../a2/ps/pr/sc/r), and an outer name reusing
+      // one of those would SHADOW it inside the subquery (observed:
+      // outer `r` caught the inner final SELECT's `FROM r`)
       s"""WITH RECURSIVE cc_e0 AS (
-        |  SELECT qid, nid FROM ($knnGraphOracleSql) g
+        |  SELECT qid, nid FROM ($knnGraphHierOracleSql) g
         |  WHERE sim >= $semDedupThreshold),
         |cc_m AS (
         |  SELECT a.qid AS doc_a, a.nid AS doc_b

@@ -425,11 +425,12 @@ object Similarity {
     *    candidate scoring) and is checkpoint-pinned once, the same
     *    trade [[semDedupInt]] makes.
     *
-    * Scale: with nlist ∝ √n (the caller's knob, x63 uses x53's exact
-    * schedule) per-query candidates are nprobe·n/nlist ≈ nprobe·√(2n)
-    * and total work ~n^1.5 — the flat-IVF optimum; past ~10⁷ vectors
-    * the hierarchical cell-restricted assignment ([[semDedupIntHier]])
-    * is the same ~n^1.25 upgrade it is for dedup. Every arithmetic
+    * Scale: with nlist ∝ √n per-query candidates are nprobe·n/nlist ≈
+    * nprobe·√(2n) and total work ~n^1.5 — the flat-IVF optimum for a
+    * ONE-level model. The shipped x63/x65 default is
+    * [[knnGraphIntHier]] (two-level cell-restricted assignment,
+    * ~n^1.25); this flat spelling is its ncoarse = 1 degenerate case
+    * and the equivalence twin KnnGraphHierSpec pins. Every arithmetic
     * step is exact-integer or a fixed IEEE sequence, so the DuckDB
     * twin replays the graph byte-for-byte.
     */
@@ -541,6 +542,30 @@ object Similarity {
   def semDedupIntHier(emb: DataFrame, idCol: String, vecCol: String,
                       nlist: Int, ncoarse: Int,
                       threshold: Double = 0.995): DataFrame = {
+    val (_, _, assigned) = hierIntModel(emb, idCol, vecCol, nlist, ncoarse)
+    epsilonBallKeep(assigned, idCol, threshold)
+  }
+
+  /** The shared TWO-LEVEL exact-integer cell model [[semDedupIntHier]]
+    * (x56) and [[knnGraphIntHier]] (x63/x65) both ride — one definition
+    * so their DuckDB replay oracles share one CTE chain and the two
+    * consumers cannot drift. Returns
+    * (refined fine centroids with their inherited coarse cell
+    *  `(cid, fvec, ccid)`,
+    *  vector→coarse assignment `(nid, nvec, ccid)`,
+    *  final cell-restricted fine assignment `(nid, nvec, cid)`),
+    * the first and last localCheckpoint-pinned (each feeds ≥2
+    * downstream consumers in every caller).
+    *
+    * With ncoarse = 1 every fine centroid and every vector lands in the
+    * single live coarse cell, so the cell-restricted argmaxes range over
+    * the FULL centroid set and the model degenerates to [[ivfIntModel]]
+    * exactly (same Knuth seeds, same Lloyd pass, same tiebreaks) —
+    * spec-pinned by KnnGraphHierSpec.
+    */
+  private[graft] def hierIntModel(emb: DataFrame, idCol: String,
+                                  vecCol: String, nlist: Int, ncoarse: Int)
+      : (DataFrame, DataFrame, DataFrame) = {
     val corpus = emb.select(col(idCol).as("nid"),
       col(vecCol).cast("array<long>").as("nvec"))
     val fineSeeds = corpus
@@ -584,8 +609,46 @@ object Similarity {
     val refined = lloydFloorMean(assignFine(fineCells), "fvec")
       .join(fineCells.select("cid", "ccid"), Seq("cid"))
       .localCheckpoint(true)
-    epsilonBallKeep(assignFine(refined).localCheckpoint(true),
-      idCol, threshold)
+    (refined, vCell, assignFine(refined).localCheckpoint(true))
+  }
+
+  /** HIERARCHICAL kNN-graph — the scale spelling of [[knnGraphInt]],
+    * riding [[hierIntModel]]: probe derivation ranks each vector only
+    * against the fine centroids of ITS coarse cell (n·nlist/ncoarse
+    * expected rows instead of the flat n·nlist crossJoin), and with
+    * ncoarse ≈ √nlist the whole model stage is ~n^1.25 instead of the
+    * flat path's n^1.5 — at the constant-cluster-size schedule the
+    * candidate scoring stage is linear too (nprobe · targetClusterSize
+    * candidates per query). Same all-queries plan contract as the flat
+    * spelling: the probe frame is corpus-sized so candidate scoring is
+    * a shuffle equi-join on cid, never a broadcast of the probes.
+    *
+    * Approximation note: restricting probes to the vector's own coarse
+    * cell is the standard IVF-in-IVF recall trade (a query near a
+    * coarse boundary can't probe a fine list across it); with
+    * ncoarse = 1 this is EXACTLY [[knnGraphInt]] (spec-pinned). Every
+    * stage stays exact-integer / fixed-IEEE, so the x63/x65 DuckDB
+    * twins replay the graph byte-for-byte.
+    */
+  def knnGraphIntHier(emb: DataFrame, idCol: String, vecCol: String,
+                      nlist: Int, ncoarse: Int,
+                      nprobe: Int = 2, k: Int = 5): DataFrame = {
+    val (refined, vCell, assigned) = hierIntModel(emb, idCol, vecCol,
+      nlist, ncoarse)
+    val probes = vCell.join(broadcast(refined), Seq("ccid"))
+      .select(col("nid").as("qid"), col("nvec").as("qvec"), col("cid"),
+        cosExactInt(col("nvec"), col("fvec")).as("csim"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("qid").orderBy(col("csim").desc, col("cid").asc)))
+      .filter(col("rn") <= nprobe).select("qid", "qvec", "cid")
+    val scored = assigned
+      .join(probes, Seq("cid"))
+      .filter(col("nid") =!= col("qid"))
+      .select(col("qid"), col("nid"),
+        round(cosExactInt(col("qvec"), col("nvec")), 6).as("sim"))
+    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("nid").asc)
+    scored.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
   }
 
   /** Documents-count crossover between the flat and hierarchical
