@@ -894,6 +894,17 @@ object SparkEntry {
     */
   private def petsJson = PetsNutrition.petsJson
 
+  /** q13's single-parse shred schema (name/brand/size children of the
+    * `<part>` root).
+    */
+  private val partXmlSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("name",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("brand",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("size",
+      org.apache.spark.sql.types.IntegerType)))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- IoT flagship family (SURVEY §3.1: P1-P4, A1, A2, J1, W1, T1) ----
     "q01_iot_clean" -> ((s, d) => Iot.cleanBanded(ev(s, d))),
@@ -944,15 +955,19 @@ object SparkEntry {
     // ---- shredding family (S3/S4, F13-F15, J4, A8, F12) ----
     "q12_json_shred" -> ((s, d) =>
       ev(s, d).select(col("event_id"), Shred.jsonInt(col("props"), "$.k").as("k"))),
+    // ONE from_xml parse per row (was 3 xpath_* calls = 3 DOM
+    // re-parses per row — the slowest reference-surface bench entry)
     "q13_xml_shred" -> ((s, d) => {
       val xml = concat(
         lit("<part><name>"), col("p_name"), lit("</name><brand>"), col("p_brand"),
         lit("</brand><size>"), col("p_size"), lit("</size></part>"))
-      Tables.part(s, d).select(
-        col("p_partkey"),
-        Shred.xmlString(xml, "part/name").as("name_x"),
-        Shred.xmlString(xml, "part/brand").as("brand_x"),
-        Shred.xmlInt(xml, "part/size").as("size_x"))
+      Tables.part(s, d)
+        .select(col("p_partkey"),
+          Shred.parseXml(xml, partXmlSchema).as("x"))
+        .select(col("p_partkey"),
+          col("x.name").as("name_x"),
+          col("x.brand").as("brand_x"),
+          col("x.size").as("size_x"))
     }),
     "q14_shred_pets" -> ((s, d) => {
       val src = s.createDataFrame(Seq(Tuple1(petsJson))).toDF("payload")

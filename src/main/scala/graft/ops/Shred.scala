@@ -49,11 +49,34 @@ object Shred {
   def jsonInt(c: Column, path: String): Column =
     get_json_object(c, path).cast("int")
 
-  /** XPath text extraction over an XML string column (F15). */
+  /** XPath text extraction over an XML string column (F15). Each
+    * `xpath_*` call RE-PARSES the whole blob — fine for a one-off
+    * extraction, wrong for wide shreds: use [[parseXml]] there.
+    */
   def xmlString(c: Column, path: String): Column = xpath_string(c, lit(path))
 
   /** XPath numeric extraction (F15/F17 `num()` helper equivalent). */
   def xmlInt(c: Column, path: String): Column = xpath_int(c, lit(path))
+
+  /** SINGLE-PARSE XML shredding (F15 at scale): `from_xml` with an
+    * explicit schema parses the blob once per row into a struct —
+    * versus one full DOM re-parse per `xpath_*` call (q13 was 3
+    * parses/row, the foods shred 170: 10 positions × 17 fields).
+    * Attributes surface under the default `_` prefix, element text of
+    * an attributed element under `_VALUE`; repeated child elements map
+    * to an `ArrayType` field, which replaces positional `food[i]`
+    * xpath enumeration with one `explode`.
+    *
+    * `ignoreSurroundingSpaces` is pinned FALSE (Spark's XML default
+    * trims character data and attribute values) so string extractions
+    * stay verbatim like `xpath_string` — callers trim explicitly where
+    * the target semantics want it.
+    */
+  def parseXml(c: Column, schema: StructType): Column = {
+    import scala.jdk.CollectionConverters._
+    from_xml(c, schema,
+      Map("ignoreSurroundingSpaces" -> "false").asJava)
+  }
 
   /** Shred `pets` JSON into the flat child table: one row per pet with
     * the favFoods array coerced from scalar when needed (F14).

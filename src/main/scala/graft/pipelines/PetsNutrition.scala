@@ -2,6 +2,7 @@ package graft.pipelines
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 import graft.ops.{Explode, Shred}
 
 /** The HW-2 shredding pipeline end-to-end (SURVEY.md §3 entry point #4):
@@ -13,9 +14,10 @@ import graft.ops.{Explode, Shred}
   * units attribute, per-food attribute-only calories, nested vitamin
   * groups) with this repo's own values.
   *
-  * All extraction is native expressions (`from_json`, `xpath_*`) — the
-  * shred stage pipelines inside the scan with no shuffle; only the
-  * surrogate-id window (mart-sized parent, SURVEY §7.4 trap 4) sorts.
+  * All extraction is native expressions (`from_json`, `from_xml`) — the
+  * shred stage pipelines inside the scan with no shuffle and each blob
+  * is parsed ONCE per row; only the surrogate-id window (mart-sized
+  * parent, SURVEY §7.4 trap 4) sorts.
   */
 object PetsNutrition {
 
@@ -80,52 +82,86 @@ object PetsNutrition {
     "total-fat", "saturated-fat", "cholesterol", "sodium", "carb", "fiber",
     "protein")
 
+  /** An attributed numeric element (`<m units="g">65</m>`): the units
+    * attribute under the default `_` prefix, the text under `_VALUE`.
+    */
+  private val metricSchema: StructType = StructType(Seq(
+    StructField("_units", StringType), StructField("_VALUE", DoubleType)))
+
   /** daily-values table: one row per metric element (F15: tag text +
-    * units attribute).
+    * units attribute). ONE `from_xml` parse per document — the seven
+    * metric rows come from exploding an in-plan struct array over the
+    * parsed result, not from seven per-metric xpath re-parses.
     */
   def dailyValues(spark: SparkSession): DataFrame = {
     val src = spark.createDataFrame(Seq(Tuple1(nutritionXml))).toDF("xml")
-    dailyMetrics.map { m =>
-      src.select(
-        lit(m).as("metric"),
-        Shred.xmlString(col("xml"), s"nutrition/daily-values/$m/@units").as("units"),
-        expr(s"xpath_double(xml, 'nutrition/daily-values/$m')").as("value"))
-    }.reduce(_ unionByName _)
+    val schema = StructType(Seq(StructField("daily-values",
+      StructType(dailyMetrics.map(m => StructField(m, metricSchema))))))
+    src
+      .select(Shred.parseXml(col("xml"), schema)
+        .getField("daily-values").as("dv"))
+      .select(explode(array(dailyMetrics.map { m =>
+        struct(
+          lit(m).as("metric"),
+          col("dv").getField(m).getField("_units").as("units"),
+          col("dv").getField(m).getField("_VALUE").as("value"))
+      }: _*)).as("r"))
+      .select(col("r.metric"), col("r.units"), col("r.value"))
   }
 
-  /** foods table: the full `nutrition_foods` field set
-    * (`HW-2/init/init.sql:291-322`) — text fields, attribute-only
-    * calories, the 7 flat nutrient elements, nested vitamins AND
-    * minerals (F15/F17).
+  /** One `<food>` element: text fields, a mixed attribute+text serving,
+    * attribute-only calories, the 7 flat nutrient elements, and the
+    * nested vitamin/mineral groups.
     */
-  def foods(spark: SparkSession, maxFoods: Int = 10): DataFrame = {
-    // xpath paths must be FOLDABLE literals, so positions are enumerated
-    // at plan-build time (bounded fan-out, one narrow projection per
-    // position) and empty positions filtered out.
+  private val foodSchema: StructType = StructType(Seq(
+    StructField("name", StringType),
+    StructField("mfr", StringType),
+    StructField("serving", StructType(Seq(
+      StructField("_units", StringType), StructField("_VALUE", StringType)))),
+    StructField("calories", StructType(Seq(
+      StructField("_total", IntegerType), StructField("_fat", IntegerType)))),
+    StructField("total-fat", DoubleType),
+    StructField("saturated-fat", DoubleType),
+    StructField("cholesterol", DoubleType),
+    StructField("sodium", DoubleType),
+    StructField("carb", DoubleType),
+    StructField("fiber", DoubleType),
+    StructField("protein", DoubleType),
+    StructField("vitamins", StructType(Seq(
+      StructField("a", DoubleType), StructField("c", DoubleType)))),
+    StructField("minerals", StructType(Seq(
+      StructField("ca", DoubleType), StructField("fe", DoubleType))))))
+
+  /** foods table: the full `nutrition_foods` field set
+    * (`HW-2/init/init.sql:291-322`) — F15/F17. The repeated `<food>`
+    * elements map to ONE ArrayType field of one `from_xml` parse, then
+    * explode — replacing the old positional `food[i]` enumeration
+    * (10 positions × 17 xpath calls = 170 DOM re-parses per document)
+    * with exactly one parse and no position cap at all.
+    */
+  def foods(spark: SparkSession): DataFrame = {
     val src = spark.createDataFrame(Seq(Tuple1(nutritionXml))).toDF("xml")
-    (1 to maxFoods).map { i =>
-      val p = s"nutrition/food[$i]"
-      def num(path: String, as: String) =
-        expr(s"xpath_double(xml, '$p/$path')").as(as)
-      src.select(
-        trim(expr(s"xpath_string(xml, '$p/name')")).as("name"),
-        expr(s"xpath_string(xml, '$p/mfr')").as("mfr"),
-        expr(s"xpath_string(xml, '$p/serving')").as("serving"),
-        expr(s"xpath_string(xml, '$p/serving/@units')").as("serving_units"),
-        expr(s"xpath_int(xml, '$p/calories/@total')").as("calories_total"),
-        expr(s"xpath_int(xml, '$p/calories/@fat')").as("calories_fat"),
-        num("total-fat", "total_fat"),
-        num("saturated-fat", "saturated_fat"),
-        num("cholesterol", "cholesterol"),
-        num("sodium", "sodium"),
-        num("carb", "carb"),
-        num("fiber", "fiber"),
-        num("protein", "protein"),
-        num("vitamins/a", "vitamin_a"),
-        num("vitamins/c", "vitamin_c"),
-        num("minerals/ca", "mineral_ca"),
-        num("minerals/fe", "mineral_fe"))
-    }.reduce(_ unionByName _)
-      .filter(col("name") =!= "")
+    val schema = StructType(Seq(StructField("food", ArrayType(foodSchema))))
+    src
+      .select(explode(Shred.parseXml(col("xml"), schema)
+        .getField("food")).as("f"))
+      .select(
+        trim(col("f.name")).as("name"),
+        col("f.mfr").as("mfr"),
+        col("f.serving").getField("_VALUE").as("serving"),
+        col("f.serving").getField("_units").as("serving_units"),
+        col("f.calories").getField("_total").as("calories_total"),
+        col("f.calories").getField("_fat").as("calories_fat"),
+        col("f").getField("total-fat").as("total_fat"),
+        col("f").getField("saturated-fat").as("saturated_fat"),
+        col("f.cholesterol").as("cholesterol"),
+        col("f.sodium").as("sodium"),
+        col("f.carb").as("carb"),
+        col("f.fiber").as("fiber"),
+        col("f.protein").as("protein"),
+        col("f.vitamins.a").as("vitamin_a"),
+        col("f.vitamins.c").as("vitamin_c"),
+        col("f.minerals.ca").as("mineral_ca"),
+        col("f.minerals.fe").as("mineral_fe"))
   }
 }
