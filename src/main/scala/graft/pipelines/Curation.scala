@@ -138,30 +138,9 @@ object Curation {
                     textCol: String, domainCol: String, lang: String = "en",
                     shingleK: Int = 8, spanK: Int = 8, tau: Int = 2,
                     mixBuckets: Int = 1000, budget: Int = 256,
-                    shards: Int = 8): DataFrame = {
-    // the curated layer is consumed three times by SpanDedup (gram
-    // frame, positioned tokens, length frame) and again by the mix —
-    // uncached, every consumer re-runs the decontaminate join and the
-    // dedup window (measured 7.4s vs 2.9s at sf0.1). Same
-    // session-owned cache contract as the clean layer above
-    val base = curatedDocs(train, eval, idCol, textCol, lang, shingleK)
-      .cache()
-    // spanned is consumed twice by the mix (domain-stats aggregate +
-    // keep join); uncached, each consumer re-runs SpanDedup's
-    // three-join dag
-    val spanned = graft.neardup.SpanDedup
-      .removeDuplicatedSpans(base, "doc_id", "text", k = spanK)
-      .filter(col("n_tokens") - col("n_removed") >= 1)
-      .select(col("doc_id"), col("text_clean").as("text"))
-      .cache()
-    val domains = train.select(col(idCol).as("doc_id"),
-      col(domainCol).as("domain"))
-    val mixed = Sampling.temperatureSample(
-      spanned.join(domains, Seq("doc_id")), "domain", "doc_id",
-      tau, mixBuckets)
-    Packing.packSequences(mixed.select("doc_id", "text"), "doc_id", "text",
-      budget, shards)
-  }
+                    shards: Int = 8): DataFrame =
+    new CorpusBuildV2(train, eval, idCol, textCol, domainCol, lang,
+      shingleK, spanK, tau, mixBuckets).packed(budget, shards)
 
   /** Per-stage attrition funnel for the [[buildCorpusV2]] pipeline —
     * the "where did my corpus go" report every production build
@@ -182,37 +161,96 @@ object Curation {
   def curationFunnel(train: DataFrame, eval: DataFrame, idCol: String,
                      textCol: String, domainCol: String, lang: String = "en",
                      shingleK: Int = 8, spanK: Int = 8, tau: Int = 2,
-                     mixBuckets: Int = 1000): DataFrame = {
-    def redacted(df: DataFrame): DataFrame = df.select(
-      col(idCol).as("doc_id"), Pii.redactedCol(col(textCol)).as("text"))
-    val flagged = redacted(train)
-      .select(col("doc_id"), col("text"),
-        TextAnalysis.tokens(col("text")).as("toks"))
-      .select(col("doc_id"), col("text"), col("toks"),
-        TextAnalysis.wordGramsFromToks(col("toks"), 2).as("grams"))
-      .select(col("doc_id"), col("text"),
-        (TextAnalysis.qualityBucketFromToks(col("toks"), col("text")) === "ok")
-          .as("q_ok"),
-        (TextAnalysis.predLangFromToks(col("toks")) === lang).as("lang_ok"),
-        (!TextAnalysis.repetitiveFromGrams(col("grams"))).as("rep_ok"))
-      .cache()
-    val gated = flagged.filter(col("q_ok") && col("lang_ok") && col("rep_ok"))
-      .select("doc_id", "text")
-    val decon = Decontaminate.clean(gated, redacted(eval),
-      "doc_id", "text", shingleK).cache()
-    val deduped = Dedup.keepFirst(
-      decon.withColumn("fingerprint",
-        TextAnalysis.fingerprintCol(col("text"))),
-      Seq("fingerprint"), Seq(col("doc_id").asc)).cache()
-    val spanned = graft.neardup.SpanDedup
-      .removeDuplicatedSpans(deduped, "doc_id", "text", k = spanK)
-      .filter(col("n_tokens") - col("n_removed") >= 1)
-      .select(col("doc_id"), col("text_clean").as("text")).cache()
-    val domains = train.select(col(idCol).as("doc_id"),
-      col(domainCol).as("domain"))
-    val mixed = Sampling.temperatureSample(
-      spanned.join(domains, Seq("doc_id")), "domain", "doc_id",
-      tau, mixBuckets)
+                     mixBuckets: Int = 1000): DataFrame =
+    new CorpusBuildV2(train, eval, idCol, textCol, domainCol, lang,
+      shingleK, spanK, tau, mixBuckets).funnel
+}
+
+/** ONE-RUN handle on the v2 pipeline: every stage is a cached lazy
+  * frame, so the normal production pair — the packed corpus AND the
+  * attrition funnel published next to it — runs the ten-stage DAG once
+  * instead of twice (a funnel is by construction "the build plus one
+  * count per stage"; rebuilding the pipeline to count it doubles every
+  * stage at every scale). `Curation.buildCorpusV2` / `curationFunnel`
+  * stay as thin single-artifact wrappers over a fresh instance;
+  * callers wanting both construct one instance and read both members
+  * (spec-pinned equal to the standalone spellings). Cache release is
+  * the session owner's job, same contract as the clean layer.
+  *
+  * The gate flags are computed as three SEPARATE booleans (q_ok /
+  * lang_ok / rep_ok) inside the one staged-projection cache pass: the
+  * build consumes their conjunction (order-free, identical rows to the
+  * fused `keep` spelling) while the funnel counts the diagnostic
+  * quality → language → repetition prefix order — one cache serves
+  * both readers.
+  */
+final class CorpusBuildV2(train: DataFrame, eval: DataFrame, idCol: String,
+                          textCol: String, domainCol: String,
+                          lang: String = "en", shingleK: Int = 8,
+                          spanK: Int = 8, tau: Int = 2,
+                          mixBuckets: Int = 1000) {
+  private def redacted(df: DataFrame): DataFrame = df.select(
+    col(idCol).as("doc_id"), Pii.redactedCol(col(textCol)).as("text"))
+
+  /** Staged-projection clean pass (the buildCorpus cache shape) with
+    * the three gate flags landed INSIDE the cache.
+    */
+  lazy val flagged: DataFrame = redacted(train)
+    .select(col("doc_id"), col("text"),
+      TextAnalysis.tokens(col("text")).as("toks"))
+    .select(col("doc_id"), col("text"), col("toks"),
+      TextAnalysis.wordGramsFromToks(col("toks"), 2).as("grams"))
+    .select(col("doc_id"), col("text"),
+      (TextAnalysis.qualityBucketFromToks(col("toks"), col("text")) === "ok")
+        .as("q_ok"),
+      (TextAnalysis.predLangFromToks(col("toks")) === lang).as("lang_ok"),
+      (!TextAnalysis.repetitiveFromGrams(col("grams"))).as("rep_ok"))
+    .cache()
+
+  lazy val gated: DataFrame = flagged
+    .filter(col("q_ok") && col("lang_ok") && col("rep_ok"))
+    .select("doc_id", "text")
+
+  // deliberately UNcached: the frame is one broadcast-semi join over
+  // the cached `gated`, so its second reader (the funnel's stage-5
+  // count) re-runs one linear join — cheaper than a corpus-sized
+  // cache write the build-only path would pay for nothing
+  lazy val decon: DataFrame = Decontaminate.clean(gated, redacted(eval),
+    "doc_id", "text", shingleK)
+
+  // the curated layer is consumed three times by SpanDedup (gram
+  // frame, positioned tokens, length frame) — uncached, every consumer
+  // re-runs the decontaminate join and the dedup window (measured 7.4s
+  // vs 2.9s at sf0.1)
+  lazy val deduped: DataFrame = Dedup.keepFirst(
+    decon.withColumn("fingerprint",
+      TextAnalysis.fingerprintCol(col("text"))),
+    Seq("fingerprint"), Seq(col("doc_id").asc)).cache()
+
+  // consumed twice by the mix (domain-stats aggregate + keep join)
+  lazy val spanned: DataFrame = graft.neardup.SpanDedup
+    .removeDuplicatedSpans(deduped, "doc_id", "text", k = spanK)
+    .filter(col("n_tokens") - col("n_removed") >= 1)
+    .select(col("doc_id"), col("text_clean").as("text")).cache()
+
+  lazy val mixed: DataFrame = Sampling.temperatureSample(
+    spanned.join(
+      train.select(col(idCol).as("doc_id"), col(domainCol).as("domain")),
+      Seq("doc_id")),
+    "domain", "doc_id", tau, mixBuckets)
+
+  /** The packed training corpus ([[Curation.buildCorpusV2]]'s output). */
+  def packed(budget: Int = 256, shards: Int = 8): DataFrame =
+    Packing.packSequences(mixed.select("doc_id", "text"), "doc_id", "text",
+      budget, shards)
+
+  /** Per-stage attrition funnel ([[Curation.curationFunnel]]'s output):
+    * one count-aggregate per stage over the cached stage frames, 8
+    * rows. The three gates are split out in quality → language →
+    * repetition order (diagnostic convention; the pipeline evaluates
+    * them as one order-free conjunction in one pass).
+    */
+  lazy val funnel: DataFrame = {
     val stages: Seq[(Int, String, DataFrame)] = Seq(
       (1, "input", train.select(col(idCol).as("doc_id"))),
       (2, "quality_gate", flagged.filter(col("q_ok")).select("doc_id")),

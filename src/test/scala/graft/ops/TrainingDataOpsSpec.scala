@@ -139,6 +139,35 @@ class TrainingDataOpsSpec extends SparkSpec {
     assert(v1 == 32L, "v1 packs both docs whole (16 tokens each)")
   }
 
+  test("one CorpusBuildV2 instance serves build AND funnel, equal to " +
+      "the standalone spellings") {
+    val eval = Seq((100L, "completely unrelated evaluation material here"))
+      .toDF("doc_id", "text")
+    val shared = "the quick brown fox jumps over a lazy"
+    val train = Seq(
+      (1L, s"$shared dog and the first story ends happily today"),
+      (2L, s"$shared dog and the second story ends sadly today"),
+      (5L, "der hund und die katze das ein haus"),
+      (6L, "tiny doc"))
+      .toDF("doc_id", "text").withColumn("source", lit("web"))
+    val b = new graft.pipelines.CorpusBuildV2(train, eval,
+      "doc_id", "text", "source")
+    // both artifacts from ONE instance: the stage frames are cached
+    // lazy vals, so the second reader reuses the first's work
+    val packed = b.packed().collect().map(_.toSeq).toSet
+    assert(b.deduped.storageLevel.useMemory,
+      "stage frames must be cached for cross-artifact reuse")
+    val funnel = b.funnel.collect().map(_.toSeq).toSet
+    val standalonePacked = graft.pipelines.Curation
+      .buildCorpusV2(train, eval, "doc_id", "text", "source")
+      .collect().map(_.toSeq).toSet
+    val standaloneFunnel = graft.pipelines.Curation
+      .curationFunnel(train, eval, "doc_id", "text", "source")
+      .collect().map(_.toSeq).toSet
+    assert(packed == standalonePacked)
+    assert(funnel == standaloneFunnel)
+  }
+
   test("curationFunnel counts every stage and reconciles with the build") {
     val eval = Seq((100L, "completely unrelated evaluation material here"))
       .toDF("doc_id", "text")
