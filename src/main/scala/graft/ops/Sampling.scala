@@ -142,17 +142,42 @@ object Sampling {
     // rate quantization for exponent range instead of silently
     // overflowing (ANSI mode would throw mid-job; non-ANSI would
     // silently wrap and corrupt the sample).
-    require(math.pow(buckets.toDouble, tau.toDouble) <= 1e9,
+    // buckets^tau computed in LONG repeated multiplication with an
+    // early bail once past the cap — not float math.pow, whose 1-ulp
+    // slack could mis-admit or mis-reject exact boundary configs like
+    // 1000^3 == 1e9 (ADVICE r10)
+    val bPowCap = 1000000000L
+    val bPowL: Long = {
+      // p <= cap and buckets <= Int.MaxValue keeps every partial
+      // product below 2^62 — the loop itself cannot overflow
+      var p = 1L; var i = 0
+      while (i < tau && p <= bPowCap) { p *= buckets; i += 1 }
+      p
+    }
+    require(bPowL <= bPowCap,
       s"buckets^tau = $buckets^$tau exceeds 1e9: h^tau*n_domain would " +
         "overflow Long for domains beyond ~9.2e9 rows; lower tau or " +
         "buckets (tau<=3 at buckets=1000)")
     val counts = df.groupBy(domainCol).agg(count(lit(1)).as("n_domain"))
-    val rates = counts.crossJoin(counts.agg(min("n_domain").as("n_min")))
+    // the OTHER overflow factor is data: n_domain must stay under
+    // Long.MaxValue / buckets^tau (~9.2e9 rows at the 1e9 cap) or the
+    // keep predicate would wrap in non-ANSI mode and corrupt the
+    // sample. The counts frame is domain-sized, so the check is an
+    // in-plan raise_error branch on it — load-bearing (it feeds the
+    // predicate's n_domain), so column pruning cannot drop it
+    val maxDomain = Long.MaxValue / bPowL
+    val guarded = counts.withColumn("n_domain",
+      when(col("n_domain") <= maxDomain, col("n_domain"))
+        .otherwise(raise_error(concat(
+          lit("temperatureSample: domain size "), col("n_domain"),
+          lit(s" exceeds the Long-overflow headroom $maxDomain for " +
+            s"buckets^tau = $bPowL; coarsen buckets or lower tau")))
+          .cast("long")))
+    val rates = guarded.crossJoin(guarded.agg(min("n_domain").as("n_min")))
     val h = hashBucket(col(keyCol), buckets)
     val hPow = Seq.fill(tau)(h).reduce(_ * _)
-    val bPow = Seq.fill(tau)(lit(buckets.toLong)).reduce(_ * _)
     df.join(broadcast(rates), Seq(domainCol))
-      .filter(hPow * col("n_domain") < col("n_min") * bPow)
+      .filter(hPow * col("n_domain") < col("n_min") * lit(bPowL))
       .drop("n_domain", "n_min")
   }
 

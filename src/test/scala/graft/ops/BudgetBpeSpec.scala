@@ -96,6 +96,24 @@ class BudgetBpeSpec extends SparkSpec {
     assert(m4.forall { case (id, n) => n <= out(id)._2 }, s"$m4 vs $out")
   }
 
+  test("segmentation past pair exhaustion keeps the LAST vocabulary") {
+    // the r10 oracle-desync shape: the corpus exhausts its pair supply
+    // (2 learnable merges) before the requested merges=4 rounds. The
+    // engine must keep segmenting with the final vocabulary — not
+    // degrade to characters, not change with the requested round count
+    // once past exhaustion. (The DuckDB twin's LEFT-JOIN fallback was
+    // proven hash-identical on this exact corpus shape via the x75/x76
+    // oracle gate on an exhaustion fixture.)
+    val df = Seq((1L, "aa aa ab"), (2L, "aa b")).toDF("doc_id", "text")
+    assert(TextAnalysis.bpeTrain(df, "doc_id", "text", merges = 4)
+      .count() == 2L, "only 2 merges learnable")
+    def seg(m: Int) = TextAnalysis.bpeSegment(df, "doc_id", "text", m)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val atExhaustion = seg(2)
+    assert(seg(3) == atExhaustion && seg(4) == atExhaustion && seg(7) == atExhaustion,
+      "rounds past exhaustion must be no-ops on the vocabulary")
+  }
+
   test("bpe training is deterministic under repartition") {
     val df = Seq((1L, "abc abd x"), (2L, "abc y"), (3L, "bcd bcd")).toDF("doc_id", "text")
     def run(d: org.apache.spark.sql.DataFrame) =

@@ -270,6 +270,25 @@ class TrainingDataOpsSpec extends SparkSpec {
     assert(ids1 == ids2)
   }
 
+  test("temperatureSample overflow guard: boundary exact, beyond rejected") {
+    val docs = Seq((1L, "a"), (2L, "a"), (3L, "b")).toDF("doc_id", "source")
+    // (tau=4, buckets=1000) → 1e12 > 1e9: must fail at PLAN time (the
+    // r10 guard), not as an ANSI overflow mid-job
+    val e = intercept[IllegalArgumentException] {
+      Sampling.temperatureSample(docs, "source", "doc_id",
+        tau = 4, buckets = 1000)
+    }
+    assert(e.getMessage.contains("exceeds 1e9"))
+    // the EXACT boundary 1000^3 == 1e9 must be admitted — integer
+    // repeated multiplication, no float-pow 1-ulp slack (ADVICE r10)
+    val boundary = Sampling.temperatureSample(docs, "source", "doc_id",
+      tau = 3, buckets = 1000)
+    assert(boundary.count() >= 1L)
+    // coarser grid buys exponent range: 100^4 = 1e8 admitted
+    assert(Sampling.temperatureSample(docs, "source", "doc_id",
+      tau = 4, buckets = 100).count() >= 1L)
+  }
+
   test("temperatureSample keeps the tail whole and keeps ~sqrt-rate of the head") {
     // 16 book docs vs 1600 web docs (100× head): τ=2 keeps all books
     // and ~sqrt(16/1600) = 10% of web — vs rebalance's 1%; kept mass
