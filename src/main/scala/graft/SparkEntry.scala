@@ -309,6 +309,42 @@ object SparkEntry {
       }
     }.mkString(", ")
 
+  /** The LSH top-k oracle chain at a given nbits (8 tables, dim 64,
+    * k=5, fixed-count-40 queries — x06's shape constants): candidate
+    * generation from the interpolated plane literals, exact rescoring,
+    * rank. ONE spelling shared by the fixed x06 oracle (nbits=6) and
+    * every x85 auto branch, so the fixed and auto replays cannot
+    * drift.
+    */
+  private def lshTopKOracleChain(nbits: Int): String =
+    s"""WITH planes(t, b, plane) AS (VALUES ${lshPlanesSqlValues(8, nbits, 64)}),
+      |v AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+      |bands AS (
+      |  SELECT vec_id, t,
+      |         bit_or(CASE WHEN list_dot_product(vec, plane) > 0
+      |                     THEN (1::BIGINT << b) ELSE 0::BIGINT END) AS bucket
+      |  FROM v, planes GROUP BY vec_id, t),
+      |q AS (SELECT vec_id AS qid FROM embeddings
+      |      WHERE ${fixedCountPredSql("embeddings", "vec_id", 40)}),
+      |qb AS (SELECT q.qid, bb.t, bb.bucket
+      |       FROM bands bb JOIN q ON q.qid = bb.vec_id),
+      |cand AS (
+      |  SELECT DISTINCT qb.qid, n.vec_id AS nid
+      |  FROM qb JOIN bands n ON n.t = qb.t AND n.bucket = qb.bucket
+      |                       AND n.vec_id <> qb.qid),
+      |scored AS (
+      |  SELECT c.qid, c.nid,
+      |         round(list_cosine_similarity(vq.vec, vn.vec), 6) AS sim
+      |  FROM cand c
+      |  JOIN v vq ON vq.vec_id = c.qid
+      |  JOIN v vn ON vn.vec_id = c.nid),
+      |r AS (
+      |  SELECT qid, nid, sim,
+      |         CAST(row_number() OVER (PARTITION BY qid
+      |                                 ORDER BY sim DESC, nid ASC) AS BIGINT) AS rnk
+      |  FROM scored)
+      |SELECT qid, nid, sim, rnk FROM r WHERE rnk <= 5""".stripMargin
+
   /** ONE definition site for the MinHash/Jaccard demo-catalog shape
     * constants (shingle width, hash/band counts, caps, thresholds): the
     * Scala catalog entries (x02/x03/x22/x28) and the oracle CTE
@@ -340,6 +376,8 @@ object SparkEntry {
   private val semHierMinCoarse   = 4    // x56 coarse-cell floor
   private val knnHierClusterSize = 100  // x63/x65 target docs per fine cluster
                                         // (scoring = nprobe·cluster per query)
+  private val lshAutoTargetBucket = 256 // x85 max expected docs per LSH bucket
+  private val lshAutoMinNbits     = 6   // x85 grid floor (= x06's fixed shape)
   private val exportShards = 8 // x54 shuffle-shard export shard count
   private val domainCapK = 10  // x55 max docs kept per source domain
   private val paraChunkTokens = 12 // x60/x62 derived-paragraph width (tokens)
@@ -1402,6 +1440,20 @@ object SparkEntry {
       Similarity.cosineTopKLsh(Tables.embeddings(s, d), "vec_id", "embedding",
         fixedCountPred(Tables.embeddings(s, d), "vec_id", target = 40),
         dim = 64, k = 5, nbits = 6, tables = 8)),
+    // AUTO-shaped LSH ANN — x06's production spelling: nbits grows
+    // with the corpus (smallest b >= 6 with n <= 256·2^b, pure integer
+    // compares) so bucket occupancy and per-query candidate work stay
+    // FLAT instead of linear at a fixed grid. The oracle replays the
+    // branch rule as count-range predicates over the shared x06 chain
+    // (the x59 pattern); the rule itself is spec-pinned across the
+    // bench-only deeper grids (LshAutoSpec)
+    "x85_lsh_auto" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.cosineTopKLshAuto(emb, "vec_id", "embedding",
+        fixedCountPred(emb, "vec_id", target = 40), dim = 64,
+        n = emb.count(), k = 5, targetBucket = lshAutoTargetBucket,
+        minNbits = lshAutoMinNbits, tables = 8)
+    }),
     // recall gate for the bucketed ANN (x06's configuration) vs in-plan
     // brute force — same literal-TRUE-oracle pattern as x27. The gate's
     // query set is a FIXED-COUNT sample (~40 queries at any sf, same
@@ -4223,34 +4275,23 @@ object SparkEntry {
     // bucketed LSH-ANN: DuckDB rebuilds the SAME hyperplane buckets from
     // the interpolated plane literals (lshPlanesSqlValues), so the
     // candidate set — not just the scoring — is cross-engine-checked
-    "x06_cosine_lsh" ->
-      s"""WITH planes(t, b, plane) AS (VALUES ${lshPlanesSqlValues(8, 6, 64)}),
-        |v AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
-        |bands AS (
-        |  SELECT vec_id, t,
-        |         bit_or(CASE WHEN list_dot_product(vec, plane) > 0
-        |                     THEN (1::BIGINT << b) ELSE 0::BIGINT END) AS bucket
-        |  FROM v, planes GROUP BY vec_id, t),
-        |q AS (SELECT vec_id AS qid FROM embeddings
-        |      WHERE ${fixedCountPredSql("embeddings", "vec_id", 40)}),
-        |qb AS (SELECT q.qid, bb.t, bb.bucket
-        |       FROM bands bb JOIN q ON q.qid = bb.vec_id),
-        |cand AS (
-        |  SELECT DISTINCT qb.qid, n.vec_id AS nid
-        |  FROM qb JOIN bands n ON n.t = qb.t AND n.bucket = qb.bucket
-        |                       AND n.vec_id <> qb.qid),
-        |scored AS (
-        |  SELECT c.qid, c.nid,
-        |         round(list_cosine_similarity(vq.vec, vn.vec), 6) AS sim
-        |  FROM cand c
-        |  JOIN v vq ON vq.vec_id = c.qid
-        |  JOIN v vn ON vn.vec_id = c.nid),
-        |r AS (
-        |  SELECT qid, nid, sim,
-        |         CAST(row_number() OVER (PARTITION BY qid
-        |                                 ORDER BY sim DESC, nid ASC) AS BIGINT) AS rnk
-        |  FROM scored)
-        |SELECT qid, nid, sim, rnk FROM r WHERE rnk <= 5""".stripMargin,
+    "x06_cosine_lsh" -> lshTopKOracleChain(6),
+    // AUTO-shaped LSH replay: the SAME chain per admissible nbits
+    // branch, each behind the integer count-range predicate of the
+    // lshAutoNbits rule (the x59 pattern). Shipped sf dirs land on the
+    // nbits=6 branch, the 10x corpus on 7; deeper (bench-only) grids
+    // are spec-pinned rather than enumerated as ever-larger plane
+    // literal sets
+    "x85_lsh_auto" -> {
+      val b6Max = lshAutoTargetBucket.toLong << 6
+      val b7Max = lshAutoTargetBucket.toLong << 7
+      s"""SELECT qid, nid, sim, rnk FROM (${lshTopKOracleChain(6)}) b6
+        |WHERE (SELECT count(*) FROM embeddings) <= $b6Max
+        |UNION ALL
+        |SELECT qid, nid, sim, rnk FROM (${lshTopKOracleChain(7)}) b7
+        |WHERE (SELECT count(*) FROM embeddings) > $b6Max
+        |  AND (SELECT count(*) FROM embeddings) <= $b7Max""".stripMargin
+    },
     // embedding near-dup: same literal-plane rebuild (nbits=4, 8 tables),
     // then the exact verify-filter over the LSH candidate pairs
     "x07_embedding_neardup" ->

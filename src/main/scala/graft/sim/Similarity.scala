@@ -191,6 +191,37 @@ object Similarity {
     scored.withColumn("rnk", row_number().over(w).cast("long")).filter(col("rnk") <= k)
   }
 
+  /** AUTO-shaped nbits for the random-hyperplane LSH family: the
+    * smallest nbits ≥ minNbits with n ≤ targetBucket · 2^nbits, so
+    * expected bucket occupancy n / 2^nbits stays ≤ targetBucket as the
+    * corpus grows and per-query candidate work (tables · occupancy)
+    * stays FLAT instead of linear-in-n at a fixed shape — the scale
+    * knob x06's fixed (nbits=6, tables=8) demo leaves to the caller.
+    * Pure integer comparisons (no log/pow float), so a SQL twin
+    * replays the branch rule as count-range predicates (the x59
+    * pattern). Deeper grids trade per-table recall for bucket size;
+    * the x35 recall gate pins the operating point at shipped sizes.
+    */
+  def lshAutoNbits(n: Long, targetBucket: Int = 256,
+                   minNbits: Int = 6): Int = {
+    require(n >= 0 && targetBucket >= 1 && minNbits >= 1)
+    var b = minNbits
+    while (n > (targetBucket.toLong << b) && b < 62) b += 1
+    b
+  }
+
+  /** [[cosineTopKLsh]] with the [[lshAutoNbits]] schedule as the
+    * default entry point — `n` is caller-supplied (one metadata-cheap
+    * count) so the same count can parameterize the caller's oracle
+    * twin, exactly like [[semDedupAuto]].
+    */
+  def cosineTopKLshAuto(emb: DataFrame, idCol: String, vecCol: String,
+                        queryPred: Column, dim: Int, n: Long, k: Int = 5,
+                        targetBucket: Int = 256, minNbits: Int = 6,
+                        tables: Int = 1): DataFrame =
+    cosineTopKLsh(emb, idCol, vecCol, queryPred, dim, k,
+      nbits = lshAutoNbits(n, targetBucket, minNbits), tables = tables)
+
   /** IVF-Flat ANN: vectors are assigned to their nearest centroid
     * (inverted lists); a query scores ONLY the lists of its `nprobe`
     * nearest centroids. Work per query is O(centroids + corpus/lists ·
