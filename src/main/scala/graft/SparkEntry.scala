@@ -1547,7 +1547,17 @@ object SparkEntry {
     // exactly oracle-checkable (DuckDB computes the same cosine), and the
     // in-plan recall bound turns an LSH regression into a hash failure
     "x32_embed_neardup_recall" -> ((s, d) => {
-      val sample = Tables.embeddings(s, d).filter(col("vec_id") % 10 === 0)
+      // FIXED-COUNT vector sample (~200 at any corpus size), not a
+      // proportional one: the gate's truth side is a brute all-pairs
+      // cosine join over the sample, so a %-of-corpus sample makes the
+      // gate quadratic in corpus size (measured 70.4s at 100×; the 1000×
+      // corpus would brute-force 2e10 pairs). ~200 vectors is exactly
+      // the statistical power the gate had at sf0.1 under the old %10
+      // spelling, now at EVERY scale — same fix class as x83's
+      // fixed-count eval ball (round 9)
+      val sample = Tables.embeddings(s, d)
+        .filter(fixedCountPred(Tables.embeddings(s, d), "vec_id",
+          target = 200))
       val lsh = Similarity.embeddingNearDupPairs(sample, "vec_id", "embedding",
         dim = 64, threshold = 0.25, nbits = 4, tables = 8)
         .select("id_a", "id_b")
@@ -3234,9 +3244,10 @@ object SparkEntry {
       """SELECT count(*) AS n, TRUE AS p5_ok, TRUE AS p95_ok
         |FROM events WHERE value IS NOT NULL""".stripMargin,
     "x32_embed_neardup_recall" ->
-      """WITH v AS (
+      s"""WITH v AS (
         |  SELECT vec_id AS id, embedding::DOUBLE[] AS vec
-        |  FROM embeddings WHERE vec_id % 10 = 0)
+        |  FROM embeddings
+        |  WHERE ${fixedCountPredSql("embeddings", "vec_id", 200)})
         |SELECT count(*) AS n_pairs, TRUE AS recall_ok
         |FROM v a JOIN v b ON a.id < b.id
         |WHERE round(list_cosine_similarity(a.vec, b.vec), 6) >= 0.25""".stripMargin,
