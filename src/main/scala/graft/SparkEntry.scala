@@ -194,29 +194,41 @@ object SparkEntry {
   }
 
   /** Deterministic FIXED-COUNT sample predicate over an integral key:
-    * keeps ~`target` rows regardless of table size by spreading the key
-    * over count/target buckets (Knuth hash, `Sampling.hashBucket`) and
-    * keeping bucket 0. The recall gates' query/probe sets use this so
-    * their brute-force truth passes cost O(target · corpus) — LINEAR in
-    * corpus size — where the old modulo predicates made Q ∝ corpus and
-    * the truth pass quadratic (the one measured super-linear path in
-    * PLANS.md's 10× table). The count() is one metadata-cheap job; the
-    * DuckDB twin recomputes the same bucket arithmetic from count(*),
-    * so n_queries stays cross-engine-checked.
+    * keeps ~`target` rows regardless of table size. The recall gates'
+    * query/probe sets use this so their brute-force truth passes cost
+    * O(target · corpus) — LINEAR in corpus size — where the old modulo
+    * predicates made Q ∝ corpus and the truth pass quadratic (the one
+    * measured super-linear path in PLANS.md's 10× table). The count()
+    * is one metadata-cheap job; the DuckDB twin recomputes the same
+    * arithmetic from count(*), so n_queries stays cross-engine-checked.
+    *
+    * The selection is a RANGE test on the 60-bit md5 base
+    * (`NearDup.portableBase` of the key's decimal string), NOT a
+    * divisibility test on a linear Knuth spread: the round-11 1000×
+    * probes caught the old `(key % p) * c % buckets = 0` spelling
+    * selecting 27× the target on ScaleGen's replica-id lattice
+    * (ids = orig + copy·10^8 — a single multiply is a LINEAR map, and
+    * the bucket modulus shares factors with the decimal stride, so
+    * whole residue classes alias onto bucket 0; x05's "brute" leg
+    * silently ran 1099 queries instead of 40). An md5 avalanche is
+    * lattice-free and the `< 2^60/buckets` range test is
+    * divisibility-free; measured within Poisson noise of the target on
+    * every corpus from sf0.01 to the 5M-doc 1000× (PLANS.md round 11).
     */
   private def fixedCountBuckets(df: DataFrame, target: Long): Int =
     math.max(1L, df.count() / target).toInt
 
   private def fixedCountPred(df: DataFrame, keyCol: String, target: Long): Column =
-    Sampling.hashBucket(col(keyCol), fixedCountBuckets(df, target)) === 0
+    graft.neardup.NearDup.portableBase(col(keyCol).cast("string")) <
+      lit((1L << 60) / fixedCountBuckets(df, target))
 
-  /** The DuckDB twin of [[fixedCountPred]] as SQL text (same Knuth
-    * spread, same floor-divided bucket count from the same row count).
+  /** The DuckDB twin of [[fixedCountPred]] as SQL text (same md5-nibble
+    * base, same floor-divided bucket count from the same row count).
     */
   private def fixedCountPredSql(table: String, keyCol: String,
                                 target: Long): String =
-    s"(($keyCol % 1000000007) * 2654435761) % " +
-      s"(SELECT greatest(count(*) // $target, 1) FROM $table) = 0"
+    s"${md5Base60Sql(s"CAST($keyCol AS VARCHAR)")} < 1152921504606846976 // " +
+      s"(SELECT greatest(count(*) // $target, 1) FROM $table)"
 
   /** Adaptive probe-bucket count for the PAIR-recall gates (x33/x34).
     *
@@ -2249,9 +2261,18 @@ object SparkEntry {
     // rank-only integer contributions, so the fused list hashes
     // cross-engine (see Retrieval.rrfFuse)
     "x77_rrf_fusion" -> ((s, d) => {
+      // the doc∩vec corpus is CACHED: the fused plan consumes it six
+      // times (the fixed-count pred's count, three references inside
+      // the BM25 leg, two in the dense leg), and uncached each instance
+      // re-executes the docs⋈embeddings shuffle join — at the 5M-doc
+      // probe that is ~1 GB of text shuffled per instance and the query
+      // measured 41.7× wall for the 100×→1000× step. One materialized
+      // join (the production "persist the joined view" move, as in
+      // pipelines.Curation's staged caches) restores the linear shape;
+      // Bench/Verify clear the cache between runs
       val corpus = docs(s, d).join(
         Tables.embeddings(s, d).withColumnRenamed("vec_id", "doc_id"),
-        Seq("doc_id"))
+        Seq("doc_id")).cache()
       val pred = fixedCountPred(corpus, "doc_id", rrfQueryTarget)
       val sparse = Retrieval.bm25TopK(corpus, "doc_id", "text", pred,
         k1 = bmK1, b = bmB, k = rrfLegK, maxDfFrac = bmDfFrac)

@@ -36,6 +36,23 @@ object Similarity {
 
   private def asDouble(c: Column): Column = c.cast("array<double>")
 
+  /** Spread a corpus frame to the session's default parallelism before
+    * a fan-out broadcast join, when its scan yields fewer splits. A
+    * queries×corpus nested-loop join INHERITS the stream side's
+    * partitioning, so a corpus that arrives in a handful of parquet
+    * splits runs the entire scoring fan-out — and the per-query top-k
+    * sort behind it — on that handful of cores: measured 8 tasks on 32
+    * cores at the 5M-doc probe corpus (9 files), where the starved
+    * WindowGroupLimit pre-sort then spill-thrashed. One round-robin
+    * exchange of the slim (id, vector) rows BEFORE the join amortizes
+    * against the join's multiplied output. No-op (plan-identical) when
+    * the scan already has enough splits — the common cluster case.
+    */
+  private def spread(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
   /** Brute-force cosine top-k: for each query vector (`queryPred` selects
     * the query subset), the k nearest corpus vectors (self excluded).
     * The query side is broadcast; scoring is a map-side nested loop over
@@ -44,7 +61,8 @@ object Similarity {
     */
   def cosineTopK(emb: DataFrame, idCol: String, vecCol: String,
                  queryPred: Column, k: Int = 5): DataFrame = {
-    val corpus = emb.select(col(idCol).as("nid"), asDouble(col(vecCol)).as("nvec"))
+    val corpus = spread(
+      emb.select(col(idCol).as("nid"), asDouble(col(vecCol)).as("nvec")))
     val queries = emb.filter(queryPred)
       .select(col(idCol).as("qid"), asDouble(col(vecCol)).as("qvec"))
     val scored = corpus.crossJoin(broadcast(queries))
@@ -87,8 +105,17 @@ object Similarity {
     */
   def cosineTopKJl(emb: DataFrame, idCol: String, vecCol: String,
                    queryPred: Column, dim: Int, r: Int, k: Int = 5): DataFrame = {
-    val corpus = emb.select(col(idCol).as("nid"),
-      jlProject(asDouble(col(vecCol)), dim, r).as("nvec"))
+    // the projected corpus is CACHED so `nvec` is an ATTRIBUTE at the
+    // cross join, not an expression tree: uncached, CollapseProject
+    // inlines the r·dim-term projection into the join stage and
+    // re-evaluates it per (corpus × query) PAIR — measured 141s vs 8.2s
+    // for the same 8M-pair join with materialized vectors (JlProbe,
+    // 100× corpus; the x73 higher-order-function lesson in PLANS.md,
+    // join-shaped). The cached frame is r doubles per corpus row —
+    // 25 MB at 200k vectors. The broadcast query side needs no cache:
+    // broadcast materializes evaluated rows once by construction.
+    val corpus = spread(emb.select(col(idCol).as("nid"),
+      jlProject(asDouble(col(vecCol)), dim, r).as("nvec"))).cache()
     val queries = emb.filter(queryPred)
       .select(col(idCol).as("qid"), jlProject(asDouble(col(vecCol)), dim, r).as("qvec"))
     val scored = corpus.crossJoin(broadcast(queries))
