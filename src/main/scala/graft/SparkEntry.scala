@@ -4313,7 +4313,13 @@ object SparkEntry {
     // lshAutoNbits rule (the x59 pattern). Shipped sf dirs land on the
     // nbits=6 branch, the 10x corpus on 7; deeper (bench-only) grids
     // are spec-pinned rather than enumerated as ever-larger plane
-    // literal sets
+    // literal sets. The terminal branch ERRORS (DuckDB error()) when
+    // the corpus outgrows the enumerated grids: without it, a verify
+    // at 100x/1000x (where lshAutoNbits picks 10/13) would compare the
+    // live result against an EMPTY truth set and report a generic row
+    // mismatch instead of "oracle branch not enumerated" (ADVICE r11).
+    // The error argument references the count column, so constant
+    // folding cannot evaluate it when the branch is empty.
     "x85_lsh_auto" -> {
       val b6Max = lshAutoTargetBucket.toLong << 6
       val b7Max = lshAutoTargetBucket.toLong << 7
@@ -4322,7 +4328,11 @@ object SparkEntry {
         |UNION ALL
         |SELECT qid, nid, sim, rnk FROM (${lshTopKOracleChain(7)}) b7
         |WHERE (SELECT count(*) FROM embeddings) > $b6Max
-        |  AND (SELECT count(*) FROM embeddings) <= $b7Max""".stripMargin
+        |  AND (SELECT count(*) FROM embeddings) <= $b7Max
+        |UNION ALL
+        |SELECT CAST(error('x85 oracle: corpus of ' || n || ' embeddings exceeds the enumerated lsh nbits branches (max ${b7Max})') AS BIGINT) AS qid,
+        |       0::BIGINT AS nid, 0.0::DOUBLE AS sim, 0::BIGINT AS rnk
+        |FROM (SELECT count(*) AS n FROM embeddings) g WHERE n > $b7Max""".stripMargin
     },
     // embedding near-dup: same literal-plane rebuild (nbits=4, 8 tables),
     // then the exact verify-filter over the LSH candidate pairs

@@ -39,6 +39,16 @@ object RangeJoin {
   /** Per-left-row match count over the self range join, keeping
     * zero-match rows (left join semantics).
     *
+    * PRECONDITION (same as [[selfRangeJoin]]): keys unique per row.
+    * The histogram spelling subtracts exactly ONE self instance per
+    * row, so with unique keys it equals the pair spelling's per-key
+    * counts. With DUPLICATE keys the two diverge by design: two rows
+    * sharing a key within ±radius count each other here ("all OTHER
+    * ROWS within ±radius"), while the pair spelling's `a.k =!= b.k`
+    * excluded every same-key pair ("all other KEYS"). The x16 consumer
+    * (p_partkey) satisfies the precondition; the duplicate-key
+    * row-semantics is spec-pinned in RangeJoinSpec (ADVICE r11).
+    *
     * NOT spelled as `selfRangeJoin(...).groupBy.count`: that enumerates
     * every candidate pair, and pair cardinality is O(n × band density) —
     * n²/bands on a value domain of fixed width, i.e. ~10⁴× the work at a

@@ -45,12 +45,21 @@ object Similarity {
     * cores at the 5M-doc probe corpus (9 files), where the starved
     * WindowGroupLimit pre-sort then spill-thrashed. One round-robin
     * exchange of the slim (id, vector) rows BEFORE the join amortizes
-    * against the join's multiplied output. No-op (plan-identical) when
+    * against the join's multiplied output. No-op (plan-identical: the
+    * INPUT frame itself is returned, spec-pinned in PlanAuditSpec) when
     * the scan already has enough splits — the common cluster case.
+    *
+    * The split probe uses `queryExecution.toRdd` — the internal-row RDD
+    * the plan already owns — not `df.rdd`, which would bolt a
+    * deserializer stage and fresh row-RDD lineage onto every probe just
+    * to read a partition count (ADVICE r11). Physical planning still
+    * runs once per call and is reused by the subsequent action on the
+    * common no-op path.
     */
-  private def spread(df: DataFrame): DataFrame = {
+  private[graft] def spread(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    if (df.queryExecution.toRdd.getNumPartitions < target) df.repartition(target)
+    else df
   }
 
   /** Brute-force cosine top-k: for each query vector (`queryPred` selects
@@ -102,6 +111,12 @@ object Similarity {
     * with both sides projected by [[jlProject]]. Same broadcast-queries
     * map-side shape; each similarity costs O(r) instead of O(dim).
     * Quality is gated against the exact-space top-k (x68), not assumed.
+    *
+    * Cache ownership: the projected corpus below is `.cache()`d with no
+    * unpersist — release is the SESSION OWNER's job (Bench/Verify
+    * clearCache between queries), the same contract as the
+    * pipelines.Curation staged caches. At 100 TB the projected corpus
+    * would be a materialized table ("project once at ingest").
     */
   def cosineTopKJl(emb: DataFrame, idCol: String, vecCol: String,
                    queryPred: Column, dim: Int, r: Int, k: Int = 5): DataFrame = {

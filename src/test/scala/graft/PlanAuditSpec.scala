@@ -320,6 +320,60 @@ class PlanAuditSpec extends SparkSpec {
       s"per-doc score not map-side combined:\n$p")
   }
 
+  test("x67: the JL-projected corpus reaches the pair join as a CACHED " +
+    "attribute — CollapseProject must never re-inline the r·dim " +
+    "projection into the join stage") {
+    import org.apache.spark.sql.catalyst.expressions.ElementAt
+    import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan}
+    import org.apache.spark.sql.execution.columnar.InMemoryRelation
+    // the round-11 1000× defect: uncached, the 1024-node jlProject tree
+    // is evaluated per (corpus × query) PAIR — 141s vs 8.2s for the
+    // same 8M-pair join (PLANS.md). The fix is the .cache() in
+    // cosineTopKJl; this pins its plan effect so an optimizer change
+    // fails here, not in a future scale probe.
+    val lp = SparkEntry.queries("x67_jl_topk")(spark, sfDir)
+      .queryExecution.optimizedPlan
+    val joins = lp.collect { case j: Join => j }
+    assert(joins.nonEmpty, s"no pair join in:\n$lp")
+    val j = joins.head
+    def hasElementAt(p: LogicalPlan): Boolean =
+      p.exists(_.expressions.exists(_.exists(_.isInstanceOf[ElementAt])))
+    // corpus (stream) side: projection lives INSIDE the InMemoryRelation
+    // leaf; the side's own operators reference nvec only as an attribute
+    assert(j.left.collectFirst { case r: InMemoryRelation => r }.isDefined,
+      s"projected corpus not cached on the stream side in:\n$lp")
+    assert(!hasElementAt(j.left),
+      s"JL projection re-inlined into the corpus side in:\n$lp")
+    // nothing ABOVE the join (scoring project / window / filter) may
+    // re-evaluate it either; only the broadcast query side (j.right,
+    // evaluated once per query row by construction) projects
+    def aboveJoin(p: LogicalPlan): Boolean = p match {
+      case _: Join => false
+      case n => n.expressions.exists(_.exists(_.isInstanceOf[ElementAt])) ||
+        n.children.exists(aboveJoin)
+    }
+    assert(!aboveJoin(lp),
+      s"JL projection re-inlined above the pair join in:\n$lp")
+    spark.catalog.clearCache()
+  }
+
+  test("spread: plan-identical no-op on well-split input; one round-robin " +
+    "exchange to session parallelism on under-split input") {
+    val target = spark.sparkContext.defaultParallelism
+    val well = spark.range(0, 1000).toDF("id").repartition(target)
+    // the no-op contract is REFERENCE identity: zero added plan nodes on
+    // any corpus that already has enough splits (the cluster case)
+    assert(graft.sim.Similarity.spread(well) eq well,
+      "spread must return the input frame itself on well-split input")
+    val narrow = spark.range(0, 1000).toDF("id").coalesce(1)
+    val out = graft.sim.Similarity.spread(narrow)
+    assert(out.queryExecution.toRdd.getNumPartitions == target,
+      "under-split input must spread to session parallelism")
+    assert(out.queryExecution.executedPlan.toString
+      .contains("RoundRobinPartitioning"),
+      s"spread must round-robin, not hash:\n${out.queryExecution.executedPlan}")
+  }
+
   test("x76: the segmented vocabulary broadcasts into the corpus join; " +
     "per-doc counts partial-aggregate") {
     val exec = planNoAqe("x76_bpe_segment")

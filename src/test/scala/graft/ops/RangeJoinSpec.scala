@@ -6,11 +6,15 @@ import org.apache.spark.sql.functions._
 
 /** Banded range join (SURVEY §2 custom-operator list).
   *
-  * Pins the round-11 histogram rewrite of `rangeMatchCounts`: counts must
-  * be identical to the pair-enumeration spelling (enumerate every
-  * key_a≠key_b pair within ±radius, group, count) on inputs with heavy
-  * value duplication, band-boundary values, and NULLs — the three shapes
-  * where a histogram-vs-histogram count could silently diverge.
+  * Pins the round-11 histogram rewrite of `rangeMatchCounts`: on its
+  * documented UNIQUE-KEY precondition, counts must be identical to the
+  * pair-enumeration spelling (enumerate every key_a≠key_b pair within
+  * ±radius, group, count) on inputs with heavy value duplication,
+  * band-boundary values, and NULLs — the three shapes where a
+  * histogram-vs-histogram count could silently diverge. With duplicate
+  * keys the histogram spelling deliberately counts same-key OTHER ROWS
+  * (minus-one-self semantics, see the Scaladoc); that divergence is
+  * pinned below so it can never drift silently (ADVICE r11).
   */
 class RangeJoinSpec extends SparkSpec {
   import spark.implicits._
@@ -60,6 +64,22 @@ class RangeJoinSpec extends SparkSpec {
     // the aggregate below the neighbour join groups by the VALUE column
     val plan = out.queryExecution.optimizedPlan.toString
     assert(plan.contains("Aggregate"), plan.take(400))
+  }
+
+  test("rangeMatchCounts under DUPLICATE keys: minus-one-self row " +
+      "semantics (documented divergence from the same-key-excluding " +
+      "pair spelling)") {
+    // key 1 appears twice at v=10.0; key 2 sits in range at v=12.0
+    val df = Seq((1, 10.0), (1, 10.0), (2, 12.0)).toDF("k", "v")
+    val got = RangeJoin.rangeMatchCounts(df, "k", "v", 5.0)
+      .collect().map(r => (r.getInt(0), r.getDouble(1), r.getLong(2)))
+    // one OUTPUT row per INPUT row (duplicates preserved)
+    assert(got.length == 3, s"got ${got.toSeq}")
+    // each key-1 row counts the OTHER key-1 row AND key 2 => 2, never 1
+    // (the pair spelling's a.k =!= b.k would have said 1); key 2 counts
+    // both key-1 rows => 2
+    assert(got.toSeq.sorted == Seq((1, 10.0, 2L), (1, 10.0, 2L), (2, 12.0, 2L)),
+      s"got ${got.toSeq}")
   }
 
   test("selfRangeJoin pairs agree with rangeMatchCounts totals") {

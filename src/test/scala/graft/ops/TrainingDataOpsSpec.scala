@@ -139,8 +139,8 @@ class TrainingDataOpsSpec extends SparkSpec {
     assert(v1 == 32L, "v1 packs both docs whole (16 tokens each)")
   }
 
-  test("one CorpusBuildV2 instance serves build AND funnel, equal to " +
-      "the standalone spellings") {
+  test("one CorpusBuildV2 instance serves build AND funnel, equal to an " +
+      "INDEPENDENTLY spelled stage chain (not the class's own wrappers)") {
     val eval = Seq((100L, "completely unrelated evaluation material here"))
       .toDF("doc_id", "text")
     val shared = "the quick brown fox jumps over a lazy"
@@ -157,15 +157,40 @@ class TrainingDataOpsSpec extends SparkSpec {
     val packed = b.packed().collect().map(_.toSeq).toSet
     assert(b.deduped.storageLevel.useMemory,
       "stage frames must be cached for cross-artifact reuse")
-    val funnel = b.funnel.collect().map(_.toSeq).toSet
-    val standalonePacked = graft.pipelines.Curation
-      .buildCorpusV2(train, eval, "doc_id", "text", "source")
-      .collect().map(_.toSeq).toSet
-    val standaloneFunnel = graft.pipelines.Curation
-      .curationFunnel(train, eval, "doc_id", "text", "source")
-      .collect().map(_.toSeq).toSet
-    assert(packed == standalonePacked)
-    assert(funnel == standaloneFunnel)
+    val funnel = b.funnel.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    // the expectation is built from the STANDALONE v1 curation chain +
+    // the post-dedup stages composed inline — NOT from buildCorpusV2 /
+    // curationFunnel, which are thin wrappers over the class under test
+    // and would compare the implementation with itself (ADVICE r11).
+    // curatedDocs is the v1 fused-keep spelling with its own cache; the
+    // class recomputes the gates as three split flags — equal rows is
+    // exactly the claim worth pinning.
+    val curated = graft.pipelines.Curation
+      .curatedDocs(train, eval, "doc_id", "text")
+    val spanned = graft.neardup.SpanDedup
+      .removeDuplicatedSpans(curated, "doc_id", "text", k = 8)
+      .filter(col("n_tokens") - col("n_removed") >= 1)
+      .select(col("doc_id"), col("text_clean").as("text"))
+    val mixed = Sampling.temperatureSample(
+      spanned.join(train.select(col("doc_id"), col("source").as("domain")),
+        Seq("doc_id")),
+      "domain", "doc_id", tau = 2, buckets = 1000)
+    val expectedPacked = Packing.packSequences(
+      mixed.select("doc_id", "text"), "doc_id", "text",
+      budget = 256, shards = 8).collect().map(_.toSeq).toSet
+    assert(packed == expectedPacked,
+      s"instance packed != independent v1+span+mix+pack chain")
+    // funnel counts against hand-derived goldens for this fixture:
+    // doc 6 falls at quality, doc 5 at language, docs 1/2 survive all
+    val expectedFunnel = Seq(
+      (1L, "input", 4L, 0L), (2L, "quality_gate", 3L, 1L),
+      (3L, "language_gate", 2L, 1L), (4L, "repetition_gate", 2L, 0L),
+      (5L, "decontaminated", 2L, 0L), (6L, "exact_dedup", 2L, 0L),
+      (7L, "span_dedup", 2L, 0L), (8L, "temperature_mix", 2L, 0L))
+    assert(funnel.toSeq == expectedFunnel, s"got ${funnel.toSeq}")
+    spark.catalog.clearCache()
   }
 
   test("curationFunnel counts every stage and reconciles with the build") {
