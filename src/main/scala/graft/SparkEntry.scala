@@ -2255,6 +2255,16 @@ object SparkEntry {
       Retrieval.bm25TopK(docs(s, d), "doc_id", "text",
         fixedCountPred(docs(s, d), "doc_id", bmQueryTarget),
         k1 = bmK1, b = bmB, k = bmK, maxDfFrac = bmDfFrac)),
+    // impact-ordered exact BM25 (WAND/max-score first cut): OUTPUT-
+    // identical to x70 — same screened postings, same fixed-point
+    // contributions, same tiebreak, same DuckDB oracle — but the common
+    // terms' long posting lists are pruned by the essential-term
+    // threshold before the score aggregation, so the score shuffle is
+    // candidate-bounded instead of Q·Σdf (see Retrieval.bm25TopKImpact)
+    "x86_bm25_wand" -> ((s, d) =>
+      Retrieval.bm25TopKImpact(docs(s, d), "doc_id", "text",
+        fixedCountPred(docs(s, d), "doc_id", bmQueryTarget),
+        k1 = bmK1, b = bmB, k = bmK, maxDfFrac = bmDfFrac)),
     // hybrid retrieval: the x70 sparse (BM25) and x05 dense (brute
     // cosine) rankers run over the doc∩vec corpus (doc_id = vec_id)
     // with ONE shared query sample, fused by reciprocal-rank fusion —
@@ -2560,6 +2570,46 @@ object SparkEntry {
        |  SELECT coalesce(max(k) FILTER (WHERE n >= 10), 1) AS k FROM nk)
        |SELECT nk.n AS n_pairs, TRUE AS recall_ok
        |FROM nk JOIN chosen ON nk.k = chosen.k""".stripMargin
+
+  /** The x70 BM25 oracle text, shared verbatim by x86 (the
+    * impact-ordered spelling is output-identical by construction
+    * and spec-pinned equal in RetrievalSpec).
+    */
+  private lazy val bm25TopKOracle: String =
+    s"""WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+        |                             x -> x <> '') AS tk
+        |  FROM documents),
+        |tf AS (
+        |  SELECT doc_id AS nid, len(tk)::BIGINT AS dl, u.term, count(*) AS tf
+        |  FROM toks, UNNEST(tk) AS u(term)
+        |  GROUP BY 1, 2, 3),
+        |dfs AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        |st AS (SELECT count(*) AS n, sum(len(tk))::BIGINT AS sl FROM toks),
+        |q AS (SELECT tf.nid AS qid, tf.term, dfs.df, st.n, st.sl
+        |      FROM tf JOIN dfs USING (term) CROSS JOIN st
+        |      WHERE ${fixedCountPredSql("documents", "tf.nid", bmQueryTarget)}
+        |        AND dfs.df <= floor($bmDfFrac::DOUBLE * CAST(st.n AS DOUBLE))),
+        |sc AS (
+        |  SELECT q.qid, tf.nid,
+        |         CAST(floor(
+        |           ((CAST(q.n - q.df AS DOUBLE) + 0.5::DOUBLE)
+        |             / (CAST(q.df AS DOUBLE) + 0.5::DOUBLE))
+        |           * (CAST(tf.tf AS DOUBLE) * ${bmK1 + 1}::DOUBLE
+        |              / (CAST(tf.tf AS DOUBLE)
+        |                 + ${bmK1}::DOUBLE * (${1 - bmB}::DOUBLE
+        |                     + ${bmB}::DOUBLE * CAST(tf.dl AS DOUBLE)
+        |                       / (CAST(q.sl AS DOUBLE) / CAST(q.n AS DOUBLE)))))
+        |           * 1e6) AS BIGINT) AS c
+        |  FROM q JOIN tf USING (term)
+        |  WHERE tf.nid <> q.qid),
+        |ag AS (SELECT qid, nid, CAST(sum(c) AS BIGINT) AS score
+        |       FROM sc GROUP BY 1, 2),
+        |r AS (SELECT qid, nid, score,
+        |        CAST(row_number() OVER (PARTITION BY qid
+        |               ORDER BY score DESC, nid ASC) AS BIGINT) AS rnk
+        |      FROM ag)
+        |SELECT qid, nid, score, rnk FROM r WHERE rnk <= $bmK""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q01_iot_clean" ->
@@ -3689,42 +3739,11 @@ object SparkEntry {
     // fixed-IEEE contribution sequence floored to integer millionths —
     // every float constant below is interpolated from the SAME Scala
     // doubles the Spark plan lits (shortest-round-trip formatting, and
-    // ::DOUBLE casts keep DuckDB out of DECIMAL arithmetic)
-    "x70_bm25_topk" ->
-      s"""WITH toks AS (
-        |  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\\s+'),
-        |                             x -> x <> '') AS tk
-        |  FROM documents),
-        |tf AS (
-        |  SELECT doc_id AS nid, len(tk)::BIGINT AS dl, u.term, count(*) AS tf
-        |  FROM toks, UNNEST(tk) AS u(term)
-        |  GROUP BY 1, 2, 3),
-        |dfs AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
-        |st AS (SELECT count(*) AS n, sum(len(tk))::BIGINT AS sl FROM toks),
-        |q AS (SELECT tf.nid AS qid, tf.term, dfs.df, st.n, st.sl
-        |      FROM tf JOIN dfs USING (term) CROSS JOIN st
-        |      WHERE ${fixedCountPredSql("documents", "tf.nid", bmQueryTarget)}
-        |        AND dfs.df <= floor($bmDfFrac::DOUBLE * CAST(st.n AS DOUBLE))),
-        |sc AS (
-        |  SELECT q.qid, tf.nid,
-        |         CAST(floor(
-        |           ((CAST(q.n - q.df AS DOUBLE) + 0.5::DOUBLE)
-        |             / (CAST(q.df AS DOUBLE) + 0.5::DOUBLE))
-        |           * (CAST(tf.tf AS DOUBLE) * ${bmK1 + 1}::DOUBLE
-        |              / (CAST(tf.tf AS DOUBLE)
-        |                 + ${bmK1}::DOUBLE * (${1 - bmB}::DOUBLE
-        |                     + ${bmB}::DOUBLE * CAST(tf.dl AS DOUBLE)
-        |                       / (CAST(q.sl AS DOUBLE) / CAST(q.n AS DOUBLE)))))
-        |           * 1e6) AS BIGINT) AS c
-        |  FROM q JOIN tf USING (term)
-        |  WHERE tf.nid <> q.qid),
-        |ag AS (SELECT qid, nid, CAST(sum(c) AS BIGINT) AS score
-        |       FROM sc GROUP BY 1, 2),
-        |r AS (SELECT qid, nid, score,
-        |        CAST(row_number() OVER (PARTITION BY qid
-        |               ORDER BY score DESC, nid ASC) AS BIGINT) AS rnk
-        |      FROM ag)
-        |SELECT qid, nid, score, rnk FROM r WHERE rnk <= $bmK""".stripMargin,
+    // ::DOUBLE casts keep DuckDB out of DECIMAL arithmetic).
+    // x86 (impact-ordered BM25) is output-identical by construction
+    // and spec (RetrievalSpec), so it shares this oracle text verbatim
+    "x70_bm25_topk" -> bm25TopKOracle,
+    "x86_bm25_wand" -> bm25TopKOracle,
     // x77: the x70 BM25 chain and the x05 cosine chain re-run over the
     // doc∩vec corpus CTE, then the RRF fuse — every contribution is
     // floor(1e6 / (C + rnk)) on integer-exact doubles, so the fused

@@ -57,14 +57,17 @@ import org.apache.spark.sql.functions._
   */
 object Retrieval {
 
-  /** Top-k BM25-scored corpus docs per query doc. Output one row per
-    * (query, hit): (qid, nid, score, rnk) — `score` in integer
-    * millionths, `rnk` the dense 1-based rank (score DESC, nid ASC
-    * deterministic tiebreak). The query doc itself is excluded.
+  /** The screened query-term postings (`tf`: nid, dl, term, tf) and the
+    * annotated + df-capped query-term frame (`qterms`: term, qid, df,
+    * n, sl) both BM25 scorers share — split out so [[bm25TopK]] and
+    * [[bm25TopKImpact]] consume the EXACT same frames (any drift
+    * between the two would break their spec-pinned output equality).
     */
-  def bm25TopK(corpus: DataFrame, idCol: String, textCol: String,
-               queryPred: Column, k1: Double = 1.2, b: Double = 0.75,
-               k: Int = 5, maxDfFrac: Double = 0.9): DataFrame = {
+  private[graft] case class Bm25Parts(tf: DataFrame, qterms: DataFrame)
+
+  private[graft] def bm25Parts(corpus: DataFrame, idCol: String,
+                               textCol: String, queryPred: Column,
+                               maxDfFrac: Double): Bm25Parts = {
     val toks = corpus.select(col(idCol).as("nid"),
       TextAnalysis.tokens(col(textCol)).as("tk"))
     // corpus stats: one 1-row aggregate (docs INCLUDING token-less ones;
@@ -105,24 +108,191 @@ object Retrieval {
       .join(dfs, Seq("term"))
       .crossJoin(stats)
       .filter(col("df") <= floor(lit(maxDfFrac) * col("n").cast("double")))
-    // every float literal is computed HERE and interpolated into the
-    // oracle SQL by the caller — neither engine does constant
-    // arithmetic of its own, so the doubles agree bitwise
-    val avgdl = col("sl").cast("double") / col("n").cast("double")
-    val idf = ((col("n") - col("df")).cast("double") + lit(0.5)) /
+    Bm25Parts(tf, qterms)
+  }
+
+  /** Rational idf over the (qterms-joined) columns — shared by the
+    * contribution and its upper bound so they floor the SAME double.
+    */
+  private def idfExpr: Column =
+    ((col("n") - col("df")).cast("double") + lit(0.5)) /
       (col("df").cast("double") + lit(0.5))
+
+  /** The exact per-posting contribution `floor(idf · tf_sat · 1e6)` over
+    * a (tf ⋈ qterms) joined frame. Every float literal is computed HERE
+    * and interpolated into the oracle SQL by the caller — neither engine
+    * does constant arithmetic of its own, so the doubles agree bitwise.
+    */
+  private def contribExpr(k1: Double, b: Double): Column = {
+    val avgdl = col("sl").cast("double") / col("n").cast("double")
     val tfsat = col("tf").cast("double") * lit(k1 + 1) /
       (col("tf").cast("double") +
         lit(k1) * (lit(1 - b) + lit(b) * col("dl").cast("double") / avgdl))
-    val scored = tf
-      .join(broadcast(qterms), Seq("term"))
-      .filter(col("nid") =!= col("qid"))
-      .select(col("qid"), col("nid"),
-        floor(idf * tfsat * lit(1e6)).as("c"))
+    floor(idfExpr * tfsat * lit(1e6))
+  }
+
+  /** Deterministic top-k per query over summed contributions. */
+  private def topKByScore(scored: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy("qid").orderBy(col("score").desc, col("nid").asc)
     scored.groupBy("qid", "nid").agg(sum(col("c")).as("score"))
       .withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= k)
+  }
+
+  /** Top-k BM25-scored corpus docs per query doc. Output one row per
+    * (query, hit): (qid, nid, score, rnk) — `score` in integer
+    * millionths, `rnk` the dense 1-based rank (score DESC, nid ASC
+    * deterministic tiebreak). The query doc itself is excluded.
+    */
+  def bm25TopK(corpus: DataFrame, idCol: String, textCol: String,
+               queryPred: Column, k1: Double = 1.2, b: Double = 0.75,
+               k: Int = 5, maxDfFrac: Double = 0.9): DataFrame = {
+    val parts = bm25Parts(corpus, idCol, textCol, queryPred, maxDfFrac)
+    val scored = parts.tf
+      .join(broadcast(parts.qterms), Seq("term"))
+      .filter(col("nid") =!= col("qid"))
+      .select(col("qid"), col("nid"), contribExpr(k1, b).as("c"))
+    topKByScore(scored, k)
+  }
+
+  /** Impact-ordered exact BM25 top-k — the relational first cut of
+    * WAND / max-score pruning (Broder et al. 2003; Turtle & Flood 1995),
+    * the non-relational escape Retrieval's header notes for exact
+    * BM25's Q·Σdf candidate cost. OUTPUT-IDENTICAL to [[bm25TopK]]
+    * (same postings, same fixed-point contributions, same tiebreak —
+    * spec-pinned and sharing its DuckDB oracle); only the WORK is
+    * routed differently:
+    *
+    *  1. Split each query's terms into the `essTerms` highest-impact
+    *     ("essential": rarest, largest upper-bound contribution) terms
+    *     and the rest, by the ANALYTIC per-posting bound
+    *     `ub = floor(idf·(k1+1)·1e6)` (tf_sat < k1+1 for every tf/dl,
+    *     so ub needs only df — no postings touched).
+    *  2. Score the essential postings EXACTLY (cheap: rare terms have
+    *     the short posting lists). The per-query k-th essential score
+    *     is the threshold θ; `bound = Σ_{non-essential} ub` caps what
+    *     the remaining terms can ever add.
+    *  3. A doc outside the essential candidates has final score
+    *     ≤ 0 + bound; an essential-scored doc s_e tops out at
+    *     s_e + bound. Contributions are non-negative integers, so
+    *     anything `< θ` can never displace the θ-setting docs — prune
+    *     it BEFORE the common terms' long posting lists are joined.
+    *     The non-essential join then runs only against the surviving
+    *     candidate (qid, nid) pairs (nid-screened, then pair-screened).
+    *  4. Queries where the bound CAN reach θ (or with < k essential
+    *     hits) fall back to full scoring — exactness never depends on
+    *     the pruning engaging.
+    *
+    * Scale shape: the dominant x70 cost at the 5M-doc probe was the
+    * postings aggregation + the Q·Σdf score shuffle; here the common
+    * terms' (huge) postings feed the score aggregation only for
+    * candidate docs — O(queries · (k + slack)) pairs — instead of
+    * every (query, doc-sharing-a-term) pair. On a Zipfian vocabulary
+    * the essential lists are the short tail lists, so θ is set almost
+    * for free. The candidate frames are top-k-bounded by construction
+    * (broadcast below); adversarial corpora where the analytic bound
+    * is loose degrade to x70's exact cost, never worse than 2× it.
+    *
+    * Cache ownership: the essential-score and candidate frames are
+    * `.cache()`d (each feeds 2-3 downstream consumers); release is the
+    * SESSION OWNER's job (Bench/Verify clearCache), the established
+    * contract.
+    */
+  /** The impact-split scaffolding [[bm25TopKImpact]] routes work with:
+    * `qt` (qterms + analytic per-posting upper bound), the
+    * essential/non-essential split, the exact essential partial scores
+    * `sE` (cached), and `qmeta` — one row per query with θ (k-th
+    * essential score, null ⇒ <k hits), the non-essential mass bound,
+    * and the `open` routing flag. private[graft] so the spec can
+    * assert the prune actually ENGAGES on a Zipfian fixture (equality
+    * alone would hold vacuously if every query routed open).
+    */
+  private[graft] case class Bm25ImpactParts(qt: DataFrame, qEss: DataFrame,
+      qNon: DataFrame, sE: DataFrame, qmeta: DataFrame)
+
+  private[graft] def bm25ImpactParts(parts: Bm25Parts, k1: Double, b: Double,
+      k: Int, essTerms: Int): Bm25ImpactParts = {
+    val tf = parts.tf
+    val c = contribExpr(k1, b)
+    // analytic upper bound on any single posting's contribution:
+    // idf·tf_sat < idf·(k1+1), and floor is monotone, so c ≤ ub per
+    // posting — from df alone
+    val qt = parts.qterms.withColumn("ub",
+      floor(idfExpr * lit(k1 + 1) * lit(1e6)))
+    // essential split: per query the essTerms highest-impact terms
+    // (ub DESC, term ASC — deterministic). The OUTPUT is split-
+    // invariant; the split only routes work, which the equality spec
+    // exploits by sweeping essTerms
+    val essW = Window.partitionBy("qid").orderBy(col("ub").desc, col("term").asc)
+    val qtRanked = qt.withColumn("__r", row_number().over(essW))
+    val qEss = qtRanked.filter(col("__r") <= essTerms).drop("__r")
+    val qNon = qtRanked.filter(col("__r") > essTerms).drop("__r")
+    // exact partial scores over the essential (short) posting lists;
+    // cached: feeds θ, the candidate filter, and the final assembly
+    val sE = tf.join(broadcast(qEss), Seq("term"))
+      .filter(col("nid") =!= col("qid"))
+      .select(col("qid"), col("nid"), c.as("c"))
+      .groupBy("qid", "nid").agg(sum(col("c")).as("s_e"))
+      .cache()
+    // θ = the k-th best essential partial score per query (absent ⇒ <k
+    // essential hits ⇒ no pruning); bound = Σ non-essential ub
+    val thetaW = Window.partitionBy("qid").orderBy(col("s_e").desc, col("nid").asc)
+    val theta = sE.withColumn("__tr", row_number().over(thetaW))
+      .filter(col("__tr") === k).select(col("qid"), col("s_e").as("theta"))
+    val bound = qNon.groupBy("qid").agg(sum(col("ub")).as("bound"))
+    val qmeta = qt.select("qid").distinct()
+      .join(theta, Seq("qid"), "left")
+      .join(bound, Seq("qid"), "left")
+      .select(col("qid"), col("theta"),
+        coalesce(col("bound"), lit(0L)).as("bound"))
+      // open = pruning cannot engage for this query: fewer than k
+      // essential hits, or the non-essential mass alone could reach θ
+      .withColumn("open", col("theta").isNull || col("bound") >= col("theta"))
+    Bm25ImpactParts(qt, qEss, qNon, sE, qmeta)
+  }
+
+  def bm25TopKImpact(corpus: DataFrame, idCol: String, textCol: String,
+                     queryPred: Column, k1: Double = 1.2, b: Double = 0.75,
+                     k: Int = 5, maxDfFrac: Double = 0.9,
+                     essTerms: Int = 8): DataFrame = {
+    require(essTerms >= 1, s"essTerms must be >= 1, got $essTerms")
+    val parts = bm25Parts(corpus, idCol, textCol, queryPred, maxDfFrac)
+    val tf = parts.tf
+    val c = contribExpr(k1, b)
+    val impact = bm25ImpactParts(parts, k1, b, k, essTerms)
+    val qt = impact.qt
+    val qNon = impact.qNon
+    val sE = impact.sE
+    val qmeta = impact.qmeta
+    // open queries: the plain exact join over ALL their terms (≡ x70
+    // restricted to those queries)
+    val qtOpen = qt.join(broadcast(qmeta.filter(col("open")).select("qid")),
+      Seq("qid"))
+    val openScored = tf.join(broadcast(qtOpen), Seq("term"))
+      .filter(col("nid") =!= col("qid"))
+      .select(col("qid"), col("nid"), c.as("c"))
+    // pruned queries: candidates are essential-scored docs whose ceiling
+    // s_e + bound still reaches θ (ties kept: prune only strictly-below)
+    val prunedMeta = qmeta.filter(!col("open"))
+    val candE = sE.join(broadcast(prunedMeta), Seq("qid"))
+      .filter(col("s_e") + col("bound") >= col("theta"))
+      .select("qid", "nid", "s_e")
+      .cache()
+    // the common terms' long posting lists meet ONLY the candidate docs:
+    // nid screen first (cuts the posting rows), pair screen second
+    // (a doc may be candidate for one query but not another)
+    val qNonPruned = qNon.join(broadcast(prunedMeta.select("qid")), Seq("qid"))
+    val nScored = tf.join(broadcast(candE.select("nid").distinct()), Seq("nid"))
+      .join(broadcast(qNonPruned), Seq("term"))
+      .filter(col("nid") =!= col("qid"))
+      .join(broadcast(candE.select("qid", "nid")), Seq("qid", "nid"))
+      .select(col("qid"), col("nid"), c.as("c"))
+    // assemble: every candidate pair contributes its exact essential
+    // score once (as a c-row) plus its non-essential contributions —
+    // summed by the same topK aggregate the open path uses
+    val prunedScored = candE.select(col("qid"), col("nid"), col("s_e").as("c"))
+      .unionAll(nScored)
+    topKByScore(prunedScored.unionAll(openScored), k)
   }
 
   /** Reciprocal-rank fusion (Cormack/Clarke/Buettcher 2009) of per-query

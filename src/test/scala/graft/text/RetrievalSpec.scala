@@ -65,6 +65,103 @@ class RetrievalSpec extends SparkSpec {
       col("doc_id") === 1L).count() == 0L)
   }
 
+  // ---- impact-ordered BM25 (x86): exact-equality contract ----
+
+  private def rows(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+
+  test("impact-ordered BM25 equals the exact spelling on the base fixture " +
+      "for every essential-split size") {
+    val base = rows(topk())
+    for (e <- Seq(1, 2, 3, 8, 100)) {
+      val got = rows(Retrieval.bm25TopKImpact(corpus, "doc_id", "text",
+        col("doc_id") === 1L, k = 5, essTerms = e))
+      assert(got == base, s"essTerms=$e diverged: got $got, want $base")
+    }
+    spark.catalog.clearCache()
+  }
+
+  test("impact-ordered BM25 equals the exact spelling on a Zipfian corpus " +
+      "where the threshold prune actually engages (and on ties)") {
+    // 40 docs over a Zipf-ish vocabulary: three ubiquitous terms (c1-c3,
+    // df=40 — tiny idf, long postings: exactly what the prune must skip),
+    // ten mid terms (m0-m9, df~8), rare terms (r0-r19, df=2). Doc pairs
+    // (2i, 2i+1) share their rare term so integer-score TIES occur and
+    // the nid-asc tiebreak is exercised through the pruned path.
+    val docs = (0 until 40).map { i =>
+      val rare = s"r${i / 2}"
+      val mid = s"m${i % 10} m${(i + 3) % 10}"
+      (i.toLong, s"c1 c2 c3 $mid $rare " + ("c1 " * (i % 4)).trim)
+    }
+    val zipf = docs.toDF("doc_id", "text")
+    val pred = col("doc_id") < 4L // 4 query docs
+    val exact = rows(Retrieval.bm25TopK(zipf, "doc_id", "text", pred,
+      k = 5, maxDfFrac = 1.0))
+    for (e <- Seq(1, 2, 4, 8)) {
+      val got = rows(Retrieval.bm25TopKImpact(zipf, "doc_id", "text", pred,
+        k = 5, maxDfFrac = 1.0, essTerms = e))
+      assert(got == exact, s"essTerms=$e diverged on the Zipf corpus")
+    }
+    // the equality above must not hold VACUOUSLY (every query routed
+    // through the open fallback = x70 re-run): at essTerms=4 the three
+    // ubiquitous terms are non-essential, their mass bound is tiny next
+    // to the k-th essential score, and the prune must ENGAGE
+    val meta = Retrieval.bm25ImpactParts(
+      Retrieval.bm25Parts(zipf, "doc_id", "text", pred, 1.0),
+      k1 = 1.2, b = 0.75, k = 5, essTerms = 4)
+      .qmeta.collect()
+      .map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    assert(meta.values.exists(_ == false),
+      s"prune never engaged on the Zipf fixture: $meta")
+    spark.catalog.clearCache()
+  }
+
+  test("impact-ordered BM25: open-query fallback (fewer than k essential " +
+      "hits) and empty corpus stay exact") {
+    // only 3 docs share any term with the query => theta is NULL at k=5
+    // for every split => all queries route through the open path
+    val tiny = Seq(
+      (1L, "alpha beta gamma"), (2L, "alpha zeta"), (3L, "beta eta"),
+      (4L, "gamma theta"), (5L, "iota kappa"))
+      .toDF("doc_id", "text")
+    val exact = rows(Retrieval.bm25TopK(tiny, "doc_id", "text",
+      col("doc_id") === 1L, k = 5, maxDfFrac = 1.0))
+    val got = rows(Retrieval.bm25TopKImpact(tiny, "doc_id", "text",
+      col("doc_id") === 1L, k = 5, maxDfFrac = 1.0, essTerms = 2))
+    assert(got == exact)
+    val empty = tiny.filter(col("doc_id") < 0L)
+    assert(Retrieval.bm25TopKImpact(empty, "doc_id", "text",
+      col("doc_id") === 1L).count() == 0L)
+    spark.catalog.clearCache()
+  }
+
+  test("impact-ordered BM25 equals the exact spelling on seeded random " +
+      "corpora (multi-query, duplicate docs, partition-shuffled)") {
+    val rnd = new scala.util.Random(4242)
+    // Zipf-ish sampling: term w<j> with j ~ floor(V^u) over V=30
+    def term(): String = s"w${math.pow(30, rnd.nextDouble()).toInt}"
+    val base = (0 until 120).map { i =>
+      val len = 5 + rnd.nextInt(20)
+      (i.toLong, (0 until len).map(_ => term()).mkString(" "))
+    }
+    val byId = base.toMap
+    // every 10th doc duplicates the previous one verbatim => exact
+    // score ties across distinct nids
+    val docs = base.map { case (i, t) =>
+      if (i % 10 == 9) (i, byId(i - 1)) else (i, t)
+    }
+    val df = docs.toDF("doc_id", "text").repartition(7)
+    val pred = col("doc_id") % 17L === 0L
+    val exact = rows(Retrieval.bm25TopK(df, "doc_id", "text", pred, k = 5))
+    for (e <- Seq(1, 4, 16)) {
+      val got = rows(Retrieval.bm25TopKImpact(df, "doc_id", "text", pred,
+        k = 5, essTerms = e))
+      assert(got == exact, s"essTerms=$e diverged on the random corpus")
+    }
+    spark.catalog.clearCache()
+  }
+
   // ---- reciprocal-rank fusion (x77) ----
 
   private def ranked(rows: (Long, Long, Long)*) =
