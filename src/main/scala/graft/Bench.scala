@@ -20,9 +20,24 @@ object Bench {
     // default 32: the driver contract benches at local[32]; override via
     // SPARK_GRAFT_CPUS for constrained dev hosts
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // shuffle sizing: keep the 32-partition floor for small inputs but
+    // let AQE SPLIT the decision by measured shuffle bytes — a fixed 32
+    // makes every post-shuffle sort at the 1000x corpus (5M docs) hold
+    // ~10M positioned-token rows per partition and spill (x81 measured
+    // 11.9x per 10x step; spill, not algorithm). With the initial
+    // partition count raised, AQE coalesces small shuffles back down to
+    // session parallelism (parallelismFirst, the default) so sf0.1
+    // plans keep their shape, while scale-corpus shuffles keep enough
+    // partitions that each sort fits in memory. On a real cluster this
+    // is the same knob a 100 TB job sets (initialPartitionNum ~ a few x
+    // total cores); override via SPARK_GRAFT_INITIAL_PARTS.
+    val initialParts =
+      sys.env.getOrElse("SPARK_GRAFT_INITIAL_PARTS", "256")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        initialParts)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

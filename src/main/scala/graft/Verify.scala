@@ -12,9 +12,17 @@ object Verify {
     // default 32 to match the driver's local[32] contract (and to exercise
     // the catalog's partition-independence claims under real parallelism)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // same shuffle sizing as Bench (see the note there): 32-partition
+    // floor, AQE coalesces from a raised initial count so scale-corpus
+    // sorts don't spill; also exercises the catalog's claim that every
+    // oracle result is partition-count independent
+    val initialParts =
+      sys.env.getOrElse("SPARK_GRAFT_INITIAL_PARTS", "256")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        initialParts)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

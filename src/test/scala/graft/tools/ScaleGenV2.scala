@@ -1,0 +1,204 @@
+package graft.tools
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** ScaleGen v2 — realistic scale fixtures, generated from scratch.
+  *
+  * The v1 generator (ScaleGen) scales the shipped sf dirs by COPYING
+  * them, which preserves two degenerate properties that round-11's
+  * 1000x probes showed were distorting what the probes measure:
+  *
+  *  - the base corpus has a ~31-word vocabulary, so x70's query-term
+  *    screen prunes nothing (every query's term set IS the vocabulary)
+  *    and the BM25 postings aggregation degenerates to corpus x vocab;
+  *  - the copied ids form a decimal lattice (orig + copy * 10^8) that
+  *    aliased the old linear fixed-count predicate (fixedCountPred
+  *    silently selected 27x its target — see PLANS.md round 11).
+  *
+  * v2 generates every row deterministically from a seeded xxhash64 of
+  * its sequential index, with:
+  *
+  *  - **Zipfian vocabulary** per language (default 30k terms): ranks are
+  *    drawn by inverse-CDF (`floor(exp(u * ln V))`, P(r) ~ 1/r), the
+  *    head holds real stopwords (graft.text.TextAnalysis's langid
+  *    lists) + common filler so the language/quality gates classify
+  *    generated text exactly like real text, and the tail is synthetic
+  *    lang-prefixed words (`translate(rank, digits, letters)`), so
+  *    cross-language shingle overlap is zero.
+  *  - **Avalanche-mixed ids**: doc_id/vec_id = xxhash64(seed, i) >>> 1 —
+  *    no arithmetic structure for a bucket predicate to alias on; the
+  *    generator asserts uniqueness (a hash, not a bijection).
+  *  - **Configurable dup rate**: `dupPct`% of docs copy an earlier
+  *    doc's content seed — half byte-exact (exact-dedup prey), half
+  *    with ONE token substituted (minhash/simhash/span-dedup prey).
+  *    Embedding dups are byte-exact (x57's representative collapse).
+  *  - **Clustered embeddings**: 10 seeded centers in [-1,1]^64 with
+  *    +-0.2 per-component noise, so cosine thresholds and ANN recall
+  *    gates see genuine cluster structure instead of shifted copies.
+  *  - **Zipf-skewed sources** (20 domains), so temperature mixing has
+  *    a real head/tail mass imbalance to correct.
+  *
+  * Only documents + embeddings are generated (the heavy-family 1000x
+  * probe set reads nothing else; eval splits derive from doc_id % 20).
+  * Output is asserted against the oracle-parity fixture invariants
+  * ([[graft.FixtureInvariants]]) like every v1 corpus.
+  *
+  * usage: Test/runMain graft.tools.ScaleGenV2 <outDir> <nDocs> <nVecs> <dupPct> [seed]
+  */
+object ScaleGenV2 {
+
+  /** Head words per language. Rank 1..head.size draws from these; the
+    * langid stopword lists lead so stopword hits track real text. The
+    * three lists are pairwise disjoint and contain no other language's
+    * stopwords, so predLang classifies every generated doc by its own
+    * head (given >=1 stopword draw; 'und' otherwise, which the gates
+    * drop — realistic attrition).
+    */
+  private val heads: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "and", "of", "to", "in", "is", "for", "on",
+      "with", "data", "model", "train", "batch", "value", "stream",
+      "table", "query", "index", "merge", "filter", "window", "group",
+      "sort", "scan", "join", "order", "part", "line", "row", "key",
+      "hash", "fast", "slow", "small", "large", "count", "total",
+      "system", "result", "output", "input", "record", "field", "store",
+      "cache", "shard", "block", "page", "node"),
+    "de" -> Seq("der", "die", "und", "das", "ein", "ist", "mit", "auf",
+      "nicht", "auch", "wert", "daten", "tisch", "spalte", "zeile",
+      "gruppe", "folge", "satz", "menge", "teil", "feld", "werk",
+      "zahl", "kette", "stueck", "punkt", "stand", "lauf", "zug", "bau"),
+    "es" -> Seq("el", "los", "y", "las", "una", "que", "mas", "este",
+      "por", "con", "dato", "valor", "tabla", "fila", "columna",
+      "grupo", "orden", "parte", "campo", "clave", "conteo", "total",
+      "bloque", "pagina", "nodo", "indice", "mezcla", "filtro",
+      "ventana", "carga"))
+
+  /** Tail-word prefix per language (tail words never collide with any
+    * head word or another language's tail).
+    */
+  private val tailPrefix = Map("en" -> "v", "de" -> "g", "es" -> "j")
+
+  private val VOCAB = 30000 // ranks per language (head + synthetic tail)
+
+  /** Uniform-ish double in [0,1) from a seeded per-slot hash. */
+  private def u01(cols: Column*): Column =
+    (pmod(xxhash64(cols: _*), lit(1000000L)).cast("double") + lit(0.5)) /
+      lit(1000000.0)
+
+  /** Zipf(s=1) rank in [1, VOCAB]: floor(exp(u * ln V)) — P(rank = r)
+    * is proportional to ln(1 + 1/r) ~ 1/r.
+    */
+  private def zipfRank(u: Column): Column =
+    least(lit(VOCAB), greatest(lit(1),
+      floor(exp(u * lit(math.log(VOCAB.toDouble)))).cast("int")))
+
+  /** Word for `rank` in `lang`'s vocabulary: the head list for low
+    * ranks, else a deterministic synthetic word (rank digits mapped to
+    * letters, lang-prefixed).
+    */
+  private def word(lang: String, rank: Column): Column = {
+    val head = heads(lang)
+    when(rank <= head.size,
+      element_at(typedLit(head), rank))
+      .otherwise(concat(lit(tailPrefix(lang)),
+        translate(rank.cast("string"), "0123456789", "abcdefghij")))
+  }
+
+  def main(args: Array[String]): Unit = {
+    val out = args(0)
+    val nDocs = args(1).toLong
+    val nVecs = args(2).toLong
+    val dupPct = args(3).toInt
+    val seed = if (args.length > 4) args(4).toLong else 42L
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val i = col("id")
+    def h(tag: String, cols: Column*): Column =
+      xxhash64((lit(seed) +: lit(tag) +: cols): _*)
+
+    // dup structure: content derives from `ci` (an earlier index for
+    // dups), so exact dups are byte-identical with zero joins and near
+    // dups recompute the parent stream and substitute one token
+    val isDup = i > 0 && pmod(h("dup", i), lit(100L)) < dupPct
+    val parent = pmod(h("parent", i), greatest(i, lit(1L)))
+    val ci = when(isDup, parent).otherwise(i)
+    val isNear = isDup && pmod(h("kind", i), lit(2L)) === 0
+
+    // per-content attributes (shared by exact dups)
+    val langPick = pmod(h("lang", ci), lit(100L))
+    val nToks = (lit(20L) + pmod(h("len", ci), lit(180L))).cast("int")
+    val srcRank = // Zipf over 20 domains: head sources dominate
+      least(lit(20), greatest(lit(1),
+        floor(exp(u01(h("src", ci)) * lit(math.log(20.0)))).cast("int")))
+    // one substituted token position + replacement rank (near dups only;
+    // keyed on i, not ci, so the copy differs from its parent)
+    val nearPos = (pmod(h("npos", i), nToks.cast("long")) + 1).cast("int")
+
+    def textFor(lang: String): Column =
+      concat_ws(" ", transform(sequence(lit(1), nToks), p => {
+        val base = word(lang, zipfRank(u01(h("tok", ci), p)))
+        when(isNear && p === nearPos,
+          word(lang, zipfRank(u01(h("ntok", i), p)))).otherwise(base)
+      }))
+
+    val text = when(langPick < 80, textFor("en"))
+      .when(langPick < 90, textFor("de"))
+      .otherwise(textFor("es"))
+    val lang = when(langPick < 80, "en").when(langPick < 90, "de")
+      .otherwise("es")
+
+    spark.range(nDocs)
+      .repartition(32)
+      .select(
+        shiftrightunsigned(h("docid", i), 1).as("doc_id"),
+        text.as("text"), lang.as("lang"),
+        concat(lit("src"), srcRank.cast("string")).as("source"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .repartition(8)
+      .write.mode("overwrite").parquet(s"$out/documents.parquet")
+
+    // embeddings: 10 seeded cluster centers in [-1,1]^64, +-0.2 noise;
+    // dups (same rate, exact only) share `vci` so their float arrays are
+    // byte-identical — x57's representative collapse has real prey
+    val isVDup = i > 0 && pmod(h("vdup", i), lit(100L)) < dupPct
+    val vci = when(isVDup, pmod(h("vparent", i), greatest(i, lit(1L))))
+      .otherwise(i)
+    val label = pmod(h("label", vci), lit(10L)).cast("int")
+    val emb = transform(sequence(lit(0), lit(63)), d => {
+      val center = pmod(xxhash64(lit("ctr"), label, d), lit(2001L))
+        .cast("double") / 1000.0 - 1.0
+      val noise =
+        (pmod(h("nzd", vci, d), lit(2001L)).cast("double") / 1000.0 - 1.0) * 0.2
+      (center + noise).cast("float")
+    })
+    spark.range(nVecs)
+      .repartition(32)
+      .select(
+        shiftrightunsigned(h("vecid", i), 1).as("vec_id"),
+        emb.as("embedding"), label.as("label"))
+      .repartition(8)
+      .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+
+    // id uniqueness (xxhash64 is a hash, not a bijection — collision
+    // odds at 5M rows are ~1e-6, but ids are join keys downstream, so
+    // assert rather than assume)
+    val dDocs = spark.read.parquet(s"$out/documents.parquet")
+    val dVecs = spark.read.parquet(s"$out/embeddings.parquet")
+    require(dDocs.select("doc_id").distinct().count() == nDocs,
+      "doc_id collision — change the seed")
+    require(dVecs.select("vec_id").distinct().count() == nVecs,
+      "vec_id collision — change the seed")
+    graft.FixtureInvariants.assertClean(spark, out)
+    // generation profile, for the PLANS.md record
+    dDocs.groupBy("lang").agg(count(lit(1)).as("n"),
+      avg(length(col("text"))).as("avg_chars")).orderBy("lang").show()
+    println(s"[scalegen-v2] $out: $nDocs docs / $nVecs vecs, dup=$dupPct%, seed=$seed")
+    spark.stop()
+  }
+}
