@@ -117,7 +117,13 @@ object ScaleGenV2 {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    generate(spark, out, nDocs, nVecs, dupPct, seed)
+    spark.stop()
+  }
 
+  /** The generator body, callable from a spec (no session lifecycle). */
+  def generate(spark: SparkSession, out: String, nDocs: Long, nVecs: Long,
+               dupPct: Int, seed: Long = 42L): Unit = {
     val i = col("id")
     def h(tag: String, cols: Column*): Column =
       xxhash64((lit(seed) +: lit(tag) +: cols): _*)
@@ -177,10 +183,13 @@ object ScaleGenV2 {
         (pmod(h("nzd", vci, d), lit(2001L)).cast("double") / 1000.0 - 1.0) * 0.2
       (center + noise).cast("float")
     })
+    // vec_id shares doc_id's hash tag so vec ids are a SUBSET of doc
+    // ids (nVecs <= nDocs), like the shipped fixtures' overlapping id
+    // spaces — x77's doc∩vec retrieval corpus would otherwise be empty
     spark.range(nVecs)
       .repartition(32)
       .select(
-        shiftrightunsigned(h("vecid", i), 1).as("vec_id"),
+        shiftrightunsigned(h("docid", i), 1).as("vec_id"),
         emb.as("embedding"), label.as("label"))
       .repartition(8)
       .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
@@ -199,6 +208,5 @@ object ScaleGenV2 {
     dDocs.groupBy("lang").agg(count(lit(1)).as("n"),
       avg(length(col("text"))).as("avg_chars")).orderBy("lang").show()
     println(s"[scalegen-v2] $out: $nDocs docs / $nVecs vecs, dup=$dupPct%, seed=$seed")
-    spark.stop()
   }
 }

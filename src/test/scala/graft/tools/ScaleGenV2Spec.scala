@@ -1,0 +1,89 @@
+package graft.tools
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Pins the v2 scale-fixture generator's contract: the 1000x probe
+  * tables in PLANS.md are only comparable across rounds if the same
+  * (nDocs, nVecs, dupPct, seed) regenerate the same corpus, and two of
+  * round 11's scale defects were FIXTURE artifacts (id-lattice
+  * aliasing, degenerate vocabulary) — this spec fails if a generator
+  * edit silently reintroduces either class.
+  */
+class ScaleGenV2Spec extends SparkSpec {
+
+  private lazy val dir = {
+    val d = java.nio.file.Files.createTempDirectory("graft_sgv2_").toString
+    ScaleGenV2.generate(spark, d, nDocs = 2000, nVecs = 800, dupPct = 20,
+      seed = 42L)
+    d
+  }
+  private lazy val docs = spark.read.parquet(s"$dir/documents.parquet")
+  private lazy val vecs = spark.read.parquet(s"$dir/embeddings.parquet")
+
+  test("generation is deterministic: same args → byte-identical corpus") {
+    val d2 = java.nio.file.Files.createTempDirectory("graft_sgv2b_").toString
+    ScaleGenV2.generate(spark, d2, nDocs = 2000, nVecs = 800, dupPct = 20,
+      seed = 42L)
+    val a = docs.orderBy("doc_id").collect().toSeq
+    val b = spark.read.parquet(s"$d2/documents.parquet")
+      .orderBy("doc_id").collect().toSeq
+    assert(a == b)
+    val va = vecs.orderBy("vec_id").collect().toSeq
+    val vb = spark.read.parquet(s"$d2/embeddings.parquet")
+      .orderBy("vec_id").collect().toSeq
+    assert(va == vb)
+  }
+
+  test("ids are avalanche-mixed: no arithmetic lattice, fixed-count " +
+    "predicates select near their target") {
+    // the round-11 lesson: ScaleGen v1's decimal-lattice replica ids
+    // aliased the old linear bucket predicate 27x over target — v2 ids
+    // must keep hash-derived sampling within Poisson noise of target
+    // (the predicate below is SparkEntry.fixedCountPred's spelling)
+    val target = 40L
+    val buckets = math.max(1L, docs.count() / target)
+    val pred = graft.neardup.NearDup
+      .portableBase(col("doc_id").cast("string")) < lit((1L << 60) / buckets)
+    val got = docs.filter(pred).count()
+    assert(got >= 15 && got <= 80,
+      s"fixedCountPred selected $got docs for target $target")
+  }
+
+  test("vocabulary is Zipfian with the langid stopword head") {
+    val terms = docs.select(explode(split(col("text"), " ")).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("c"))
+    // realistic vocabulary breadth (v1's base corpus had ~31 terms)
+    assert(terms.count() > 10000)
+    // the most frequent token is the rank-1 English head word, and the
+    // head dominates the way a 1/r law does (top term >> 100th term)
+    val top = terms.orderBy(col("c").desc).limit(100).collect()
+    assert(top.head.getString(0) == "the")
+    assert(top.head.getLong(1) > 10L * top.last.getLong(1))
+  }
+
+  test("language gates classify generated docs by their generation head") {
+    val byLang = docs
+      .select(col("lang"),
+        graft.text.TextAnalysis.predLangCol(col("text")).as("pred"))
+      .groupBy("lang").agg(
+        count(lit(1)).as("n"),
+        count(when(col("pred") === col("lang"), 1)).as("hit"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(byLang.keySet == Set("en", "de", "es"))
+    byLang.foreach { case (l, (n, hit)) =>
+      assert(hit.toDouble / n > 0.9, s"$l: only $hit/$n classified as $l")
+    }
+  }
+
+  test("dup rate materializes as exact text twins and byte-exact dup vectors") {
+    val dupDocs = docs.groupBy("text").agg(count(lit(1)).as("c"))
+      .filter(col("c") > 1).agg(sum(col("c"))).collect()(0).getLong(0)
+    // dupPct=20, half exact → ≥ ~7% of docs should sit in exact groups
+    assert(dupDocs > 2000 * 0.07, s"only $dupDocs docs in exact-dup groups")
+    val dupVecs = vecs.groupBy("embedding").agg(count(lit(1)).as("c"))
+      .filter(col("c") > 1).agg(sum(col("c"))).collect()(0).getLong(0)
+    assert(dupVecs > 800 * 0.12, s"only $dupVecs vecs in exact-dup groups")
+  }
+}

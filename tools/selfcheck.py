@@ -31,7 +31,14 @@ def main():
     con = duckdb.connect()
     for t in ["region","nation","customer","supplier","part","orders",
               "lineitem","events","documents","embeddings"]:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+        # scale corpora (ScaleGenV2) ship only documents/embeddings —
+        # create views for the tables that exist; a query against a
+        # missing one fails per-query, not at setup
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.isdir(p):  # Spark-written dir-of-parts (scale corpora)
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}/*.parquet')")
+        elif os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     qdirs = sorted(d for d in os.listdir(out_dir)
                    if os.path.isdir(os.path.join(out_dir, d)))
     n_pass = n_fail = n_noracle = 0
