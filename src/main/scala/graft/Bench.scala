@@ -20,19 +20,23 @@ object Bench {
     // default 32: the driver contract benches at local[32]; override via
     // SPARK_GRAFT_CPUS for constrained dev hosts
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    // shuffle sizing: keep the 32-partition floor for small inputs but
-    // let AQE SPLIT the decision by measured shuffle bytes — a fixed 32
-    // makes every post-shuffle sort at the 1000x corpus (5M docs) hold
-    // ~10M positioned-token rows per partition and spill (x81 measured
-    // 11.9x per 10x step; spill, not algorithm). With the initial
-    // partition count raised, AQE coalesces small shuffles back down to
-    // session parallelism (parallelismFirst, the default) so sf0.1
-    // plans keep their shape, while scale-corpus shuffles keep enough
-    // partitions that each sort fits in memory. On a real cluster this
-    // is the same knob a 100 TB job sets (initialPartitionNum ~ a few x
-    // total cores); override via SPARK_GRAFT_INITIAL_PARTS.
+    // shuffle sizing: 32 initial shuffle partitions by DEFAULT; the
+    // scale-sweep protocol sets SPARK_GRAFT_INITIAL_PARTS=256 so the
+    // 1000x corpus's post-shuffle sorts (x81: ~10M positioned-token
+    // rows per partition at 32 — spill, not algorithm) get enough
+    // partitions to fit in memory, with AQE coalescing small shuffles
+    // back down. Round 12 shipped 256 as the unconditional default on
+    // the claim that AQE coalescing keeps sf0.1 plans shaped — the
+    // same-boot min-of-3 A/B (round 13, PLANS.md) refuted it: AQE does
+    // not refund checkpoint materialization or per-stage overhead in
+    // iterative/many-stage queries (x22 14.1s@256 vs 5.6s@32, x26
+    // 3.5 vs 1.0, x82 13.5 vs 7.3 — a 35% suite regression). So the
+    // knob is scoped to the protocol that needs it, exactly like
+    // SPARK_GRAFT_EXCLUDE. On a real cluster the equivalent decision
+    // is per-job sizing (initialPartitionNum ~ a few x total cores for
+    // big inputs), not one global constant.
     val initialParts =
-      sys.env.getOrElse("SPARK_GRAFT_INITIAL_PARTS", "256")
+      sys.env.getOrElse("SPARK_GRAFT_INITIAL_PARTS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)

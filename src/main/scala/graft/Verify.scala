@@ -12,12 +12,13 @@ object Verify {
     // default 32 to match the driver's local[32] contract (and to exercise
     // the catalog's partition-independence claims under real parallelism)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    // same shuffle sizing as Bench (see the note there): 32-partition
-    // floor, AQE coalesces from a raised initial count so scale-corpus
-    // sorts don't spill; also exercises the catalog's claim that every
-    // oracle result is partition-count independent
+    // same shuffle sizing as Bench (see the note there): default 32,
+    // raised only by the scale-sweep protocol via the env knob. The
+    // oracle results are knob-invariant by design (fixed-point integer
+    // sums, deterministic tiebreaks) — KnobInvarianceSpec pins that
+    // claim at initialPartitionNum 1 vs 512
     val initialParts =
-      sys.env.getOrElse("SPARK_GRAFT_INITIAL_PARTS", "256")
+      sys.env.getOrElse("SPARK_GRAFT_INITIAL_PARTS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)

@@ -69,7 +69,7 @@ object ScaleGenV2 {
       "zahl", "kette", "stueck", "punkt", "stand", "lauf", "zug", "bau"),
     "es" -> Seq("el", "los", "y", "las", "una", "que", "mas", "este",
       "por", "con", "dato", "valor", "tabla", "fila", "columna",
-      "grupo", "orden", "parte", "campo", "clave", "conteo", "total",
+      "grupo", "orden", "parte", "campo", "clave", "conteo", "suma",
       "bloque", "pagina", "nodo", "indice", "mezcla", "filtro",
       "ventana", "carga"))
 
@@ -124,6 +124,10 @@ object ScaleGenV2 {
   /** The generator body, callable from a spec (no session lifecycle). */
   def generate(spark: SparkSession, out: String, nDocs: Long, nVecs: Long,
                dupPct: Int, seed: Long = 42L): Unit = {
+    // vec ids are drawn as the first nVecs doc ids (subset property the
+    // x77 doc∩vec retrieval corpus depends on) — impossible otherwise
+    require(nVecs <= nDocs,
+      s"vec ids must be a subset of doc ids: nVecs=$nVecs > nDocs=$nDocs")
     val i = col("id")
     def h(tag: String, cols: Column*): Column =
       xxhash64((lit(seed) +: lit(tag) +: cols): _*)
@@ -177,7 +181,9 @@ object ScaleGenV2 {
       .otherwise(i)
     val label = pmod(h("label", vci), lit(10L)).cast("int")
     val emb = transform(sequence(lit(0), lit(63)), d => {
-      val center = pmod(xxhash64(lit("ctr"), label, d), lit(2001L))
+      // seed participates (via h) so "seeded centers" is literally true:
+      // a new seed moves the cluster geometry, not just the noise
+      val center = pmod(h("ctr", label, d), lit(2001L))
         .cast("double") / 1000.0 - 1.0
       val noise =
         (pmod(h("nzd", vci, d), lit(2001L)).cast("double") / 1000.0 - 1.0) * 0.2

@@ -77,6 +77,42 @@ class ScaleGenV2Spec extends SparkSpec {
     }
   }
 
+  test("the seed moves the embedding cluster geometry, not just the noise") {
+    // round-12 advice: centers were derived without the run seed, so
+    // "seeded centers" silently meant seed-independent geometry
+    val d2 = java.nio.file.Files.createTempDirectory("graft_sgv2s_").toString
+    ScaleGenV2.generate(spark, d2, nDocs = 200, nVecs = 100, dupPct = 0,
+      seed = 7L)
+    val a = vecs.select(explode(col("embedding")).as("x"))
+      .agg(sum(col("x"))).collect()(0).getDouble(0)
+    val b = spark.read.parquet(s"$d2/embeddings.parquet")
+      .select(explode(col("embedding")).as("x"))
+      .agg(sum(col("x"))).collect()(0).getDouble(0)
+    // different centers ⇒ different component mass (noise alone is ±0.2
+    // and zero-mean; center shift moves whole clusters)
+    assert(math.abs(a / vecs.count() - b / 100) > 1e-6)
+  }
+
+  test("nVecs > nDocs is rejected (vec ids must be a subset of doc ids)") {
+    val d2 = java.nio.file.Files.createTempDirectory("graft_sgv2r_").toString
+    intercept[IllegalArgumentException] {
+      ScaleGenV2.generate(spark, d2, nDocs = 10, nVecs = 11, dupPct = 0)
+    }
+  }
+
+  test("head vocabularies are pairwise disjoint (zero cross-language " +
+    "token overlap)") {
+    // round-12 advice: en and es both carried "total" — the cross-
+    // language-overlap-is-zero claim depends on this staying true
+    val heads = Seq("en", "de", "es").map(l =>
+      docs.filter(col("lang") === l)
+        .select(explode(split(col("text"), " ")).as("t"))
+        .distinct().collect().map(_.getString(0)).toSet)
+    for (a <- heads.indices; b <- heads.indices if a < b)
+      assert((heads(a) intersect heads(b)).isEmpty,
+        s"langs $a/$b share tokens: ${(heads(a) intersect heads(b)).take(5)}")
+  }
+
   test("dup rate materializes as exact text twins and byte-exact dup vectors") {
     val dupDocs = docs.groupBy("text").agg(count(lit(1)).as("c"))
       .filter(col("c") > 1).agg(sum(col("c"))).collect()(0).getLong(0)
