@@ -2260,10 +2260,17 @@ object SparkEntry {
     // contributions, same tiebreak, same DuckDB oracle — but the common
     // terms' long posting lists are pruned by the essential-term
     // threshold before the score aggregation, so the score shuffle is
-    // candidate-bounded instead of Q·Σdf (see Retrieval.bm25TopKImpact)
+    // candidate-bounded instead of Q·Σdf (see Retrieval.bm25TopKImpact).
+    // AUTO-branched on corpus size (the x59 pattern): below the
+    // measured 250k-doc crossover the impact scaffolding is pure
+    // overhead (x86 was the sf0.1 suite's most expensive query at
+    // 16.3s in round 12 — for a 6k-doc corpus) and the plain exact
+    // join runs instead; output is branch-invariant, so the oracle
+    // needs no replay of the rule
     "x86_bm25_wand" -> ((s, d) =>
-      Retrieval.bm25TopKImpact(docs(s, d), "doc_id", "text",
+      Retrieval.bm25TopKAuto(docs(s, d), "doc_id", "text",
         fixedCountPred(docs(s, d), "doc_id", bmQueryTarget),
+        n = docs(s, d).count(),
         k1 = bmK1, b = bmB, k = bmK, maxDfFrac = bmDfFrac)),
     // hybrid retrieval: the x70 sparse (BM25) and x05 dense (brute
     // cosine) rankers run over the doc∩vec corpus (doc_id = vec_id)

@@ -117,6 +117,29 @@ class RetrievalSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("auto-branched BM25 picks the plain spelling below the crossover " +
+      "and the impact spelling at/above it (plan-identical to each)") {
+    // both branches are output-identical, so the pin is on the PLAN:
+    // auto must return literally the chosen spelling's plan (the x59
+    // idiom adapted — there the outputs differ, here only the work)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.logical.canonicalized
+    val pred = col("doc_id") === 1L
+    val below = Retrieval.bm25TopKAuto(corpus, "doc_id", "text", pred,
+      n = 5L, k = 5, crossover = 6L)
+    assert(canon(below) == canon(
+      Retrieval.bm25TopK(corpus, "doc_id", "text", pred, k = 5)),
+      "n below the crossover must route to the plain exact join")
+    val above = Retrieval.bm25TopKAuto(corpus, "doc_id", "text", pred,
+      n = 6L, k = 5, crossover = 6L)
+    assert(canon(above) == canon(
+      Retrieval.bm25TopKImpact(corpus, "doc_id", "text", pred, k = 5)),
+      "n at/above the crossover must route to the impact spelling")
+    // and the default crossover is the measured 250k bracket midpoint
+    assert(Retrieval.bm25ImpactCrossoverDocs == 250000L)
+    spark.catalog.clearCache()
+  }
+
   test("impact-ordered BM25: open-query fallback (fewer than k essential " +
       "hits) and empty corpus stay exact") {
     // only 3 docs share any term with the query => theta is NULL at k=5
