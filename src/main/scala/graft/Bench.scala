@@ -10,7 +10,11 @@ import org.apache.spark.sql.SparkSession
   * compiles the whole-stage-codegen classes and loads parquet footers so
   * the timed pass measures data processing, not JIT/codegen compilation —
   * standard JVM benchmark hygiene, and the behavior a long-running
-  * cluster job actually sees.
+  * cluster job actually sees. Branch coverage note: auto-branched
+  * queries warm the branch sf0.001 SELECTS — x86 warms plain; its
+  * impact spelling is warmed by the x87 forced-impact entry (round-13
+  * advice), so scale sweeps that include x87 pay its codegen before
+  * the timed reps.
   */
 object Bench {
   private val warmDir = "/root/testdata/sf0.001"
@@ -20,21 +24,18 @@ object Bench {
     // default 32: the driver contract benches at local[32]; override via
     // SPARK_GRAFT_CPUS for constrained dev hosts
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    // shuffle sizing: 32 initial shuffle partitions by DEFAULT; the
-    // scale-sweep protocol sets SPARK_GRAFT_INITIAL_PARTS=256 so the
-    // 1000x corpus's post-shuffle sorts (x81: ~10M positioned-token
-    // rows per partition at 32 — spill, not algorithm) get enough
-    // partitions to fit in memory, with AQE coalescing small shuffles
-    // back down. Round 12 shipped 256 as the unconditional default on
-    // the claim that AQE coalescing keeps sf0.1 plans shaped — the
-    // same-boot min-of-3 A/B (round 13, PLANS.md) refuted it: AQE does
-    // not refund checkpoint materialization or per-stage overhead in
-    // iterative/many-stage queries (x22 14.1s@256 vs 5.6s@32, x26
-    // 3.5 vs 1.0, x82 13.5 vs 7.3 — a 35% suite regression). So the
-    // knob is scoped to the protocol that needs it, exactly like
-    // SPARK_GRAFT_EXCLUDE. On a real cluster the equivalent decision
-    // is per-job sizing (initialPartitionNum ~ a few x total cores for
-    // big inputs), not one global constant.
+    // shuffle sizing: 32 initial shuffle partitions by DEFAULT. The env
+    // knob is an ESCAPE HATCH no shipped protocol currently sets: round
+    // 12 shipped 256 as the unconditional default on the claim that AQE
+    // coalescing keeps sf0.1 plans shaped — the same-boot min-of-3 A/B
+    // (round 13, PLANS.md) refuted it (AQE does not refund checkpoint
+    // materialization or per-stage overhead in iterative/many-stage
+    // queries: x22 14.1s@256 vs 5.6s@32 — a 35% suite regression), and
+    // the 1000x sort spill that originally motivated 256 is gone at
+    // HEAD (x81 174.9s@32 vs 180.1s@256), so the scale sweeps run at
+    // 32 too. On a real cluster the equivalent decision is per-job
+    // sizing (initialPartitionNum ~ a few x total cores for big
+    // inputs), not one global constant.
     val initialParts =
       sys.env.getOrElse("SPARK_GRAFT_INITIAL_PARTS", "32")
     val spark = SparkSession.builder()
@@ -133,7 +134,18 @@ object Bench {
         .readString(java.nio.file.Paths.get("/proc/sys/kernel/random/boot_id"))
         .trim
       catch { case _: Exception => "unknown" }
-    val protocol = s""""protocol":"noop-sink/min-of-$reps","boot_id":"$bootId""""
+    // run context (round-13 advice: the 176.7-vs-159.9 driver/builder
+    // spread at ONE boot was unattributable): 1-min load average and
+    // the count of OTHER JVMs alive at the end of the run, so the next
+    // cross-record attribution can rule host contention in or out
+    // mechanically instead of by archaeology. End-of-run values — a
+    // concurrent sweep that perturbed the timings is still running.
+    val loadAvg = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
+    val otherJvms = ProcessHandle.allProcesses()
+      .filter(p => p.info.command.map[Boolean](_.contains("java")).orElse(false))
+      .count() - 1 // minus this JVM
+    val protocol = s""""protocol":"noop-sink/min-of-$reps","boot_id":"$bootId","load_avg":$loadAvg,"other_jvms":$otherJvms"""
     val line = s"""{"metric":"total","value":$total,"unit":"sec",$protocol,"queries":$qs,"sf":"$sfDir"}"""
     // land the FULL-precision line in a file: sbt wraps stdout in [info]
     // noise that breaks the driver's JSON parse. FULL runs only — an

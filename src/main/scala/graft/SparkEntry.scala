@@ -414,6 +414,7 @@ object SparkEntry {
   private val vocabBucketDocs = 100 // x84 ids per curve bucket
   private val tempTau = 2       // x78 mixing temperature (α = 1−1/τ = 0.5)
   private val tempBuckets = 1000 // x78 hash-rate resolution (1/B quantization)
+  private val repBucketCap = 256 // x57/x88 per-bucket member cap (pairs ≤ tables·2^nbits·C(cap,2))
   private val rrfQueryTarget = 20L // x77 fixed-count query sample over the doc∩vec corpus
   private val rrfLegK = 10 // x77 per-ranker candidate-list depth fed to the fuse
   private val rrfC = 60    // x77 RRF damping constant (Cormack et al. 2009's 60)
@@ -1551,10 +1552,30 @@ object SparkEntry {
     // byte-identical vectors first (one hash groupBy), near-dup over
     // representatives, multiplicities carried as implied_pairs — the
     // candidate stage is bounded by DISTINCT vectors, so the twin-dense
-    // scaled corpora that make x07 output-quadratic leave x57 flat
+    // scaled corpora that make x07 output-quadratic leave x57 flat.
+    // bucketCap (round 14): clustered GEOMETRY still made the true pair
+    // set quadratic (v2-500k: ~1.6e11 rows, failed by spill) — the
+    // per-bucket member cap bounds output to tables·2^nbits·C(cap,2)
+    // whatever the corpus looks like; truncation is reported per bucket
+    // by x88, and the cap never engages on the shipped sf corpora
+    // (≤2000 distinct vectors ⇒ occupancy ≈125 « 256)
     "x57_embed_neardup_reps" -> ((s, d) =>
       Similarity.embeddingNearDupReps(Tables.embeddings(s, d), "vec_id",
-        "embedding", dim = 64, threshold = 0.25, nbits = 4, tables = 8)),
+        "embedding", dim = 64, threshold = 0.25, nbits = 4, tables = 8,
+        bucketCap = Some(repBucketCap))),
+    // the no-silent-caps companion of x57: per-(table, bucket) rep
+    // occupancy with the kept count under the member cap — where the
+    // cap engages at scale, n_kept < n_ids IS the truncation report,
+    // hash-checked like any other query (same rep collapse + literal-
+    // plane banding as x57, one linear aggregate)
+    "x88_neardup_bucket_load" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val reps = emb.groupBy(col("embedding").as("__vec"))
+        .agg(min(col("vec_id")).as("rep_id"))
+        .select(col("rep_id"), col("__vec").as("embedding"))
+      Similarity.nearDupBucketLoad(reps, "rep_id", "embedding",
+        dim = 64, nbits = 4, tables = 8, bucketCap = repBucketCap)
+    }),
     // near-dup recall gate over a 1-in-10 sample: brute-force pairs are
     // exactly oracle-checkable (DuckDB computes the same cosine), and the
     // in-plan recall bound turns an LSH regression into a hash failure
@@ -2272,6 +2293,16 @@ object SparkEntry {
         fixedCountPred(docs(s, d), "doc_id", bmQueryTarget),
         n = docs(s, d).count(),
         k1 = bmK1, b = bmB, k = bmK, maxDfFrac = bmDfFrac)),
+    // the impact branch FORCED (crossover = 0): with x86 auto-routing,
+    // every harness corpus sits below the 250k crossover and would take
+    // the plain branch — this entry keeps bm25TopKImpact itself under
+    // DuckDB oracle replay (and under Bench's sf0.001 warm pass, so a
+    // scale sweep's first timed rep doesn't pay its codegen compile)
+    "x87_bm25_wand_forced" -> ((s, d) =>
+      Retrieval.bm25TopKAuto(docs(s, d), "doc_id", "text",
+        fixedCountPred(docs(s, d), "doc_id", bmQueryTarget),
+        n = docs(s, d).count(), k1 = bmK1, b = bmB, k = bmK,
+        maxDfFrac = bmDfFrac, crossover = 0L)),
     // hybrid retrieval: the x70 sparse (BM25) and x05 dense (brute
     // cosine) rankers run over the doc∩vec corpus (doc_id = vec_id)
     // with ONE shared query sample, fused by reciprocal-rank fusion —
@@ -3747,6 +3778,9 @@ object SparkEntry {
     // every float constant below is interpolated from the SAME Scala
     // doubles the Spark plan lits (shortest-round-trip formatting, and
     // ::DOUBLE casts keep DuckDB out of DECIMAL arithmetic).
+    // x87 forces the impact branch, so bm25TopKImpact stays under
+    // oracle replay on corpora where x86 auto-routes to plain
+    "x87_bm25_wand_forced" -> bm25TopKOracle,
     // x86 (impact-ordered BM25) is output-identical by construction
     // and spec (RetrievalSpec), so it shares this oracle text verbatim
     "x70_bm25_topk" -> bm25TopKOracle,
@@ -4382,8 +4416,10 @@ object SparkEntry {
         |  JOIN v vb ON vb.vec_id = c.id_b)
         |SELECT id_a, id_b, sim FROM scored WHERE sim >= 0.25""".stripMargin,
     // representative composition: identical-vector groups (min-id rep +
-    // multiplicity), then the SAME literal-plane LSH over reps only,
-    // implied cross-twin pair counts on the way out
+    // multiplicity), then the SAME literal-plane LSH over reps only
+    // with the per-bucket member cap replayed (row_number ≤ cap, id
+    // ASC — never engages at oracle scale but the RULE is what's
+    // checked), implied cross-twin pair counts on the way out
     "x57_embed_neardup_reps" ->
       s"""WITH planes(t, b, plane) AS (VALUES ${lshPlanesSqlValues(8, 4, 64)}),
         |g AS (
@@ -4391,11 +4427,17 @@ object SparkEntry {
         |         embedding AS vec0
         |  FROM embeddings GROUP BY embedding),
         |v AS (SELECT rep_id AS vec_id, vec0::DOUBLE[] AS vec FROM g),
-        |bands AS (
+        |bands0 AS (
         |  SELECT vec_id, t,
         |         bit_or(CASE WHEN list_dot_product(vec, plane) > 0
         |                     THEN (1::BIGINT << b) ELSE 0::BIGINT END) AS bucket
         |  FROM v, planes GROUP BY vec_id, t),
+        |bands AS (
+        |  SELECT vec_id, t, bucket FROM (
+        |    SELECT vec_id, t, bucket,
+        |           row_number() OVER (PARTITION BY t, bucket
+        |                              ORDER BY vec_id ASC) AS __rn
+        |    FROM bands0) WHERE __rn <= $repBucketCap),
         |cand AS (
         |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
         |  FROM bands a JOIN bands b ON a.t = b.t AND a.bucket = b.bucket
@@ -4412,6 +4454,22 @@ object SparkEntry {
         |JOIN g ga ON ga.rep_id = s.id_a
         |JOIN g gb ON gb.rep_id = s.id_b
         |WHERE s.sim >= 0.25""".stripMargin,
+    // x57's truncation report: the same rep collapse + banding, one
+    // occupancy aggregate, n_kept = least(n_ids, cap)
+    "x88_neardup_bucket_load" ->
+      s"""WITH planes(t, b, plane) AS (VALUES ${lshPlanesSqlValues(8, 4, 64)}),
+        |g AS (
+        |  SELECT min(vec_id) AS rep_id, embedding AS vec0
+        |  FROM embeddings GROUP BY embedding),
+        |v AS (SELECT rep_id AS vec_id, vec0::DOUBLE[] AS vec FROM g),
+        |bands0 AS (
+        |  SELECT vec_id, t,
+        |         bit_or(CASE WHEN list_dot_product(vec, plane) > 0
+        |                     THEN (1::BIGINT << b) ELSE 0::BIGINT END) AS bucket
+        |  FROM v, planes GROUP BY vec_id, t)
+        |SELECT t AS table_id, bucket, count(*)::BIGINT AS n_ids,
+        |       least(count(*), $repBucketCap)::BIGINT AS n_kept
+        |FROM bands0 GROUP BY t, bucket""".stripMargin,
     // multimodal retrieval: DuckDB re-derives Multimodal.fakeEmbed
     // byte-for-byte — v[i%16] += byte·(1+(i/16)%3) accumulates EXACT
     // integers (≤ a few 10⁵, far inside float32's 2^24 exact range, so

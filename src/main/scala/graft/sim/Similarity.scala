@@ -800,13 +800,58 @@ object Similarity {
       .agg(count(lit(1)).as("n_close"), max(col("sim")).as("max_sim"))
   }
 
+  /** The (id, vec, table_id, bucket) multi-table LSH banding the
+    * embedding near-dup family joins on — one definition so the pair
+    * join, the bucket-cap guard, and the occupancy report all see the
+    * SAME bucket structure.
+    */
+  private def nearDupBanded(emb: DataFrame, idCol: String, vecCol: String,
+                            dim: Int, nbits: Int, tables: Int): DataFrame =
+    emb.select(col(idCol).as("id"), asDouble(col(vecCol)).as("vec"))
+      .select(col("id"), col("vec"),
+        posexplode(array((0 until tables).map(t =>
+          lshBucket(col("vec"), dim, nbits, t)): _*)).as(Seq("table_id", "bucket")))
+
+  /** Per-bucket occupancy of the near-dup LSH banding, with the kept
+    * count under `bucketCap` — the no-silent-caps companion of
+    * [[embeddingNearDupReps]]: when the member cap engages at scale,
+    * THIS frame is where the truncation is reported (n_kept < n_ids ⇒
+    * that bucket's pair set was bounded to C(bucketCap, 2)). One
+    * linear aggregate over the banded frame; fully deterministic, so a
+    * SQL twin hash-checks it at any corpus size.
+    */
+  def nearDupBucketLoad(emb: DataFrame, idCol: String, vecCol: String,
+                        dim: Int, nbits: Int = 8, tables: Int = 1,
+                        bucketCap: Int = 256): DataFrame =
+    nearDupBanded(emb, idCol, vecCol, dim, nbits, tables)
+      .groupBy("table_id", "bucket")
+      .agg(count(lit(1)).as("n_ids"))
+      .select(col("table_id"), col("bucket"), col("n_ids"),
+        least(col("n_ids"), lit(bucketCap.toLong)).as("n_kept"))
+
   /** Embedding near-duplicate pairs: all pairs with cosine ≥ threshold,
     * candidate generation bounded by LSH buckets (a true 100 TB-safe
     * near-dup join: bucket-equi-join, not cross join).
+    *
+    * `bucketCap` (None = exact) bounds each bucket's pair contribution:
+    * within every (table_id, bucket), only the `bucketCap` LOWEST ids
+    * participate in the pair join, so candidate output is ≤ tables ·
+    * 2^nbits · C(bucketCap, 2) — a hard bound no corpus geometry can
+    * break. Unlike the MinHash hot-bucket DROP (which discards buckets
+    * that carry no signal on low-entropy text), clustered embeddings
+    * put GENUINE near-dup mass in hot buckets — the true pair set is
+    * quadratic in cluster size (the x57 v2-500k failure: 10 clusters
+    * at same-cluster cosine ≈0.96 ⇒ ~1.6e11 true pairs), so the cap
+    * keeps a deterministic per-bucket subset (lowest ids — the dedup
+    * family's keeper convention) instead of dropping or enumerating.
+    * The rule is one row_number window, replayed exactly by the SQL
+    * twin; the dropped mass is REPORTED by [[nearDupBucketLoad]]
+    * (n_ids vs n_kept per bucket), never silent.
     */
   def embeddingNearDupPairs(emb: DataFrame, idCol: String, vecCol: String,
                             dim: Int, threshold: Double = 0.9,
-                            nbits: Int = 8, tables: Int = 1): DataFrame = {
+                            nbits: Int = 8, tables: Int = 1,
+                            bucketCap: Option[Int] = None): DataFrame = {
     // multi-table LSH: a pair is a candidate if it collides in ANY of
     // `tables` independent hyperplane tables — per-pair hit probability
     // 1-(1-p^nbits)^tables where p = 1 - angle/pi, so extra tables buy
@@ -814,10 +859,17 @@ object Similarity {
     // composite join key mirrors the MinHash banding shape; candidates
     // are verified with the true cosine, so extra tables never admit
     // false positives.
-    val v = emb.select(col(idCol).as("id"), asDouble(col(vecCol)).as("vec"))
-    val banded = v.select(col("id"), col("vec"),
-      posexplode(array((0 until tables).map(t =>
-        lshBucket(col("vec"), dim, nbits, t)): _*)).as(Seq("table_id", "bucket")))
+    val banded0 = nearDupBanded(emb, idCol, vecCol, dim, nbits, tables)
+    val banded = bucketCap match {
+      case None => banded0
+      case Some(cap) =>
+        // deterministic member cap: one window over the banded frame
+        // (reps × tables rows — linear), sorted per bucket by id; the
+        // quadratic stage downstream then meets ≤ cap rows per bucket
+        banded0.withColumn("__rn", row_number().over(
+            Window.partitionBy("table_id", "bucket").orderBy(col("id").asc)))
+          .filter(col("__rn") <= cap).drop("__rn")
+    }
     banded.as("a").join(banded.as("b"),
         col("a.table_id") === col("b.table_id") &&
           col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
@@ -846,16 +898,32 @@ object Similarity {
     * — the corpus contract is therefore "no NaN / -0.0 components",
     * pinned as a fixture invariant (FixtureInvariants, asserted over
     * shipped AND generated corpora).
+    *
+    * `bucketCap` (default 256): the representative collapse bounds
+    * candidate work in twin MULTIPLICITY, but not in cluster GEOMETRY —
+    * on a corpus whose distinct vectors form tight clusters the true
+    * pair set at a loose threshold is Σ_c n_c²/2 (output-quadratic; the
+    * v2-500k sweep measured ~1.6e11 implied rows and failed by spill),
+    * so the per-bucket member cap is ON by default here: output is
+    * bounded by tables · 2^nbits · C(bucketCap, 2) pairs whatever the
+    * geometry. The cap never engages below ~bucketCap·2^nbits distinct
+    * vectors per table (all shipped sf corpora are far under it);
+    * where it engages, [[nearDupBucketLoad]] reports exactly how much
+    * each bucket was truncated, and the production answer for clustered
+    * geometry remains the semantic-dedup family ([[semDedupAuto]] —
+    * cluster-restricted pairs at a tight threshold) or top-k
+    * ([[cosineTopK]]), not pair enumeration.
     */
   def embeddingNearDupReps(emb: DataFrame, idCol: String, vecCol: String,
                            dim: Int, threshold: Double = 0.9,
-                           nbits: Int = 8, tables: Int = 1): DataFrame = {
+                           nbits: Int = 8, tables: Int = 1,
+                           bucketCap: Option[Int] = Some(256)): DataFrame = {
     val reps = emb.groupBy(col(vecCol).as("__vec"))
       .agg(min(col(idCol)).as("rep_id"), count(lit(1)).as("n_members"))
       .localCheckpoint(true) // feeds the pair join AND two count lookups
     val pairs = embeddingNearDupPairs(
       reps.select(col("rep_id"), col("__vec").as(vecCol)),
-      "rep_id", vecCol, dim, threshold, nbits, tables)
+      "rep_id", vecCol, dim, threshold, nbits, tables, bucketCap)
     // multiplicity lookups: no broadcast hint — reps is small on a
     // dup-heavy corpus but corpus-sized on an all-distinct one, so the
     // join strategy is left to Catalyst/AQE statistics

@@ -36,10 +36,15 @@ class KnobInvarianceSpec extends SparkSpec {
   // float aggregation (q01 percentile bounds, q42 grouped percentiles,
   // x09 quality scores), plus the fixed-point integer-sum scorers whose
   // design claim IS partition-order independence (x70/x86/x77).
+  // x87 (not x86): at the sf0.001 fixture the auto-branch routes x86 to
+  // the PLAIN spelling, so probing x86 alone would leave the impact
+  // scorer's windows/θ-pruning/broadcasts out of the knob sweep
+  // (round-13 advice) — the forced-impact entry probes them directly.
   private val probes = Seq(
     "x24_stratified_sample", "x05_cosine_topk", "q03_iot_top5_hot",
     "x55_domain_cap", "q01_iot_clean", "q42_grouped_percentiles",
-    "x09_text_quality", "x70_bm25_topk", "x86_bm25_wand", "x77_rrf_fusion")
+    "x09_text_quality", "x70_bm25_topk", "x86_bm25_wand",
+    "x87_bm25_wand_forced", "x77_rrf_fusion")
 
   probes.foreach { q =>
     test(s"$q: result is invariant under initialPartitionNum 1 vs 512") {

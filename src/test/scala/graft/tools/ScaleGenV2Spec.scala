@@ -79,18 +79,37 @@ class ScaleGenV2Spec extends SparkSpec {
 
   test("the seed moves the embedding cluster geometry, not just the noise") {
     // round-12 advice: centers were derived without the run seed, so
-    // "seeded centers" silently meant seed-independent geometry
-    val d2 = java.nio.file.Files.createTempDirectory("graft_sgv2s_").toString
-    ScaleGenV2.generate(spark, d2, nDocs = 200, nVecs = 100, dupPct = 0,
+    // "seeded centers" silently meant seed-independent geometry.
+    // Round-13 advice tightened the TEST: the old probe compared mean
+    // component sums of corpora differing in size/dupPct/seed at a 1e-6
+    // threshold — noise sampling alone clears that, so it could not
+    // detect the regression. Now: IDENTICAL (nDocs, nVecs, dupPct)
+    // under two seeds, compare ESTIMATED per-label cluster centers.
+    // Noise is ±0.2 uniform (zero-mean): a per-(label, pos) mean over
+    // ~10 members has ~0.04 standard error, while independently drawn
+    // centers differ ~0.67 per component — 0.25 separates the two
+    // regimes with wide margin on both sides.
+    def centers(dir: String): Map[(Int, Int), Double] =
+      spark.read.parquet(s"$dir/embeddings.parquet")
+        .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
+        .groupBy("label", "pos").agg(avg(col("x")).as("m"))
+        .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    val dA = java.nio.file.Files.createTempDirectory("graft_sgv2sa_").toString
+    val dB = java.nio.file.Files.createTempDirectory("graft_sgv2sb_").toString
+    ScaleGenV2.generate(spark, dA, nDocs = 200, nVecs = 100, dupPct = 0,
       seed = 7L)
-    val a = vecs.select(explode(col("embedding")).as("x"))
-      .agg(sum(col("x"))).collect()(0).getDouble(0)
-    val b = spark.read.parquet(s"$d2/embeddings.parquet")
-      .select(explode(col("embedding")).as("x"))
-      .agg(sum(col("x"))).collect()(0).getDouble(0)
-    // different centers ⇒ different component mass (noise alone is ±0.2
-    // and zero-mean; center shift moves whole clusters)
-    assert(math.abs(a / vecs.count() - b / 100) > 1e-6)
+    ScaleGenV2.generate(spark, dB, nDocs = 200, nVecs = 100, dupPct = 0,
+      seed = 13L)
+    val (ca, cb) = (centers(dA), centers(dB))
+    val shared = ca.keySet intersect cb.keySet
+    assert(shared.size > 300, s"only ${shared.size} shared (label, pos) cells")
+    // mean |Δcenter| per label across its 64 components
+    val byLabel = shared.groupBy(_._1)
+      .map { case (l, ks) =>
+        l -> ks.toSeq.map(k => math.abs(ca(k) - cb(k))).sum / ks.size }
+    val moved = byLabel.count(_._2 > 0.25)
+    assert(moved >= byLabel.size - 1, // one label may land near its twin
+      s"only $moved/${byLabel.size} labels moved > 0.25: $byLabel")
   }
 
   test("nVecs > nDocs is rejected (vec ids must be a subset of doc ids)") {
