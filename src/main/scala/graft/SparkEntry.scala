@@ -366,7 +366,24 @@ object SparkEntry {
     * confusing hash mismatch rather than a compile-visible constant.
     */
   private val wordShingleK     = 3   // tokens per word shingle (x02/x03/x22/x28)
-  private val wordShingleDfCap = 200 // df-cap for exact-Jaccard pair joins (x02/x22)
+  // df-cap for the exact-Jaccard pair joins (x02/x22). 200 was tuned on
+  // the v1 cipher fixtures; the round-14 df-mass probe on realistic
+  // Zipfian text (v2-500k) measured Σ C(df,2) = 98.0M candidate pairs
+  // at 200 vs 32.8M at 32, while the near-dup SIGNAL lives at the
+  // bottom of the df range (one-token-substituted twins share df=2
+  // shingles; exact-dup families top out at multiplicity ~8 « 32), so
+  // 32 keeps every true pair reachable and cuts the pair join 3×. The
+  // resulting "Jaccard over discriminative shingles" is the sharper
+  // metric — both engines share this constant, so retunes stay green.
+  private val wordShingleDfCap = 32
+  // df-cap for the char-5-gram Jaccard (x31). Its own constant: char
+  // grams on a 30k-word vocabulary are pathologically hot (v2-500k:
+  // 95k of 109k distinct grams exceed df 100; Σ C(df,2) = 34.6M at the
+  // old 100 vs 0.13M at 32) — discriminative capacity lives entirely
+  // in rare-word grams, which every Zipf-drawn doc has ~24 of, so twin
+  // pairs keep sharing capped grams and their filtered-set Jaccard
+  // stays high while coincidental mid-df candidates vanish.
+  private val charGramDfCap    = 32
   private val mhNumHashes      = 16  // MinHash slots (x03/x28)
   private val mhBands          = 4   // LSH bands (x03/x28)
   private val mhBucketCap      = 200 // hot band-bucket cap (x03/x28)
@@ -1243,13 +1260,14 @@ object SparkEntry {
     // caching it trades one small persisted frame for two re-computations
     // of the explode+distinct (plan-canonicalized, so repeated catalog
     // runs reuse one cache entry).
-    // maxDocFreq = 200: word shingles shared by >200 docs are dropped
-    // BEFORE the pair join (same Σ C(df,2) bound x31 applies to char
-    // grams — the uncapped char variant measured 874s vs ~2s at sf0.1).
-    // On this corpus the cap drops no shingles at sf0.01/sf0.1, but at
-    // real corpus growth it is the difference between a linear inverted-
-    // index join and a quadratic hot-key blowup; the oracle CTE mirrors
-    // the cap so jaccard stays cross-engine-exact.
+    // maxDocFreq = wordShingleDfCap: word shingles shared by more docs
+    // are dropped BEFORE the pair join (same Σ C(df,2) bound x31
+    // applies to char grams — the uncapped char variant measured 874s
+    // vs ~2s at sf0.1). At real corpus growth the cap is the difference
+    // between a linear inverted-index join and a quadratic hot-key
+    // blowup; the oracle CTE mirrors it so jaccard stays cross-engine-
+    // exact. Cap value derivation: see the constant's comment (round-14
+    // v2-500k df-mass probe).
     "x02_jaccard_pairs" -> ((s, d) =>
       NearDup.jaccardPairs(docs(s, d), "doc_id", "text", k = wordShingleK,
         threshold = mhThreshold, cacheShingles = true,
@@ -1335,7 +1353,7 @@ object SparkEntry {
     "x31_char_jaccard" -> ((s, d) =>
       NearDup.jaccardPairsOver(
         NearDup.charShingles(docs(s, d), "doc_id", "text", n = 5),
-        threshold = 0.3, maxDocFreq = Some(100), cacheIndex = true)),
+        threshold = 0.3, maxDocFreq = Some(charGramDfCap), cacheIndex = true)),
     // recall gate for the capped MinHash-LSH path (x03, and x28
     // transitively — identical candidate generation): the banded pairs
     // must cover ≥70% of the exact-Jaccard pairs at threshold+margin
@@ -1963,10 +1981,16 @@ object SparkEntry {
       val raw = ss.read.parquet(s"$d/documents.parquet").schema
       val landing = sinkScratch("x52_landing")
       linkIntoLanding(landing, java.nio.file.Paths.get(d, "documents.parquet"))
+      // synthetic event time BOUNDED to one day: ts only orders state
+      // eviction (the result is the ts-independent fingerprint set), and
+      // an unbounded `base + doc_id` overflows timestamp_seconds'
+      // internal ×1e6 on 63-bit avalanche ids (caught by the first
+      // full-table ScaleGenV2 smoke — shipped ids are small)
       val src = ss.readStream.schema(raw).parquet(landing)
         .select(col("doc_id"), piiText)
         .select(col("doc_id"),
-          timestamp_seconds(lit(1704067200L) + col("doc_id")).as("ts"),
+          timestamp_seconds(lit(1704067200L) + pmod(col("doc_id"), lit(86400L)))
+            .as("ts"),
           col("text"))
       val q = graft.streaming.CorpusStream.curate(src, lateness = "1 hour")
         .select("fingerprint")
@@ -4057,7 +4081,7 @@ object SparkEntry {
         |       coalesce(best.score, 0) AS best_score
         |FROM g LEFT JOIN best USING (doc_id)""".stripMargin,
     "x31_char_jaccard" ->
-      """WITH d AS (
+      s"""WITH d AS (
         |  SELECT doc_id, lower(trim(text)) AS t FROM documents),
         |sh0 AS (
         |  SELECT doc_id, unnest(CASE WHEN length(t) >= 5
@@ -4066,7 +4090,7 @@ object SparkEntry {
         |    ELSE [] END) AS shingle
         |  FROM d),
         |hot AS (
-        |  SELECT shingle FROM sh0 GROUP BY shingle HAVING count(*) > 100),
+        |  SELECT shingle FROM sh0 GROUP BY shingle HAVING count(*) > $charGramDfCap),
         |sh AS (
         |  SELECT doc_id, shingle FROM sh0
         |  WHERE NOT EXISTS (SELECT 1 FROM hot WHERE hot.shingle = sh0.shingle)),

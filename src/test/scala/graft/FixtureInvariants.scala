@@ -47,6 +47,42 @@ object FixtureInvariants {
             "exists(embedding, v -> isnan(v) OR cast(v AS string) = '-0.0')"))
           .count()
     }
+    // fact-table invariants (round 14, for ScaleGenV2 factScale corpora;
+    // also hold on the shipped sf dirs — FixtureInvariantSpec pins that)
+    if (new java.io.File(s"$dir/events.parquet").exists) {
+      val ev = Tables.events(spark, dir)
+      // q12/x38 parity: the Spark side reads props via variant_get, the
+      // DuckDB twin via regexp '"k": (-?[0-9]+)' — both agree only on
+      // the exact '{"k": N}' shape
+      checks += "events: props not exactly '{\"k\": N}' (q12/x38 regex parity)" ->
+        ev.filter(!col("props").rlike("""^\{"k": -?[0-9]+\}$""")).count()
+      checks += "events: null ts/user/type (day-cast + grouping oracles)" ->
+        ev.filter(col("ts").isNull || col("user_id").isNull ||
+          col("event_type").isNull).count()
+      checks += "events: duplicate event_id (dedup/join key)" ->
+        (ev.count() - ev.select("event_id").distinct().count())
+    }
+    if (new java.io.File(s"$dir/lineitem.parquet").exists) {
+      val li = Tables.lineitem(spark, dir)
+      // the discRevenue oracle does EXACT decimal arithmetic from the
+      // 2dp sources — a 3+dp money value would desync the two engines'
+      // rounding
+      checks += "lineitem: money column not exactly 2dp (discRevenue parity)" ->
+        li.filter(round(col("l_extendedprice"), 2) =!= col("l_extendedprice") ||
+          round(col("l_discount"), 2) =!= col("l_discount") ||
+          round(col("l_tax"), 2) =!= col("l_tax")).count()
+      if (new java.io.File(s"$dir/orders.parquet").exists) {
+        val ok = Tables.orders(spark, dir).select("o_orderkey")
+        checks += "lineitem: orphan l_orderkey (J4 FK explode)" ->
+          li.select(col("l_orderkey").as("o_orderkey"))
+            .join(ok, Seq("o_orderkey"), "left_anti").count()
+      }
+    }
+    if (new java.io.File(s"$dir/orders.parquet").exists) {
+      val o = Tables.orders(spark, dir)
+      checks += "orders: duplicate o_orderkey (join key)" ->
+        (o.count() - o.select("o_orderkey").distinct().count())
+    }
     checks.result()
   }
 

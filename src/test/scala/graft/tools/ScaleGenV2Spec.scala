@@ -132,6 +132,34 @@ class ScaleGenV2Spec extends SparkSpec {
         s"langs $a/$b share tokens: ${(heads(a) intersect heads(b)).take(5)}")
   }
 
+  test("factScale emits the full FK-consistent fact-table set at shipped " +
+    "ratios (and the extended invariants hold — generate asserts them)") {
+    val d2 = java.nio.file.Files.createTempDirectory("graft_sgv2f_").toString
+    ScaleGenV2.generate(spark, d2, nDocs = 100, nVecs = 50, dupPct = 0,
+      seed = 42L, factScale = 2L)
+    def t(n: String) = spark.read.parquet(s"$d2/$n.parquet")
+    assert(t("events").count() == 2000 && t("orders").count() == 3000 &&
+      t("customer").count() == 300 && t("part").count() == 400 &&
+      t("supplier").count() == 20 && t("nation").count() == 25 &&
+      t("region").count() == 5)
+    // lineitem: 1-7 lines per order, mean 4 ⇒ ~12000 ± noise
+    val nli = t("lineitem").count()
+    assert(nli > 10000 && nli < 14000, s"lineitem $nli")
+    // FK containments the marts rely on: users ⊂ customer keys,
+    // o_custkey ⊂ customer keys, l_partkey/l_suppkey in domain
+    assert(t("events").agg(max("user_id")).collect()(0).getLong(0) < 300)
+    assert(t("orders").agg(max("o_custkey")).collect()(0).getLong(0) < 300)
+    assert(t("lineitem").agg(max("l_partkey")).collect()(0).getLong(0) < 400)
+    assert(t("lineitem").agg(max("l_suppkey")).collect()(0).getLong(0) < 20)
+    // shipdate rides 1..90 days after its order's date
+    val badShip = t("lineitem").join(t("orders"),
+        col("l_orderkey") === col("o_orderkey"))
+      .filter(col("l_shipdate") <= col("o_orderdate") ||
+        col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"))
+      .count()
+    assert(badShip == 0)
+  }
+
   test("dup rate materializes as exact text twins and byte-exact dup vectors") {
     val dupDocs = docs.groupBy("text").agg(count(lit(1)).as("c"))
       .filter(col("c") > 1).agg(sum(col("c"))).collect()(0).getLong(0)
