@@ -19,7 +19,19 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   private val warmDir = "/root/testdata/sf0.001"
 
+  /** Aggregate cpu ticks from /proc/stat as (total, steal); None off
+    * Linux. Two reads bracketing the run give the whole-run steal share.
+    */
+  private def cpuTicks(): Option[(Long, Long)] =
+    try {
+      val fields = java.nio.file.Files
+        .readAllLines(java.nio.file.Paths.get("/proc/stat")).get(0)
+        .trim.split("\\s+").drop(1).map(_.toLong)
+      Some((fields.sum, if (fields.length > 7) fields(7) else 0L))
+    } catch { case _: Exception => None }
+
   def main(args: Array[String]): Unit = {
+    val ticks0 = cpuTicks()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // default 32: the driver contract benches at local[32]; override via
     // SPARK_GRAFT_CPUS for constrained dev hosts
@@ -140,12 +152,21 @@ object Bench {
     // cross-record attribution can rule host contention in or out
     // mechanically instead of by archaeology. End-of-run values — a
     // concurrent sweep that perturbed the timings is still running.
+    // steal_pct covers the confounder those two CANNOT see (round-14
+    // lesson: a full-catalog sweep ran shuffle-heavy queries 1.6-10×
+    // slower at load_avg ≈ nothing-else-running — vmstat showed 3-8%
+    // hypervisor steal, i.e. a NEIGHBOR VM's load): whole-run share of
+    // stolen cpu ticks from /proc/stat, -1 where unreadable.
     val loadAvg = java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
     val otherJvms = ProcessHandle.allProcesses()
       .filter(p => p.info.command.map[Boolean](_.contains("java")).orElse(false))
       .count() - 1 // minus this JVM
-    val protocol = s""""protocol":"noop-sink/min-of-$reps","boot_id":"$bootId","load_avg":$loadAvg,"other_jvms":$otherJvms"""
+    val stealPct = (for {
+      (t0, s0) <- ticks0; (t1, s1) <- cpuTicks() if t1 > t0
+    } yield BigDecimal(100.0 * (s1 - s0) / (t1 - t0))
+      .setScale(2, BigDecimal.RoundingMode.HALF_UP)).getOrElse(BigDecimal(-1))
+    val protocol = s""""protocol":"noop-sink/min-of-$reps","boot_id":"$bootId","load_avg":$loadAvg,"other_jvms":$otherJvms,"steal_pct":$stealPct"""
     val line = s"""{"metric":"total","value":$total,"unit":"sec",$protocol,"queries":$qs,"sf":"$sfDir"}"""
     // land the FULL-precision line in a file: sbt wraps stdout in [info]
     // noise that breaks the driver's JSON parse. FULL runs only — an

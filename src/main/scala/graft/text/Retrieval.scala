@@ -314,6 +314,17 @@ object Retrieval {
     * Q·Σdf shuffle. On a degenerate (non-Zipfian) vocabulary where
     * pruning cannot engage, the impact side degrades to 1.7× plain
     * (measured, v1 500k corpus) — bounded, never pathological.
+    *
+    * Upper validity bound, also measured (round 14, PLANS.md): at 10M
+    * Zipfian docs BOTH spellings exhaust a single node's ~75 GB of
+    * scratch (the shared screened-postings index is ~10^9 rows for a
+    * 40-doc query batch — ~15 GB of index+shuffle spill per 1M docs)
+    * before their join shapes differentiate, so per-node spill, not
+    * this constant, is what a >5M-docs-per-node deployment must size
+    * first. The shuffles are key-partitioned, so on a multi-executor
+    * cluster the spill shards away linearly with node count and the
+    * crossover keeps applying; block-max ordering remains the named
+    * CPU-side refinement once the spill budget is provisioned.
     */
   val bm25ImpactCrossoverDocs: Long = 250000L
 

@@ -54,6 +54,15 @@ object Bm25Probe {
     time("full_bm25")(
       graft.text.Retrieval.bm25TopK(docs, "doc_id", "text", pred,
         k = 5, maxDfFrac = 0.9))
+    // the impact-ordered spelling on the same query sample, so a
+    // super-linear x86 step can be split into index-build vs
+    // impact-scaffolding share (cache cleared so neither full_* run
+    // inherits the other's screened postings)
+    spark.catalog.clearCache()
+    time("full_impact")(
+      graft.text.Retrieval.bm25TopKImpact(docs, "doc_id", "text", pred,
+        k = 5, maxDfFrac = 0.9))
+    spark.catalog.clearCache()
     spark.stop()
   }
 }
