@@ -21,14 +21,34 @@ object Bench {
 
   /** Aggregate cpu ticks from /proc/stat as (total, steal); None off
     * Linux. Two reads bracketing the run give the whole-run steal share.
+    * Only the first 8 fields (user..steal) are summed: the kernel folds
+    * guest/guest_nice into user/nice already, so including them would
+    * double-count the denominator on nested-VM hosts and deflate
+    * steal_pct (round-14 advice) — take(8) matches top/vmstat.
     */
   private def cpuTicks(): Option[(Long, Long)] =
     try {
       val fields = java.nio.file.Files
         .readAllLines(java.nio.file.Paths.get("/proc/stat")).get(0)
         .trim.split("\\s+").drop(1).map(_.toLong)
-      Some((fields.sum, if (fields.length > 7) fields(7) else 0L))
+      Some((fields.take(8).sum, if (fields.length > 7) fields(7) else 0L))
     } catch { case _: Exception => None }
+
+  /** Bytes currently held by Spark's on-disk scratch (shuffle files,
+    * block-manager spill, checkpoint blocks): the `spark-` and
+    * `blockmgr-` trees under java.io.tmpdir. One full walk per call —
+    * cheap next to the multi-second queries it brackets.
+    */
+  private def scratchBytes(): Long = {
+    def size(f: java.io.File): Long =
+      if (f.isFile) f.length
+      else Option(f.listFiles).map(_.iterator.map(size).sum).getOrElse(0L)
+    val tmp = new java.io.File(System.getProperty("java.io.tmpdir", "/tmp"))
+    Option(tmp.listFiles).map(_.iterator
+      .filter(f => f.getName.startsWith("spark-") ||
+        f.getName.startsWith("blockmgr-"))
+      .map(size).sum).getOrElse(0L)
+  }
 
   def main(args: Array[String]): Unit = {
     val ticks0 = cpuTicks()
@@ -95,7 +115,25 @@ object Bench {
     // full runs) — the min is the honest per-query cost. Set
     // SPARK_GRAFT_REPS=1 for a quick dev pass.
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
+    // per-query peak scratch (MB): a 2s-interval daemon sampler brackets
+    // each query's reps, plus an end-of-rep sample (short queries may
+    // finish between ticks) — so spill walls are TRACKED per query
+    // instead of discovered by disk-full at minute 50 (round-14 lesson:
+    // x81/x82/BM25 died at ~75 GB with no record of who ate the disk)
+    val peakScratch = scala.collection.mutable.Map.empty[String, Long]
     val results = names.map { name =>
+      @volatile var samplerStop = false
+      val scratch0 = scratchBytes()
+      @volatile var peak = scratch0
+      val sampler = new Thread(() => {
+        while (!samplerStop) {
+          peak = math.max(peak, scratchBytes())
+          try Thread.sleep(2000)
+          catch { case _: InterruptedException => () }
+        }
+      })
+      sampler.setDaemon(true)
+      sampler.start()
       // per-rep start/done markers on stderr: a scale sweep that grinds
       // on one stage for an hour is otherwise unattributable (the
       // round-9 100× sweep burned 80+ min on an unidentified query —
@@ -108,6 +146,7 @@ object Bench {
           catch { case e: Throwable =>
             System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false
           }
+        peak = math.max(peak, scratchBytes())
         System.err.println(f"[bench] $name rep $rep done ${(System.nanoTime() - t0) / 1e9}%.1fs")
         // failures are reported as -1, never as a fast "success"
         val dt = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
@@ -124,6 +163,14 @@ object Bench {
         spark.catalog.clearCache()
         dt
       }
+      samplerStop = true
+      sampler.interrupt()
+      sampler.join(5000)
+      // GROWTH over the query's window, not the absolute dir size:
+      // residue from earlier queries (checkpoint blocks the cleaner
+      // hasn't collected yet) would otherwise misattribute; clamped at
+      // 0 because a mid-query cleaner pass can shrink the tree
+      peakScratch(name) = math.max(0L, peak - scratch0) >> 20
       System.gc()
       // min of the SUCCESSFUL reps: a transient single-rep failure must
       // not silently drop the query from the total (which would make a
@@ -166,8 +213,13 @@ object Bench {
       (t0, s0) <- ticks0; (t1, s1) <- cpuTicks() if t1 > t0
     } yield BigDecimal(100.0 * (s1 - s0) / (t1 - t0))
       .setScale(2, BigDecimal.RoundingMode.HALF_UP)).getOrElse(BigDecimal(-1))
-    val protocol = s""""protocol":"noop-sink/min-of-$reps","boot_id":"$bootId","load_avg":$loadAvg,"other_jvms":$otherJvms,"steal_pct":$stealPct"""
-    val line = s"""{"metric":"total","value":$total,"unit":"sec",$protocol,"queries":$qs,"sf":"$sfDir"}"""
+    // headline scratch number: the single largest per-query growth —
+    // the value to compare against the node's free-disk budget
+    val scratchMax = if (peakScratch.isEmpty) 0L else peakScratch.values.max
+    val protocol = s""""protocol":"noop-sink/min-of-$reps","boot_id":"$bootId","load_avg":$loadAvg,"other_jvms":$otherJvms,"steal_pct":$stealPct,"peak_scratch_mb_max":$scratchMax"""
+    val scratchJson = names.map(n => s"\"$n\":${peakScratch.getOrElse(n, 0L)}")
+      .mkString("{", ",", "}")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec",$protocol,"queries":$qs,"peak_scratch_mb":$scratchJson,"sf":"$sfDir"}"""
     // land the FULL-precision line in a file: sbt wraps stdout in [info]
     // noise that breaks the driver's JSON parse. FULL runs only — an
     // arg-filtered or exclusion-trimmed dev run must not overwrite the

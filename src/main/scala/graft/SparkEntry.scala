@@ -422,6 +422,7 @@ object SparkEntry {
   private val bmK  = 5      // x70 hits returned per query
   private val bmDfFrac = 0.9 // x70 fractional df-cap (documents' 31-word synthetic vocabulary tops out at df ~0.79)
   private val bmQueryTarget = 40L // x70 fixed-count query-sample size
+  private val bmBatches = 4 // x89 query-batch count (scratch ∝ 1/batches)
   private val tokenBudget = 1500L // x71 per-domain token budget (keeps ~1/3 of each sf0.01 domain)
   private val bpeTopN = 20 // x72 merge candidates returned
   private val dsirBuckets = 256 // x73 hashed-ngram feature dimension
@@ -432,6 +433,7 @@ object SparkEntry {
   private val tempTau = 2       // x78 mixing temperature (α = 1−1/τ = 0.5)
   private val tempBuckets = 1000 // x78 hash-rate resolution (1/B quantization)
   private val repBucketCap = 256 // x57/x88 per-bucket member cap (pairs ≤ tables·2^nbits·C(cap,2))
+  private val repBucketCapTight = 32 // x90/x91 cap sized to ENGAGE at sf0.01 (occupancy ≈125/bucket)
   private val rrfQueryTarget = 20L // x77 fixed-count query sample over the doc∩vec corpus
   private val rrfLegK = 10 // x77 per-ranker candidate-list depth fed to the fuse
   private val rrfC = 60    // x77 RRF damping constant (Cormack et al. 2009's 60)
@@ -506,11 +508,11 @@ object SparkEntry {
       |dd1 AS (SELECT doc_id, toks FROM dd WHERE rn = 1),
       |sg AS (
       |  SELECT doc_id, CAST(i AS BIGINT) AS gpos,
-      |         array_to_string(toks[i:i+${dupGramK - 1}], ' ') AS gram
+      |         substr(md5(array_to_string(toks[i:i+${dupGramK - 1}], ' ')), 1, 15) AS gk
       |  FROM dd1, UNNEST(range(1, len(toks) - ${dupGramK - 2})) AS u(i)
       |  WHERE len(toks) >= $dupGramK),
-      |sdup AS (SELECT gram FROM sg GROUP BY gram HAVING count(*) >= 2),
-      |sds AS (SELECT doc_id, gpos FROM sg JOIN sdup USING (gram)),
+      |sdup AS (SELECT gk FROM sg GROUP BY gk HAVING count(*) >= 2),
+      |sds AS (SELECT doc_id, gpos FROM sg JOIN sdup USING (gk)),
       |scov AS (SELECT DISTINCT doc_id, gpos + j AS p
       |         FROM sds, UNNEST(range(0, $dupGramK)) AS v(j)),
       |stok AS (SELECT doc_id, CAST(i AS BIGINT) AS p
@@ -1594,6 +1596,28 @@ object SparkEntry {
       Similarity.nearDupBucketLoad(reps, "rep_id", "embedding",
         dim = 64, nbits = 4, tables = 8, bucketCap = repBucketCap)
     }),
+    // the report with the cap ENGAGED (round-14 verdict item 6: the
+    // sf0.01 replay of x88 never truncates — occupancy ≈125 « 256 —
+    // so the engaged path was only spec-covered): at cap=32 most
+    // buckets truncate and the n_kept < n_ids quantity is hash-checked
+    // by the driver's oracle, not just by NearDupCapSpec's synthetic
+    // corpus
+    "x90_neardup_bucket_load_tight" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val reps = emb.groupBy(col("embedding").as("__vec"))
+        .agg(min(col("vec_id")).as("rep_id"))
+        .select(col("rep_id"), col("__vec").as("embedding"))
+      Similarity.nearDupBucketLoad(reps, "rep_id", "embedding",
+        dim = 64, nbits = 4, tables = 8, bucketCap = repBucketCapTight)
+    }),
+    // x57 with the cap ENGAGED: the deterministic kept-member SELECTION
+    // (lowest cap ids per bucket) — not just the count — feeds the pair
+    // join and is pinned by the hash compare against the same-rule
+    // DuckDB twin
+    "x91_neardup_reps_tight" -> ((s, d) =>
+      Similarity.embeddingNearDupReps(Tables.embeddings(s, d), "vec_id",
+        "embedding", dim = 64, threshold = 0.25, nbits = 4, tables = 8,
+        bucketCap = Some(repBucketCapTight))),
     // near-dup recall gate over a 1-in-10 sample: brute-force pairs are
     // exactly oracle-checkable (DuckDB computes the same cosine), and the
     // in-plan recall bound turns an LSH regression into a hash failure
@@ -2327,6 +2351,17 @@ object SparkEntry {
         fixedCountPred(docs(s, d), "doc_id", bmQueryTarget),
         n = docs(s, d).count(), k1 = bmK1, b = bmB, k = bmK,
         maxDfFrac = bmDfFrac, crossover = 0L)),
+    // query-batch-partitioned BM25 (the round-14 scratch-wall knob):
+    // same query sample split into [bmBatches] deterministic groups,
+    // one screened postings index built/scored/RELEASED per group, so
+    // peak shuffle scratch divides by the batch count while the output
+    // stays identical to x70 (same oracle) — the shape a >5M-docs-per-
+    // node single-machine deployment runs
+    "x89_bm25_batched" -> ((s, d) =>
+      Retrieval.bm25TopKBatched(docs(s, d), "doc_id", "text",
+        fixedCountPred(docs(s, d), "doc_id", bmQueryTarget),
+        batches = bmBatches, k1 = bmK1, b = bmB, k = bmK,
+        maxDfFrac = bmDfFrac)),
     // hybrid retrieval: the x70 sparse (BM25) and x05 dense (brute
     // cosine) rankers run over the doc∩vec corpus (doc_id = vec_id)
     // with ONE shared query sample, fused by reciprocal-rank fusion —
@@ -2636,22 +2671,39 @@ object SparkEntry {
   /** The x70 BM25 oracle text, shared verbatim by x86 (the
     * impact-ordered spelling is output-identical by construction
     * and spec-pinned equal in RetrievalSpec).
+    *
+    * Term identity everywhere is `tid` — the 15-nibble md5 prefix of
+    * the term, bijective with the decoded 60-bit `portableBase` long
+    * the Spark side shuffles (Retrieval.bm25Parts) — and, exactly as on
+    * the Spark side, the postings are SCREENED to the query-term
+    * strings BEFORE the tid grouping: a corpus term outside the query
+    * vocabulary must never merge into a colliding query term's
+    * postings, because the engine's screened index never sees it.
     */
   private lazy val bm25TopKOracle: String =
     s"""WITH toks AS (
         |  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\\s+'),
         |                             x -> x <> '') AS tk
         |  FROM documents),
-        |tf AS (
-        |  SELECT doc_id AS nid, len(tk)::BIGINT AS dl, u.term, count(*) AS tf
-        |  FROM toks, UNNEST(tk) AS u(term)
-        |  GROUP BY 1, 2, 3),
-        |dfs AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
         |st AS (SELECT count(*) AS n, sum(len(tk))::BIGINT AS sl FROM toks),
-        |q AS (SELECT tf.nid AS qid, tf.term, dfs.df, st.n, st.sl
-        |      FROM tf JOIN dfs USING (term) CROSS JOIN st
-        |      WHERE ${fixedCountPredSql("documents", "tf.nid", bmQueryTarget)}
-        |        AND dfs.df <= floor($bmDfFrac::DOUBLE * CAST(st.n AS DOUBLE))),
+        |qs AS (
+        |  SELECT DISTINCT u.term, substr(md5(u.term), 1, 15) AS tid
+        |  FROM toks, UNNEST(tk) AS u(term)
+        |  WHERE ${fixedCountPredSql("documents", "toks.doc_id", bmQueryTarget)}),
+        |qt AS (
+        |  SELECT DISTINCT toks.doc_id AS qid, substr(md5(u.term), 1, 15) AS tid
+        |  FROM toks, UNNEST(tk) AS u(term)
+        |  WHERE ${fixedCountPredSql("documents", "toks.doc_id", bmQueryTarget)}),
+        |tf AS (
+        |  SELECT e.nid, e.dl, qs.tid, count(*) AS tf
+        |  FROM (SELECT toks.doc_id AS nid, len(tk)::BIGINT AS dl, u.term
+        |        FROM toks, UNNEST(tk) AS u(term)) e
+        |  JOIN qs USING (term)
+        |  GROUP BY 1, 2, 3),
+        |dfs AS (SELECT tid, count(*) AS df FROM tf GROUP BY tid),
+        |q AS (SELECT qt.qid, qt.tid, dfs.df, st.n, st.sl
+        |      FROM qt JOIN dfs USING (tid) CROSS JOIN st
+        |      WHERE dfs.df <= floor($bmDfFrac::DOUBLE * CAST(st.n AS DOUBLE))),
         |sc AS (
         |  SELECT q.qid, tf.nid,
         |         CAST(floor(
@@ -2663,7 +2715,7 @@ object SparkEntry {
         |                     + ${bmB}::DOUBLE * CAST(tf.dl AS DOUBLE)
         |                       / (CAST(q.sl AS DOUBLE) / CAST(q.n AS DOUBLE)))))
         |           * 1e6) AS BIGINT) AS c
-        |  FROM q JOIN tf USING (term)
+        |  FROM q JOIN tf USING (tid)
         |  WHERE tf.nid <> q.qid),
         |ag AS (SELECT qid, nid, CAST(sum(c) AS BIGINT) AS score
         |       FROM sc GROUP BY 1, 2),
@@ -2672,6 +2724,66 @@ object SparkEntry {
         |               ORDER BY score DESC, nid ASC) AS BIGINT) AS rnk
         |      FROM ag)
         |SELECT qid, nid, score, rnk FROM r WHERE rnk <= $bmK""".stripMargin
+
+  /** The x57 reps-near-dup oracle parameterized by the per-bucket
+    * member cap — ONE text for the loose (x57, never engages at sf
+    * scale) and tight (x91, engages on most buckets at sf0.01)
+    * spellings, so the two entries cannot drift. Rep collapse (min-id
+    * per identical vector), literal-plane banding, the row_number ≤ cap
+    * kept-member rule, exact cosine verify, implied cross-twin counts.
+    */
+  private def nearDupRepsOracle(cap: Int): String =
+    s"""WITH planes(t, b, plane) AS (VALUES ${lshPlanesSqlValues(8, 4, 64)}),
+      |g AS (
+      |  SELECT min(vec_id) AS rep_id, count(*)::BIGINT AS n_members,
+      |         embedding AS vec0
+      |  FROM embeddings GROUP BY embedding),
+      |v AS (SELECT rep_id AS vec_id, vec0::DOUBLE[] AS vec FROM g),
+      |bands0 AS (
+      |  SELECT vec_id, t,
+      |         bit_or(CASE WHEN list_dot_product(vec, plane) > 0
+      |                     THEN (1::BIGINT << b) ELSE 0::BIGINT END) AS bucket
+      |  FROM v, planes GROUP BY vec_id, t),
+      |bands AS (
+      |  SELECT vec_id, t, bucket FROM (
+      |    SELECT vec_id, t, bucket,
+      |           row_number() OVER (PARTITION BY t, bucket
+      |                              ORDER BY vec_id ASC) AS __rn
+      |    FROM bands0) WHERE __rn <= $cap),
+      |cand AS (
+      |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+      |  FROM bands a JOIN bands b ON a.t = b.t AND a.bucket = b.bucket
+      |                            AND a.vec_id < b.vec_id),
+      |scored AS (
+      |  SELECT c.id_a, c.id_b,
+      |         round(list_cosine_similarity(va.vec, vb.vec), 6) AS sim
+      |  FROM cand c
+      |  JOIN v va ON va.vec_id = c.id_a
+      |  JOIN v vb ON vb.vec_id = c.id_b)
+      |SELECT s.id_a, s.id_b, s.sim,
+      |       ga.n_members * gb.n_members AS implied_pairs
+      |FROM scored s
+      |JOIN g ga ON ga.rep_id = s.id_a
+      |JOIN g gb ON gb.rep_id = s.id_b
+      |WHERE s.sim >= 0.25""".stripMargin
+
+  /** The bucket-load truncation report parameterized the same way
+    * (x88 loose / x90 tight).
+    */
+  private def nearDupBucketLoadOracle(cap: Int): String =
+    s"""WITH planes(t, b, plane) AS (VALUES ${lshPlanesSqlValues(8, 4, 64)}),
+      |g AS (
+      |  SELECT min(vec_id) AS rep_id, embedding AS vec0
+      |  FROM embeddings GROUP BY embedding),
+      |v AS (SELECT rep_id AS vec_id, vec0::DOUBLE[] AS vec FROM g),
+      |bands0 AS (
+      |  SELECT vec_id, t,
+      |         bit_or(CASE WHEN list_dot_product(vec, plane) > 0
+      |                     THEN (1::BIGINT << b) ELSE 0::BIGINT END) AS bucket
+      |  FROM v, planes GROUP BY vec_id, t)
+      |SELECT t AS table_id, bucket, count(*)::BIGINT AS n_ids,
+      |       least(count(*), $cap)::BIGINT AS n_kept
+      |FROM bands0 GROUP BY t, bucket""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q01_iot_clean" ->
@@ -3267,7 +3379,7 @@ object SparkEntry {
         |         array_to_string(t[i*$paraChunkTokens+1 : i*$paraChunkTokens+$paraChunkTokens], ' ') AS para
         |  FROM toks, UNNEST(range(0, (len(t)+${paraChunkTokens - 1})//$paraChunkTokens)) AS u(i)),
         |ne AS (
-        |  SELECT doc_id, pos, para, md5(para) AS pkey
+        |  SELECT doc_id, pos, para, substr(md5(para), 1, 15) AS pkey
         |  FROM paras WHERE trim(para) <> ''),
         |fl AS (
         |  SELECT doc_id, pos, para,
@@ -3296,7 +3408,7 @@ object SparkEntry {
         |         array_to_string(t[i*$paraChunkTokens+1 : i*$paraChunkTokens+$paraChunkTokens], ' ') AS para
         |  FROM toks, UNNEST(range(0, (len(t)+${paraChunkTokens - 1})//$paraChunkTokens)) AS u(i)),
         |ne AS (
-        |  SELECT doc_id, pos, para, md5(para) AS pkey
+        |  SELECT doc_id, pos, para, substr(md5(para), 1, 15) AS pkey
         |  FROM paras WHERE trim(para) <> ''),
         |fr AS (
         |  SELECT pkey, count(DISTINCT doc_id) AS df FROM ne GROUP BY pkey),
@@ -3313,21 +3425,37 @@ object SparkEntry {
         |       coalesce(text_clean, '') AS text_clean
         |FROM documents d LEFT JOIN ag USING (doc_id)""".stripMargin,
     // duplicated-gram replay: x36's shingle dialect at width dupGramK,
-    // gram doc-frequency join, FILTER rollup, LEFT JOIN totality
+    // keyed on the 15-nibble md5 prefix — the oracle groups by the HEX
+    // prefix itself where Spark groups by its decoded 60-bit long
+    // (NearDup.portableBase); the decode is a bijection on 15-nibble
+    // strings, so the equivalence classes (and thus every count) are
+    // identical, collisions included. Gram doc-frequency join, FILTER
+    // rollup, LEFT JOIN totality
     "x61_dupgram_profile" ->
-      s"""WITH ${wordShingleCtes("sh", dupGramK)},
-        |fr AS (SELECT shingle, count(*) AS df FROM sh GROUP BY shingle),
+      s"""WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+        |                             x -> x <> '') AS t
+        |  FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id,
+        |         substr(md5(array_to_string(t[i:i+${dupGramK - 1}], ' ')), 1, 15) AS gk
+        |  FROM toks, UNNEST(range(1, len(t) - ${dupGramK - 2})) AS u(i)
+        |  WHERE len(t) >= $dupGramK),
+        |fr AS (SELECT gk, count(*) AS df FROM sh GROUP BY gk),
         |st AS (
         |  SELECT doc_id, count(*) AS n_grams,
         |         count(*) FILTER (WHERE df >= 2) AS n_dup
-        |  FROM sh JOIN fr USING (shingle) GROUP BY doc_id)
+        |  FROM sh JOIN fr USING (gk) GROUP BY doc_id)
         |SELECT d.doc_id, coalesce(n_grams, 0) AS n_grams,
         |       coalesce(n_dup, 0) AS n_dup,
         |       round(coalesce(n_dup * 1.0 / n_grams, 0), 4) AS dup_frac
         |FROM documents d LEFT JOIN st USING (doc_id)""".stripMargin,
-    // x79: positioned grams (occurrence-counted, NOT distinct-per-doc),
-    // covered positions exploded from dup starts, NOT-EXISTS survivor
-    // rebuild ordered by position — mirrors SpanDedup step for step
+    // x79: positioned grams (occurrence-counted, NOT distinct-per-doc)
+    // keyed on the 15-nibble md5 prefix (bijective with SpanDedup's
+    // decoded 60-bit portableBase — same equivalence classes, same
+    // collisions), covered positions exploded from dup starts,
+    // NOT-EXISTS survivor rebuild ordered by position — mirrors
+    // SpanDedup step for step
     "x79_span_dedup" ->
       s"""WITH toks AS (
         |  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\\s+'),
@@ -3335,11 +3463,11 @@ object SparkEntry {
         |  FROM documents),
         |g AS (
         |  SELECT doc_id, CAST(i AS BIGINT) AS gpos,
-        |         array_to_string(t[i:i+${dupGramK - 1}], ' ') AS gram
+        |         substr(md5(array_to_string(t[i:i+${dupGramK - 1}], ' ')), 1, 15) AS gk
         |  FROM toks, UNNEST(range(1, len(t) - ${dupGramK - 2})) AS u(i)
         |  WHERE len(t) >= $dupGramK),
-        |dup AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
-        |ds AS (SELECT doc_id, gpos FROM g JOIN dup USING (gram)),
+        |dup AS (SELECT gk FROM g GROUP BY gk HAVING count(*) >= 2),
+        |ds AS (SELECT doc_id, gpos FROM g JOIN dup USING (gk)),
         |cov AS (SELECT DISTINCT doc_id, gpos + j AS p
         |        FROM ds, UNNEST(range(0, $dupGramK)) AS v(j)),
         |nc AS (SELECT doc_id, count(*) AS n_removed FROM cov GROUP BY doc_id),
@@ -3809,6 +3937,10 @@ object SparkEntry {
     // and spec (RetrievalSpec), so it shares this oracle text verbatim
     "x70_bm25_topk" -> bm25TopKOracle,
     "x86_bm25_wand" -> bm25TopKOracle,
+    // the batch split partitions the query set exhaustively and scores
+    // are per-query, so the batched union equals the one-shot run —
+    // the same oracle text replays it
+    "x89_bm25_batched" -> bm25TopKOracle,
     // x77: the x70 BM25 chain and the x05 cosine chain re-run over the
     // doc∩vec corpus CTE, then the RRF fuse — every contribution is
     // floor(1e6 / (C + rnk)) on integer-exact doubles, so the fused
@@ -4444,56 +4576,20 @@ object SparkEntry {
     // with the per-bucket member cap replayed (row_number ≤ cap, id
     // ASC — never engages at oracle scale but the RULE is what's
     // checked), implied cross-twin pair counts on the way out
-    "x57_embed_neardup_reps" ->
-      s"""WITH planes(t, b, plane) AS (VALUES ${lshPlanesSqlValues(8, 4, 64)}),
-        |g AS (
-        |  SELECT min(vec_id) AS rep_id, count(*)::BIGINT AS n_members,
-        |         embedding AS vec0
-        |  FROM embeddings GROUP BY embedding),
-        |v AS (SELECT rep_id AS vec_id, vec0::DOUBLE[] AS vec FROM g),
-        |bands0 AS (
-        |  SELECT vec_id, t,
-        |         bit_or(CASE WHEN list_dot_product(vec, plane) > 0
-        |                     THEN (1::BIGINT << b) ELSE 0::BIGINT END) AS bucket
-        |  FROM v, planes GROUP BY vec_id, t),
-        |bands AS (
-        |  SELECT vec_id, t, bucket FROM (
-        |    SELECT vec_id, t, bucket,
-        |           row_number() OVER (PARTITION BY t, bucket
-        |                              ORDER BY vec_id ASC) AS __rn
-        |    FROM bands0) WHERE __rn <= $repBucketCap),
-        |cand AS (
-        |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
-        |  FROM bands a JOIN bands b ON a.t = b.t AND a.bucket = b.bucket
-        |                            AND a.vec_id < b.vec_id),
-        |scored AS (
-        |  SELECT c.id_a, c.id_b,
-        |         round(list_cosine_similarity(va.vec, vb.vec), 6) AS sim
-        |  FROM cand c
-        |  JOIN v va ON va.vec_id = c.id_a
-        |  JOIN v vb ON vb.vec_id = c.id_b)
-        |SELECT s.id_a, s.id_b, s.sim,
-        |       ga.n_members * gb.n_members AS implied_pairs
-        |FROM scored s
-        |JOIN g ga ON ga.rep_id = s.id_a
-        |JOIN g gb ON gb.rep_id = s.id_b
-        |WHERE s.sim >= 0.25""".stripMargin,
+    "x57_embed_neardup_reps" -> nearDupRepsOracle(repBucketCap),
+    // the cap rule ENGAGED: same oracle text at the tight cap — at
+    // sf0.01 occupancy (~125 reps/bucket) row_number ≤ 32 truncates
+    // most buckets, so the kept-member SELECTION itself is what the
+    // hash compare pins (round-14 verdict: the engaged path was only
+    // spec-covered, never driver-oracle-covered)
+    "x91_neardup_reps_tight" -> nearDupRepsOracle(repBucketCapTight),
     // x57's truncation report: the same rep collapse + banding, one
     // occupancy aggregate, n_kept = least(n_ids, cap)
-    "x88_neardup_bucket_load" ->
-      s"""WITH planes(t, b, plane) AS (VALUES ${lshPlanesSqlValues(8, 4, 64)}),
-        |g AS (
-        |  SELECT min(vec_id) AS rep_id, embedding AS vec0
-        |  FROM embeddings GROUP BY embedding),
-        |v AS (SELECT rep_id AS vec_id, vec0::DOUBLE[] AS vec FROM g),
-        |bands0 AS (
-        |  SELECT vec_id, t,
-        |         bit_or(CASE WHEN list_dot_product(vec, plane) > 0
-        |                     THEN (1::BIGINT << b) ELSE 0::BIGINT END) AS bucket
-        |  FROM v, planes GROUP BY vec_id, t)
-        |SELECT t AS table_id, bucket, count(*)::BIGINT AS n_ids,
-        |       least(count(*), $repBucketCap)::BIGINT AS n_kept
-        |FROM bands0 GROUP BY t, bucket""".stripMargin,
+    "x88_neardup_bucket_load" -> nearDupBucketLoadOracle(repBucketCap),
+    // the report with the cap ENGAGED at sf0.01: n_kept < n_ids on
+    // most rows — the literal truncation quantity is hash-checked
+    "x90_neardup_bucket_load_tight" ->
+      nearDupBucketLoadOracle(repBucketCapTight),
     // multimodal retrieval: DuckDB re-derives Multimodal.fakeEmbed
     // byte-for-byte — v[i%16] += byte·(1+(i/16)%3) accumulates EXACT
     // integers (≤ a few 10⁵, far inside float32's 2^24 exact range, so

@@ -139,12 +139,26 @@ object NearDup {
     * rollup. Nothing is quadratic in corpus size and no suffix array
     * is materialized — this is the bounded, distributable form of the
     * suffix-array scan.
+    *
+    * All three exchanges key on the gram's 60-bit [[portableBase]]
+    * (computed map-side in the explode projection), not the ~60-byte
+    * k-word string — the round-14 spill-wall fix, see [[SpanDedup]].
+    * A base collision merges two distinct grams' frequencies (birthday
+    * bound ~n²/2^61 — negligible, and replayed identically by the
+    * md5-based oracle).
     */
   def dupGramProfile(df: DataFrame, idCol: String, textCol: String,
                      k: Int = 8): DataFrame = {
-    val sh = shingles(df, idCol, textCol, k)
-    val freq = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
-    val stats = sh.join(freq, Seq("shingle"))
+    val toks = TextAnalysis.tokens(col(textCol))
+    val sh = df.select(col(idCol).as("id"), toks.as("toks"))
+      .filter(size(col("toks")) >= k)
+      .select(col("id"), explode(
+        transform(sequence(lit(1), size(col("toks")) - (k - 1)),
+          i => concat_ws(" ", slice(col("toks"), i, lit(k))))).as("shingle"))
+      .select(col("id"), portableBase(col("shingle")).as("gk"))
+      .distinct()
+    val freq = sh.groupBy("gk").agg(count(lit(1)).as("df"))
+    val stats = sh.join(freq, Seq("gk"))
       .groupBy("id")
       .agg(count(lit(1)).as("n_grams"),
         count(when(col("df") >= 2, 1)).as("n_dup"))

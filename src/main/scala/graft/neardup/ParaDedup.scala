@@ -24,8 +24,8 @@ import org.apache.spark.sql.functions._
   * whole mega-key in one reducer, and AQE splits skewed JOIN keys but
   * not skewed window partitions. The winners aggregate and the
   * winners join share the pkey hash-partitioning (one exchange is
-  * reused), and shuffle rows carry the fixed-width 32-hex md5 — the
-  * paragraph text itself is only shuffled once, into the final
+  * reused), and shuffle rows carry the fixed 8-byte 60-bit md5 base —
+  * the paragraph text itself is only shuffled once, into the final
   * per-document rebuild. Three linear exchanges total, no driver-side
   * state.
   */
@@ -34,17 +34,20 @@ object ParaDedup {
   /** The exploded paragraph frame: (id, pos, para, pkey). `textCol` is
     * split on the `sep` regex; whitespace-only segments are dropped but
     * `pos` keeps the ORIGINAL split index, so reassembly preserves the
-    * survivors' relative order. `pkey` = md5(para): dedup identity is
-    * the exact paragraph bytes — md5 collisions at ~2^-128 per pair are
-    * the accepted trade of every production paragraph-dedup (CCNet keys
-    * on a SHA-1 prefix).
+    * survivors' relative order. `pkey` = the 60-bit portable md5 base
+    * of the paragraph ([[NearDup.portableBase]] — 8 fixed bytes where
+    * the r14 spelling shuffled the 32-hex md5 string): dedup identity
+    * is a hash of the exact paragraph bytes — collisions (birthday
+    * bound ~n²/2^61 over distinct paragraphs) are the accepted trade of
+    * every production paragraph-dedup (CCNet keys on a SHA-1 prefix),
+    * and the oracle replays the identical hash.
     */
   def paragraphs(df: DataFrame, idCol: String, textCol: String,
                  sep: String = "\n"): DataFrame =
     df.select(col(idCol).as("id"),
         posexplode(split(col(textCol), sep)).as(Seq("pos", "para")))
       .filter(trim(col("para")) =!= "")
-      .withColumn("pkey", md5(col("para")))
+      .withColumn("pkey", NearDup.portableBase(col("para")))
 
   /** Per-document dedup report + rebuilt text, TOTAL over the input
     * (`idCol` must be a key): doc_id, n_para (non-empty paragraphs in),

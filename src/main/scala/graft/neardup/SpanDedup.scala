@@ -39,6 +39,20 @@ import org.apache.spark.sql.functions._
   * materialized, nothing quadratic in corpus size. Output text is in
   * the normalized token space (lowercased, whitespace-collapsed), the
   * same space every downstream gram/tokenizer operator reads.
+  *
+  * The gram identity shuffled through the aggregate and the frequency
+  * join is NOT the k-word string but its 60-bit portable md5 base
+  * ([[NearDup.portableBase]] — 8 fixed bytes instead of ~60 text bytes
+  * at k=8 realistic English): the gram string is built and hashed
+  * map-side inside the explode projection and never leaves the task.
+  * Round 14 measured the string-keyed spelling as the engine's binding
+  * single-node resource (the v2-5M corpus builds died filling ~75 GB
+  * of shuffle scratch with ~2.5B ~60-byte gram rows); the fingerprint
+  * cuts that byte mass ~5×. Collisions (birthday bound ~n²/2^61: ~3
+  * expected at 2.5B distinct grams) can only mark a unique gram as
+  * duplicated — the same accepted trade as [[ParaDedup]]'s md5 pkey —
+  * and the DuckDB oracle replays the identical hash, so cross-engine
+  * equality is unaffected by construction.
   */
 object SpanDedup {
 
@@ -53,21 +67,24 @@ object SpanDedup {
                             k: Int = 8, glue: String = " "): DataFrame = {
     val toks = df.select(col(idCol).as("id"),
       graft.text.TextAnalysis.tokens(col(textCol)).as("t"))
-    // positioned (non-distinct) gram frame: (id, gpos, gram) — unlike
-    // NearDup.shingles, every occurrence keeps its start position
+    // positioned (non-distinct) gram frame: (id, gpos, gk) — unlike
+    // NearDup.shingles, every occurrence keeps its start position; the
+    // gram string collapses to its 60-bit portable base INSIDE the
+    // projection, so the shuffle rows are fixed-width
     val grams = toks.filter(size(col("t")) >= k)
       .select(col("id"), explode(transform(
         sequence(lit(1), size(col("t")) - (k - 1)),
         i => struct(i.as("gpos"),
           concat_ws(" ", slice(col("t"), i, lit(k))).as("gram")))).as("g"))
-      .select(col("id"), col("g.gpos"), col("g.gram"))
+      .select(col("id"), col("g.gpos"),
+        NearDup.portableBase(col("g.gram")).as("gk"))
     // corpus-wide occurrence count (NOT distinct-doc df): >= 2 marks a
     // verbatim repeat anywhere, in-document repeats included
-    val dup = grams.groupBy("gram").agg(count(lit(1)).as("occ"))
+    val dup = grams.groupBy("gk").agg(count(lit(1)).as("occ"))
       .filter(col("occ") >= 2)
     // covered token positions: each dup start g covers [g, g+k-1] —
     // bounded by k rows per dup-gram occurrence, deduped relationally
-    val covered = grams.join(dup, Seq("gram"))
+    val covered = grams.join(dup, Seq("gk"))
       .select(col("id"), explode(
         sequence(col("gpos"), col("gpos") + (k - 1))).as("p"))
       .distinct()

@@ -57,11 +57,27 @@ import org.apache.spark.sql.functions._
   */
 object Retrieval {
 
-  /** The screened query-term postings (`tf`: nid, dl, term, tf) and the
-    * annotated + df-capped query-term frame (`qterms`: term, qid, df,
+  /** The screened query-term postings (`tf`: nid, dl, tid, tf) and the
+    * annotated + df-capped query-term frame (`qterms`: tid, qid, df,
     * n, sl) both BM25 scorers share — split out so [[bm25TopK]] and
     * [[bm25TopKImpact]] consume the EXACT same frames (any drift
     * between the two would break their spec-pinned output equality).
+    *
+    * Term identity in every shuffled/aggregated frame is `tid`, the
+    * term's 60-bit portable md5 base
+    * ([[graft.neardup.NearDup.portableBase]]) — 8 fixed bytes where the
+    * r14 spelling shuffled the term string through the postings
+    * aggregation, the df aggregate, and the scoring join (round 14
+    * measured the postings index mass as the 10M-doc single-node spill
+    * wall: ~15 GB of index+shuffle scratch per 1M docs per 40-query
+    * batch, strings a large share of the row). The md5 is computed ONLY
+    * on the broadcast-sized query-term set — the corpus-side explode
+    * still joins on the raw string (a broadcast hash join, no shuffle)
+    * and picks the tid up from the broadcast row, so no per-occurrence
+    * cryptographic work is added. A tid collision between two distinct
+    * query terms merges their postings (birthday bound over a ≤ few
+    * thousand query-term vocabulary: ~1e-11) — and the oracle keys on
+    * the same 15-nibble md5 prefix, so both engines merge identically.
     */
   private[graft] case class Bm25Parts(tf: DataFrame, qterms: DataFrame)
 
@@ -73,24 +89,30 @@ object Retrieval {
     // corpus stats: one 1-row aggregate (docs INCLUDING token-less ones;
     // integer sum, so avgdl is one exact division both engines replay)
     val stats = toks.agg(count(lit(1)).as("n"), sum(size(col("tk"))).as("sl"))
-    // query term lists, tokenized directly from the sampled query docs
-    // (array_distinct ≡ the grouped-tf distinctness of the old spelling)
+    // the query's distinct term ids: tokenized from the sampled query
+    // docs, fingerprinted, distinct UNDER the tid identity (one row per
+    // (qid, tid) — the grouping identity every downstream frame uses)
     val qterms0 = corpus.filter(queryPred)
       .select(col(idCol).as("qid"),
         explode(array_distinct(TextAnalysis.tokens(col(textCol))))
           .as("term"))
+    val qtid = qterms0
+      .select(col("qid"), graft.neardup.NearDup.portableBase(col("term")).as("tid"))
+      .distinct()
     // the distinct query-term set is broadcast-sized (fixed query count
     // × bounded per-doc vocabulary), and it prunes the INDEX BUILD
     // itself: only postings for query terms survive the explode, so the
-    // (nid, dl, term) aggregation shuffles Σ_{query terms} df(term)
+    // (nid, dl, tid) aggregation shuffles Σ_{query terms} df(term)
     // rows, not the full corpus×vocabulary index (~1e9 (doc, term)
     // pairs at the 5M-doc probe — measured 22.3× for 10× data when the
     // full index was built and then 99% of it dropped on the qterms
     // join; scoring only ever consumes query-term postings, and df for
-    // non-query terms was computed only to be discarded)
+    // non-query terms was computed only to be discarded). The set
+    // carries (term, tid) so the corpus side never hashes
     val qset = qterms0.select("term").distinct()
+      .withColumn("tid", graft.neardup.NearDup.portableBase(col("term")))
     // query-term inverted index with per-doc length riding along:
-    // (nid, dl, term, tf). Filtering by term drops no (doc, term) pair
+    // (nid, dl, tid, tf). Filtering by term drops no (doc, term) pair
     // OF A QUERY TERM, so tf and df stay exact for every surviving term
     // the screened index is MATERIALIZED (cached): every scorer
     // consumes it at least twice (df annotation + scoring; the impact
@@ -103,17 +125,17 @@ object Retrieval {
       .select(col("nid"), size(col("tk")).as("dl"),
         explode(col("tk")).as("term"))
       .join(broadcast(qset), Seq("term"))
-      .groupBy("nid", "dl", "term")
+      .groupBy("nid", "dl", "tid")
       .agg(count(lit(1)).as("tf"))
       .cache()
     // true document frequency, computed BEFORE the cap so idf is honest
-    val dfs = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val dfs = tf.groupBy("tid").agg(count(lit(1)).as("df"))
     // query terms annotated with df + corpus stats and CAP-FILTERED
     // here, so the fractional cap prunes the candidate join too (capped
     // terms never reach the corpus-sized side; the bound is the floor
     // of one IEEE multiply both engines replay)
-    val qterms = qterms0
-      .join(dfs, Seq("term"))
+    val qterms = qtid
+      .join(dfs, Seq("tid"))
       .crossJoin(stats)
       .filter(col("df") <= floor(lit(maxDfFrac) * col("n").cast("double")))
     Bm25Parts(tf, qterms)
@@ -157,7 +179,7 @@ object Retrieval {
                k: Int = 5, maxDfFrac: Double = 0.9): DataFrame = {
     val parts = bm25Parts(corpus, idCol, textCol, queryPred, maxDfFrac)
     val scored = parts.tf
-      .join(broadcast(parts.qterms), Seq("term"))
+      .join(broadcast(parts.qterms), Seq("tid"))
       .filter(col("nid") =!= col("qid"))
       .select(col("qid"), col("nid"), contribExpr(k1, b).as("c"))
     topKByScore(scored, k)
@@ -228,16 +250,16 @@ object Retrieval {
     val qt = parts.qterms.withColumn("ub",
       floor(idfExpr * lit(k1 + 1) * lit(1e6)))
     // essential split: per query the essTerms highest-impact terms
-    // (ub DESC, term ASC — deterministic). The OUTPUT is split-
+    // (ub DESC, tid ASC — deterministic). The OUTPUT is split-
     // invariant; the split only routes work, which the equality spec
     // exploits by sweeping essTerms
-    val essW = Window.partitionBy("qid").orderBy(col("ub").desc, col("term").asc)
+    val essW = Window.partitionBy("qid").orderBy(col("ub").desc, col("tid").asc)
     val qtRanked = qt.withColumn("__r", row_number().over(essW))
     val qEss = qtRanked.filter(col("__r") <= essTerms).drop("__r")
     val qNon = qtRanked.filter(col("__r") > essTerms).drop("__r")
     // exact partial scores over the essential (short) posting lists;
     // cached: feeds θ, the candidate filter, and the final assembly
-    val sE = tf.join(broadcast(qEss), Seq("term"))
+    val sE = tf.join(broadcast(qEss), Seq("tid"))
       .filter(col("nid") =!= col("qid"))
       .select(col("qid"), col("nid"), c.as("c"))
       .groupBy("qid", "nid").agg(sum(col("c")).as("s_e"))
@@ -276,7 +298,7 @@ object Retrieval {
     // restricted to those queries)
     val qtOpen = qt.join(broadcast(qmeta.filter(col("open")).select("qid")),
       Seq("qid"))
-    val openScored = tf.join(broadcast(qtOpen), Seq("term"))
+    val openScored = tf.join(broadcast(qtOpen), Seq("tid"))
       .filter(col("nid") =!= col("qid"))
       .select(col("qid"), col("nid"), c.as("c"))
     // pruned queries: candidates are essential-scored docs whose ceiling
@@ -291,7 +313,7 @@ object Retrieval {
     // (a doc may be candidate for one query but not another)
     val qNonPruned = qNon.join(broadcast(prunedMeta.select("qid")), Seq("qid"))
     val nScored = tf.join(broadcast(candE.select("nid").distinct()), Seq("nid"))
-      .join(broadcast(qNonPruned), Seq("term"))
+      .join(broadcast(qNonPruned), Seq("tid"))
       .filter(col("nid") =!= col("qid"))
       .join(broadcast(candE.select("qid", "nid")), Seq("qid", "nid"))
       .select(col("qid"), col("nid"), c.as("c"))
@@ -301,6 +323,58 @@ object Retrieval {
     val prunedScored = candE.select(col("qid"), col("nid"), col("s_e").as("c"))
       .unionAll(nScored)
     topKByScore(prunedScored.unionAll(openScored), k)
+  }
+
+  /** Query-batch-partitioned exact BM25 — the scratch-bounding knob the
+    * round-14 10M-doc wall asked for. OUTPUT-IDENTICAL to [[bm25TopK]]
+    * over the same `queryPred` (per-query scores never depend on other
+    * queries, and the deterministic batch split below partitions the
+    * query set exhaustively), but the WORK runs one query batch at a
+    * time: query docs are routed to `batches` groups by
+    * `portableBase(id) mod batches` (engine-portable, lattice-free),
+    * and each batch builds, scores, and MATERIALIZES its own screened
+    * postings index before the next batch starts — an eager
+    * `localCheckpoint` pins the batch's (queries·k)-row result, the
+    * batch's index cache is explicitly unpersisted, and a GC nudge lets
+    * the ContextCleaner reclaim the batch's shuffle files (Spark frees
+    * shuffle scratch only when the dependency is GC'd; without the
+    * nudge a long probe can fill the disk with batch-1 files while
+    * batch 3 runs — exactly the round-14 failure mode).
+    *
+    * Peak scratch is therefore ∝ Σ_{batch terms} df — the measured
+    * ~15 GB/1M-docs/40-query sizing rule divides by `batches` — while
+    * total work adds one corpus tokenize+explode pass per extra batch
+    * (map-only, spill-free). The trade: wall-clock up ~linearly in
+    * `batches` on the scan side, scratch down ~linearly on the shuffle
+    * side — size `batches` so one batch's index fits the node's scratch
+    * budget. batches=1 degenerates to exactly [[bm25TopK]]'s plan plus
+    * one checkpoint write of the final (tiny) result.
+    */
+  def bm25TopKBatched(corpus: DataFrame, idCol: String, textCol: String,
+                      queryPred: Column, batches: Int, k1: Double = 1.2,
+                      b: Double = 0.75, k: Int = 5,
+                      maxDfFrac: Double = 0.9): DataFrame = {
+    require(batches >= 1, s"batches must be >= 1, got $batches")
+    val results = (0 until batches).map { bi =>
+      val predB = queryPred &&
+        pmod(graft.neardup.NearDup.portableBase(col(idCol).cast("string")),
+          lit(batches.toLong)) === lit(bi.toLong)
+      val parts = bm25Parts(corpus, idCol, textCol, predB, maxDfFrac)
+      val scored = parts.tf
+        .join(broadcast(parts.qterms), Seq("tid"))
+        .filter(col("nid") =!= col("qid"))
+        .select(col("qid"), col("nid"), contribExpr(k1, b).as("c"))
+      // eager: the batch runs HERE, its result pinned as local blocks;
+      // the driver loop is control-only (fixed `batches` iterations)
+      val pinned = topKByScore(scored, k).localCheckpoint(true)
+      parts.tf.unpersist()
+      // shuffle files are reclaimed by the ContextCleaner only after the
+      // dropped stage references are GC'd — nudge so batch i's scratch
+      // is gone before batch i+1 needs the space
+      System.gc()
+      pinned
+    }
+    results.reduce(_ unionAll _)
   }
 
   /** Corpus size at which the impact-ordered spelling overtakes the

@@ -82,6 +82,21 @@ class RetrievalSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("query-batched BM25 equals the one-shot spelling for every batch " +
+      "count, including counts above the query count") {
+    // multi-query predicate so batches actually split the sample; the
+    // portableBase-mod routing must partition it exhaustively (every
+    // query appears in the union exactly once, scores unchanged)
+    val pred = col("doc_id") <= 2L
+    val base = rows(Retrieval.bm25TopK(corpus, "doc_id", "text", pred, k = 5))
+    for (nb <- Seq(1, 2, 3, 7)) {
+      val got = rows(Retrieval.bm25TopKBatched(corpus, "doc_id", "text",
+        pred, batches = nb, k = 5))
+      assert(got == base, s"batches=$nb diverged: got $got, want $base")
+    }
+    spark.catalog.clearCache()
+  }
+
   test("impact-ordered BM25 equals the exact spelling on a Zipfian corpus " +
       "where the threshold prune actually engages (and on ties)") {
     // 40 docs over a Zipf-ish vocabulary: three ubiquitous terms (c1-c3,
