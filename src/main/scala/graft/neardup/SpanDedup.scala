@@ -83,31 +83,37 @@ object SpanDedup {
     val dup = grams.groupBy("gk").agg(count(lit(1)).as("occ"))
       .filter(col("occ") >= 2)
     // covered token positions: each dup start g covers [g, g+k-1] —
-    // bounded by k rows per dup-gram occurrence, deduped relationally
-    val covered = grams.join(dup, Seq("gk"))
+    // bounded by k rows per dup-gram occurrence. collect_set both
+    // DEDUPLICATES and aggregates the per-doc covered set in one
+    // exchange (a separate distinct + count + anti-join spelling was
+    // the r14 shape — see the rebuild note below)
+    val covSet = grams.join(dup, Seq("gk"))
       .select(col("id"), explode(
         sequence(col("gpos"), col("gpos") + (k - 1))).as("p"))
-      .distinct()
-    val nCovered = covered.groupBy("id").agg(count(lit(1)).as("n_removed"))
-    // surviving tokens: positioned explode anti-joined to the covered
-    // set, then the ParaDedup-style ordered rebuild. n_tokens rides the
-    // TOKEN frame, not the rebuild aggregate — a doc whose every token
-    // was cut has no surviving rows but must still report its length
-    val positioned = toks
-      .select(col("id"), posexplode(col("t")).as(Seq("p0", "tok")))
-      .withColumn("p", col("p0") + 1)
-    val kept = positioned.join(covered, Seq("id", "p"), "left_anti")
-    val perDoc = kept.groupBy("id")
-      .agg(concat_ws(glue, transform(
-        array_sort(collect_list(struct(col("p"), col("tok")))),
-        s => s.getField("tok"))).as("text_clean"))
-    toks.select(col("id").as("doc_id"),
-        size(col("t")).cast("long").as("n_tokens"))
-      .join(perDoc.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
-      .join(nCovered.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        col("n_tokens"),
-        coalesce(col("n_removed"), lit(0L)).as("n_removed"),
-        coalesce(col("text_clean"), lit("")).as("text_clean"))
+      .groupBy("id").agg(collect_set(col("p")).as("cov"))
+    // Rebuild by ARRAY complement, not by re-exploding tokens: the r14
+    // spelling posexploded every token into (id, p, tok) rows and ran
+    // them through an anti-join plus an ordered collect_list — three
+    // corpus-token-sized exchanges carrying token strings (measured as
+    // the residual spill mass once the gram keys were fingerprinted:
+    // ~1e9 rows at 5M realistic docs). Here the covered set rides ONE
+    // fixed-width (id, int-array) aggregate, joins the token frame on
+    // the doc key, and the survivor text is rebuilt map-side:
+    // array_except(sequence(1, n), cov) keeps ascending order (the
+    // left array's), element_at recovers each surviving token. The
+    // token text therefore crosses exactly one exchange (the id join),
+    // as a whole array per doc.
+    val out = toks
+      .join(covSet, Seq("id"), "left")
+      .select(col("id").as("doc_id"),
+        size(col("t")).cast("long").as("n_tokens"),
+        coalesce(size(col("cov")), lit(0)).cast("long").as("n_removed"),
+        when(col("cov").isNull, concat_ws(glue, col("t")))
+          .otherwise(concat_ws(glue,
+            transform(
+              array_except(sequence(lit(1), size(col("t"))), col("cov")),
+              p => element_at(col("t"), p))))
+          .as("text_clean"))
+    out
   }
 }

@@ -264,10 +264,20 @@ object TextAnalysis {
     * ln((N+1)/(df+1)) with document frequency from the corpus, score
     * rounded to 6 dp (keeps the cross-engine float compare stable), ties
     * on term name. Shape: one tf groupBy (partial-aggregated), a
-    * term-keyed df aggregate joined back (term domain ≪ corpus), the
-    * 1-row N via broadcast cross join — no driver-side collect — and a
-    * rank-limited window (WindowGroupLimit pushes k before the
-    * exchange).
+    * term-keyed df aggregate joined back (term domain ≪ corpus —
+    * vocabulary-bounded, so Catalyst broadcasts it and the join costs
+    * no corpus exchange), the 1-row N via broadcast cross join — no
+    * driver-side collect — and a rank-limited window (WindowGroupLimit
+    * pushes k before the exchange).
+    *
+    * The tf frame is MATERIALIZED (cached): it feeds both the df
+    * aggregate and the scoring side, and uncached each consumer re-runs
+    * the corpus tokenize+explode+aggregate — the round-14 plan audit
+    * showed the whole tf subtree duplicated under the broadcast build
+    * (the same double-build the BM25 postings cache fixed; x23 read
+    * 80.5s isolated at the 500k-doc Zipf corpus with the duplication).
+    * Release is the session owner's clearCache, the established
+    * contract.
     */
   def tfidfTopTerms(df: DataFrame, idCol: String, textCol: String,
                     k: Int = 3): DataFrame = {
@@ -275,6 +285,7 @@ object TextAnalysis {
     val tf = df
       .select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("term"))
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .cache()
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("dfreq"))
     val nDocs = df.agg(countDistinct(col(idCol)).as("n_docs"))
     tf.join(dfreq, "term")

@@ -1,0 +1,82 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Streaming-curation scale probe (round-15 verdict item: x52 had never
+  * run above sf0.1-size corpora — its v2 sweep row was the batch twin).
+  * Runs [[graft.streaming.CorpusStream.curate]] over a ScaleGenV2
+  * corpus as a RATE-LIMITED file stream (`maxFilesPerTrigger` parquet
+  * parts per micro-batch — the file-source equivalent of a rate
+  * limiter) through the real watermarked dedup state store, into the
+  * noop sink, and prints one JSON line with throughput and state-store
+  * peaks.
+  *
+  * Event time is x52's day-bounded synthetic ts (`base + doc_id mod
+  * 86400` — ids are avalanche-mixed, so ts is uniform over one day and
+  * UNCORRELATED with arrival order); lateness is therefore 25 hours so
+  * the watermark machinery runs (computed, advanced, and recorded per
+  * batch) without ever classifying an in-day row as late — with x52's
+  * 1-hour lateness a multi-batch run would drop most rows as late
+  * after the first batch advances the watermark to end-of-day, which
+  * would measure the DROP path, not the dedup path. State therefore
+  * holds every unique kept fingerprint for the whole run: its peak IS
+  * the probe's honest scratch bound (one fingerprint per unique kept
+  * doc, the CorpusStream scale contract).
+  *
+  * usage: Test/runMain graft.tools.StreamProbe <corpusDir> [maxFilesPerTrigger]
+  */
+object StreamProbe {
+  def main(args: Array[String]): Unit = {
+    val dir = args(0)
+    val mfpt = if (args.length > 1) args(1) else "1"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      // 8 state stores, the x51/x52 sizing (state files per partition)
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val t0 = System.nanoTime()
+    val raw = spark.read.parquet(s"$dir/documents.parquet").schema
+    val src = spark.readStream.schema(raw)
+      .option("maxFilesPerTrigger", mfpt)
+      .parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"),
+        timestamp_seconds(lit(1704067200L) + pmod(col("doc_id"), lit(86400L)))
+          .as("ts"),
+        col("text"))
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("streamprobe_ckpt").toString
+    val q = graft.streaming.CorpusStream
+      .curate(src, lateness = "25 hours")
+      .select("fingerprint")
+      .writeStream.format("noop")
+      .option("checkpointLocation", ckpt)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val wallSec = (System.nanoTime() - t0) / 1e9
+    val progs = q.recentProgress.toSeq
+    val inRows = progs.map(_.numInputRows).sum
+    val batches = progs.count(_.numInputRows > 0)
+    val stateRows = progs.flatMap(_.stateOperators.map(_.numRowsTotal))
+    val stateBytes = progs.flatMap(_.stateOperators.map(_.memoryUsedBytes))
+    val procSec = progs.map(_.durationMs.values().stream()
+      .mapToLong(_.longValue()).sum()).sum / 1e3
+    def mx(xs: Seq[Long]): Long = if (xs.isEmpty) 0L else xs.max
+    println(
+      s"""{"metric":"stream_curation","corpus":"$dir","batches":$batches,""" +
+      s""""input_rows":$inRows,"wall_sec":${f"$wallSec%.1f"},""" +
+      s""""batch_proc_sec":${f"$procSec%.1f"},""" +
+      s""""rows_per_sec":${f"${inRows / wallSec}%.0f"},""" +
+      s""""state_rows_peak":${mx(stateRows)},""" +
+      s""""state_mb_peak":${mx(stateBytes) >> 20},""" +
+      s""""max_files_per_trigger":$mfpt}""")
+    spark.stop()
+  }
+}
