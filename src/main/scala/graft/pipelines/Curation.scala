@@ -249,6 +249,18 @@ final class CorpusBuildV2(train: DataFrame, eval: DataFrame, idCol: String,
     * rows. The three gates are split out in quality → language →
     * repetition order (diagnostic convention; the pipeline evaluates
     * them as one order-free conjunction in one pass).
+    *
+    * Each stage count is materialized EAGERLY and IN STAGE ORDER (an
+    * eager 1-row localCheckpoint per stage), not unioned into one
+    * 8-branch job: in a single job every branch's shuffle files
+    * coexist on disk and the unpopulated stage caches race (two
+    * concurrent branches can compute the same expensive subtree — the
+    * span dedup — twice before the cache lands). Round 15 measured the
+    * one-job spelling at 72 GB peak scratch vs the build's 51 GB on
+    * the same 5M-doc corpus — past the node's disk where the build
+    * itself completes. Sequenced, each stage's count reuses the caches
+    * its predecessors populated and the funnel's scratch profile is
+    * the build's plus eight 1-row jobs. Output is unchanged.
     */
   lazy val funnel: DataFrame = {
     val stages: Seq[(Int, String, DataFrame)] = Seq(
@@ -265,6 +277,7 @@ final class CorpusBuildV2(train: DataFrame, eval: DataFrame, idCol: String,
       fr.agg(count(lit(1)).as("n_docs"))
         .select(lit(i.toLong).as("stage_id"), lit(name).as("stage"),
           col("n_docs"))
+        .localCheckpoint(true)
     }.reduce(_ unionAll _)
     // drop-vs-previous over the 8-row funnel (unpartitioned window is
     // fine at this cardinality — it never sees corpus-sized input)
