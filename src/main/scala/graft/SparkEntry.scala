@@ -2362,6 +2362,24 @@ object SparkEntry {
         fixedCountPred(docs(s, d), "doc_id", bmQueryTarget),
         batches = bmBatches, k1 = bmK1, b = bmB, k = bmK,
         maxDfFrac = bmDfFrac)),
+    // the auto entry's SCRATCH branch forced (the x87 idiom): the
+    // budget is pinned to half the measured estimate for the corpus at
+    // hand, so the routing rule engages (2 batches) at every harness
+    // corpus — keeping the default path's scratch wiring under DuckDB
+    // oracle replay and Bench's warm pass, exactly as x87 keeps the
+    // impact branch covered while x86 auto-routes. Production callers
+    // pass their node's real budget (default 48 GiB); at sf-scale
+    // corpora the default never engages, which is why this forced twin
+    // exists
+    "x92_bm25_auto_scratch" -> ((s, d) => {
+      val n = docs(s, d).count()
+      Retrieval.bm25TopKAuto(docs(s, d), "doc_id", "text",
+        fixedCountPred(docs(s, d), "doc_id", bmQueryTarget),
+        n = n, k1 = bmK1, b = bmB, k = bmK, maxDfFrac = bmDfFrac,
+        queryCount = bmQueryTarget,
+        scratchBudgetMb = math.max(1L,
+          Retrieval.bm25ScratchEstimateMb(n, bmQueryTarget) / 2))
+    }),
     // hybrid retrieval: the x70 sparse (BM25) and x05 dense (brute
     // cosine) rankers run over the doc∩vec corpus (doc_id = vec_id)
     // with ONE shared query sample, fused by reciprocal-rank fusion —
@@ -3941,6 +3959,9 @@ object SparkEntry {
     // are per-query, so the batched union equals the one-shot run —
     // the same oracle text replays it
     "x89_bm25_batched" -> bm25TopKOracle,
+    // x92 (scratch-forced auto) routes to the batched spelling, which
+    // is output-identical to x70 — same shared oracle text
+    "x92_bm25_auto_scratch" -> bm25TopKOracle,
     // x77: the x70 BM25 chain and the x05 cosine chain re-run over the
     // doc∩vec corpus CTE, then the RRF fuse — every contribution is
     // floor(1e6 / (C + rnk)) on integer-exact doubles, so the fused

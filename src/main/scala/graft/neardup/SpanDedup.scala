@@ -107,7 +107,13 @@ object SpanDedup {
       .join(covSet, Seq("id"), "left")
       .select(col("id").as("doc_id"),
         size(col("t")).cast("long").as("n_tokens"),
-        coalesce(size(col("cov")), lit(0)).cast("long").as("n_removed"),
+        // n_removed is branched on cov's nullness, NOT on
+        // coalesce(size(cov), 0): size(NULL) is NULL only under ANSI
+        // semantics (Spark 4 default) — with legacy sizeOfNull it is -1,
+        // which coalesce would pass through, silently reporting -1 for
+        // every clean doc. The when-branch is total under both settings.
+        when(col("cov").isNull, lit(0L))
+          .otherwise(size(col("cov")).cast("long")).as("n_removed"),
         when(col("cov").isNull, concat_ws(glue, col("t")))
           .otherwise(concat_ws(glue,
             transform(

@@ -83,19 +83,33 @@ object Retrieval {
 
   private[graft] def bm25Parts(corpus: DataFrame, idCol: String,
                                textCol: String, queryPred: Column,
-                               maxDfFrac: Double): Bm25Parts = {
-    val toks = corpus.select(col(idCol).as("nid"),
-      TextAnalysis.tokens(col(textCol)).as("tk"))
+                               maxDfFrac: Double): Bm25Parts =
+    bm25PartsToks(
+      corpus.select(col(idCol), TextAnalysis.tokens(col(textCol)).as("tk")),
+      idCol, queryPred, maxDfFrac)
+
+  /** [[bm25Parts]] over an ALREADY-TOKENIZED frame `(idCol, tk)` — the
+    * seam the staged-tokenize path ([[bm25TopKBatched]] `stageDir`)
+    * plugs a scratch-parquet read into, so each query batch re-scans
+    * fixed token arrays instead of re-running the tokenizer over the
+    * raw text. `queryPred` must reference only `idCol` (both callers'
+    * preds are id-hash predicates); tokenization is deterministic and
+    * parquet round-trips array<string> losslessly, so the two paths are
+    * output-identical by construction (spec-pinned).
+    */
+  private[graft] def bm25PartsToks(toks0: DataFrame, idCol: String,
+                                   queryPred: Column,
+                                   maxDfFrac: Double): Bm25Parts = {
+    val toks = toks0.select(col(idCol).as("nid"), col("tk"))
     // corpus stats: one 1-row aggregate (docs INCLUDING token-less ones;
     // integer sum, so avgdl is one exact division both engines replay)
     val stats = toks.agg(count(lit(1)).as("n"), sum(size(col("tk"))).as("sl"))
     // the query's distinct term ids: tokenized from the sampled query
     // docs, fingerprinted, distinct UNDER the tid identity (one row per
     // (qid, tid) — the grouping identity every downstream frame uses)
-    val qterms0 = corpus.filter(queryPred)
+    val qterms0 = toks0.filter(queryPred)
       .select(col(idCol).as("qid"),
-        explode(array_distinct(TextAnalysis.tokens(col(textCol))))
-          .as("term"))
+        explode(array_distinct(col("tk"))).as("term"))
     val qtid = qterms0
       .select(col("qid"), graft.neardup.NearDup.portableBase(col("term")).as("tid"))
       .distinct()
@@ -349,17 +363,36 @@ object Retrieval {
     * side — size `batches` so one batch's index fits the node's scratch
     * budget. batches=1 degenerates to exactly [[bm25TopK]]'s plan plus
     * one checkpoint write of the final (tiny) result.
+    *
+    * `stageDir`: when set, the tokenized corpus `(idCol, tk)` is
+    * written ONCE to that path as scratch parquet and every batch reads
+    * the staged frame instead of re-running the tokenizer over the raw
+    * text — trading one corpus-sized staging write (paid up front, and
+    * disk held for the whole run) for `batches`× tokenize passes. The
+    * caller owns the path's lifecycle (create a temp dir, delete after
+    * the result is consumed). Output-identical either way (spec-pinned):
+    * tokenization is deterministic and parquet round-trips
+    * array<string> losslessly.
     */
   def bm25TopKBatched(corpus: DataFrame, idCol: String, textCol: String,
                       queryPred: Column, batches: Int, k1: Double = 1.2,
                       b: Double = 0.75, k: Int = 5,
-                      maxDfFrac: Double = 0.9): DataFrame = {
+                      maxDfFrac: Double = 0.9,
+                      stageDir: Option[String] = None): DataFrame = {
     require(batches >= 1, s"batches must be >= 1, got $batches")
+    val staged: Option[DataFrame] = stageDir.map { dir =>
+      corpus.select(col(idCol), TextAnalysis.tokens(col(textCol)).as("tk"))
+        .write.mode("overwrite").parquet(dir)
+      corpus.sparkSession.read.parquet(dir)
+    }
     val results = (0 until batches).map { bi =>
       val predB = queryPred &&
         pmod(graft.neardup.NearDup.portableBase(col(idCol).cast("string")),
           lit(batches.toLong)) === lit(bi.toLong)
-      val parts = bm25Parts(corpus, idCol, textCol, predB, maxDfFrac)
+      val parts = staged match {
+        case Some(t) => bm25PartsToks(t, idCol, predB, maxDfFrac)
+        case None => bm25Parts(corpus, idCol, textCol, predB, maxDfFrac)
+      }
       val scored = parts.tf
         .join(broadcast(parts.qterms), Seq("tid"))
         .filter(col("nid") =!= col("qid"))
@@ -402,22 +435,87 @@ object Retrieval {
     */
   val bm25ImpactCrossoverDocs: Long = 250000L
 
+  /** Measured single-node peak-scratch sizing rule for ONE screened
+    * postings index: ~3 GB per 1M corpus docs per 10 query docs
+    * (round 15, ScaleGenV2 10M-doc Zipfian corpus: 4 batches × 10
+    * queries peaked at 32.2 GB — ~3.2 GB/1M/10q; the round-14 monolith
+    * at 40 queries extrapolates to ~120 GB, and indeed filled a ~75 GB
+    * node). The estimate covers the index build + score shuffle of the
+    * plain AND impact spellings — they share `bm25Parts`, so above a
+    * node's scratch budget BOTH die the same way and the only surviving
+    * spelling is the batched one.
+    */
+  val bm25ScratchMbPer1MDocsPer10Queries: Long = 3072L
+
+  /** Default per-node scratch budget the auto entry sizes against:
+    * 48 GiB — the round-15 measured completions on a ~75 GB-free node
+    * peaked at 51-52 GB with the whole ten-stage build running, so one
+    * query's index must stay under ~2/3 of the free disk to leave the
+    * rest of a real job room. Deployments pass their own budget.
+    */
+  val bm25DefaultScratchBudgetMb: Long = 49152L
+
+  /** The auto entry's scratch routing rule, exposed for the spec and
+    * the sizing discussion: estimated monolithic-index scratch in MB
+    * (the measured rule, linear in docs and in query count), and the
+    * batch count that fits `scratchBudgetMb` — 1 when the monolith
+    * already fits (or the budget is non-positive = "unlimited"),
+    * otherwise ceil(estimate / budget) capped at `queryCount` (a batch
+    * per query is the finest split that still amortizes anything; empty
+    * batches would each pay a full corpus tokenize for nothing).
+    */
+  private[graft] def bm25ScratchEstimateMb(n: Long, queryCount: Long): Long =
+    math.ceil(bm25ScratchMbPer1MDocsPer10Queries
+      * (n / 1e6) * (queryCount / 10.0)).toLong
+
+  private[graft] def bm25AutoBatches(n: Long, queryCount: Long,
+                                     scratchBudgetMb: Long): Int = {
+    if (scratchBudgetMb <= 0L) 1
+    else {
+      val est = bm25ScratchEstimateMb(n, queryCount)
+      if (est <= scratchBudgetMb) 1
+      else {
+        val want = math.ceil(est.toDouble / scratchBudgetMb).toLong
+        math.max(1L, math.min(want, math.max(1L, queryCount))).toInt
+      }
+    }
+  }
+
   /** Auto-shaped exact BM25 top-k — the default entry point, the x59
-    * pattern: [[bm25TopK]] below [[bm25ImpactCrossoverDocs]],
-    * [[bm25TopKImpact]] at or above it. Both spellings are output-
-    * identical (spec-pinned), so unlike x59 the branch needs no oracle
-    * replay — `n` (one metadata-cheap count) only routes the WORK.
+    * pattern, routing on TWO measured constants. First the survival
+    * axis: if the estimated screened-index scratch
+    * ([[bm25ScratchEstimateMb]] — the measured ~3 GB/1M-docs/10-queries
+    * rule) exceeds `scratchBudgetMb`, the work routes to
+    * [[bm25TopKBatched]] with the batch count that fits the budget —
+    * the only spelling that completes the >5M-docs-per-node regime
+    * (round 14 committed both non-batched spellings dying at 10M docs
+    * on a ~75 GB node; round 15 committed the batched completion at
+    * 32.2 GB peak). Then the CPU axis: [[bm25TopK]] below
+    * [[bm25ImpactCrossoverDocs]], [[bm25TopKImpact]] at or above it.
+    * All three spellings are output-identical (spec-pinned), so the
+    * branches need no oracle replay — `n` (one metadata-cheap count)
+    * and `queryCount` (the caller's fixed sample size) only route the
+    * WORK. Pass `scratchBudgetMb <= 0` to disable scratch routing
+    * (a caller who has provisioned cluster-sharded shuffle space).
     */
   def bm25TopKAuto(corpus: DataFrame, idCol: String, textCol: String,
                    queryPred: Column, n: Long, k1: Double = 1.2,
                    b: Double = 0.75, k: Int = 5, maxDfFrac: Double = 0.9,
                    essTerms: Int = 8,
-                   crossover: Long = bm25ImpactCrossoverDocs): DataFrame =
-    if (n < crossover)
+                   crossover: Long = bm25ImpactCrossoverDocs,
+                   queryCount: Long = 40L,
+                   scratchBudgetMb: Long = bm25DefaultScratchBudgetMb)
+      : DataFrame = {
+    val batches = bm25AutoBatches(n, queryCount, scratchBudgetMb)
+    if (batches > 1)
+      bm25TopKBatched(corpus, idCol, textCol, queryPred, batches, k1, b, k,
+        maxDfFrac)
+    else if (n < crossover)
       bm25TopK(corpus, idCol, textCol, queryPred, k1, b, k, maxDfFrac)
     else
       bm25TopKImpact(corpus, idCol, textCol, queryPred, k1, b, k,
         maxDfFrac, essTerms)
+  }
 
   /** Reciprocal-rank fusion (Cormack/Clarke/Buettcher 2009) of per-query
     * ranked lists — the standard hybrid-retrieval combiner: each ranker

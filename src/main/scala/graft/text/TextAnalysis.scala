@@ -276,8 +276,16 @@ object TextAnalysis {
     * showed the whole tf subtree duplicated under the broadcast build
     * (the same double-build the BM25 postings cache fixed; x23 read
     * 80.5s isolated at the 500k-doc Zipf corpus with the duplication).
-    * Release is the session owner's clearCache, the established
-    * contract.
+    *
+    * CALLER CONTRACT (cache release): the tf cache is NOT unpersisted
+    * here — the returned frame is lazy and still references it, and an
+    * eager materialize-then-unpersist (the bm25TopKBatched pattern)
+    * would pin a corpus-sized top-terms result in local block storage,
+    * strictly worse at scale than the cache it frees. The session owner
+    * releases it: Bench/Verify call `spark.catalog.clearCache()` per
+    * rep; a long-lived pipeline session that calls this repeatedly must
+    * do the same (or unpersist via `spark.catalog.cacheManager`-visible
+    * frames) or cached storage accumulates unboundedly.
     */
   def tfidfTopTerms(df: DataFrame, idCol: String, textCol: String,
                     k: Int = 3): DataFrame = {

@@ -1,0 +1,35 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the BENCH record's self-describing protocol contract (round-15
+  * verdict item 7): every record built through Bench's line assembly
+  * must carry the cross-round context fields — `boot_id` + `steal_pct`
+  * (round 14: a full sweep read 1.6-10× slow purely from hypervisor
+  * steal no record field could show) and `peak_scratch_mb_max` + the
+  * per-query `peak_scratch_mb` map (round 14: three queries died
+  * disk-full with no record of who ate the disk). Dropping a field is
+  * a spec failure here, not an archaeology problem two rounds later.
+  */
+class BenchProtocolSpec extends AnyFunSuite {
+
+  test("protocol fragment carries boot, steal, and headline scratch") {
+    val p = Bench.protocolJson(reps = 3, bootId = "b-1", loadAvg = 0.5,
+      otherJvms = 0L, stealPct = BigDecimal("1.25"), scratchMaxMb = 197L)
+    for (key <- Seq("\"protocol\":\"noop-sink/min-of-3\"",
+        "\"boot_id\":\"b-1\"", "\"load_avg\":0.5", "\"other_jvms\":0",
+        "\"steal_pct\":1.25", "\"peak_scratch_mb_max\":197"))
+      assert(p.contains(key), s"protocol fragment lost $key: $p")
+  }
+
+  test("full record line carries the per-query time AND scratch maps") {
+    val line = Bench.fullLine(12.5, Bench.protocolJson(1, "b", 0.0, 0L,
+      BigDecimal(-1), 0L), """{"q1":12.5}""", """{"q1":42}""", "/d")
+    for (key <- Seq("\"metric\":\"total\"", "\"value\":12.5",
+        "\"queries\":{\"q1\":12.5}", "\"peak_scratch_mb\":{\"q1\":42}",
+        "\"peak_scratch_mb_max\":0", "\"sf\":\"/d\""))
+      assert(line.contains(key), s"record line lost $key: $line")
+    // and it parses as one JSON object (the driver's contract)
+    assert(line.startsWith("{") && line.endsWith("}"))
+  }
+}

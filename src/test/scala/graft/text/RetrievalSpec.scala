@@ -155,6 +155,60 @@ class RetrievalSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("staged-tokenize batched BM25 equals the unstaged spelling") {
+    val pred = col("doc_id") <= 2L
+    val base = rows(Retrieval.bm25TopK(corpus, "doc_id", "text", pred, k = 5))
+    val dir = java.nio.file.Files.createTempDirectory("bm25stage").toString
+    try {
+      for (nb <- Seq(1, 3)) {
+        val got = rows(Retrieval.bm25TopKBatched(corpus, "doc_id", "text",
+          pred, batches = nb, k = 5, stageDir = Some(dir)))
+        assert(got == base, s"staged batches=$nb diverged")
+      }
+    } finally {
+      import scala.jdk.CollectionConverters._
+      val p = java.nio.file.Paths.get(dir)
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+    spark.catalog.clearCache()
+  }
+
+  test("auto-branched BM25 routes to the batched spelling above the " +
+      "scratch budget, with the batch count that fits it") {
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.logical.canonicalized
+    val pred = col("doc_id") <= 2L
+    // the sizing rule itself: measured constants, ceil, query-count cap
+    assert(Retrieval.bm25ScratchMbPer1MDocsPer10Queries == 3072L)
+    assert(Retrieval.bm25ScratchEstimateMb(10000000L, 40L) == 122880L)
+    assert(Retrieval.bm25AutoBatches(10000000L, 40L, 49152L) == 3,
+      "10M docs x 40 queries over a 48 GiB budget must split in 3")
+    assert(Retrieval.bm25AutoBatches(10000000L, 40L, 0L) == 1,
+      "budget <= 0 disables scratch routing")
+    assert(Retrieval.bm25AutoBatches(100000L, 40L, 49152L) == 1,
+      "an index that fits the budget stays monolithic")
+    assert(Retrieval.bm25AutoBatches(100000000L, 4L, 1L) == 4,
+      "batch count is capped at the query count")
+    // the engaged branch returns literally the batched spelling's result
+    // (batched is eager — localCheckpoint per batch — so the pin is on
+    // OUTPUT equality against both the batched and plain spellings)
+    val base = rows(Retrieval.bm25TopK(corpus, "doc_id", "text", pred, k = 5))
+    // n is caller-supplied: claiming 10M docs at the default budget
+    // forces the 3-batch split on the real (tiny) corpus — engagement
+    // is asserted via the rule above, equality via the output here
+    val auto = rows(Retrieval.bm25TopKAuto(corpus, "doc_id", "text", pred,
+      n = 10000000L, k = 5, queryCount = 40L))
+    assert(auto == base, "scratch-routed auto must stay output-identical")
+    // and below the budget the plan is still the crossover-routed one
+    val mono = Retrieval.bm25TopKAuto(corpus, "doc_id", "text", pred,
+      n = 5L, k = 5, queryCount = 2L)
+    assert(canon(mono) == canon(
+      Retrieval.bm25TopK(corpus, "doc_id", "text", pred, k = 5)),
+      "a fitting index must keep the monolithic plan")
+    spark.catalog.clearCache()
+  }
+
   test("impact-ordered BM25: open-query fallback (fewer than k essential " +
       "hits) and empty corpus stay exact") {
     // only 3 docs share any term with the query => theta is NULL at k=5

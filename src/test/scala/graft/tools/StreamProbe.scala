@@ -40,6 +40,34 @@ object StreamProbe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // metrics via a StreamingQueryListener, NOT q.recentProgress:
+    // recentProgress retains only the last numRecentProgressUpdates
+    // (default 100) entries, so a corpus with more part files than that
+    // at maxFilesPerTrigger=1 would silently undercount input_rows /
+    // batches and corrupt rows_per_sec — exactly at the scales this
+    // probe exists to measure. The listener sees EVERY progress event.
+    val inRowsAcc = new java.util.concurrent.atomic.AtomicLong(0L)
+    val batchesAcc = new java.util.concurrent.atomic.AtomicLong(0L)
+    val procMsAcc = new java.util.concurrent.atomic.AtomicLong(0L)
+    val stateRowsPeak = new java.util.concurrent.atomic.AtomicLong(0L)
+    val stateBytesPeak = new java.util.concurrent.atomic.AtomicLong(0L)
+    spark.streams.addListener(
+      new org.apache.spark.sql.streaming.StreamingQueryListener {
+        import org.apache.spark.sql.streaming.StreamingQueryListener._
+        override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+        override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+        override def onQueryProgress(e: QueryProgressEvent): Unit = {
+          val p = e.progress
+          inRowsAcc.addAndGet(p.numInputRows)
+          if (p.numInputRows > 0) batchesAcc.incrementAndGet()
+          procMsAcc.addAndGet(
+            p.durationMs.values().stream().mapToLong(_.longValue()).sum())
+          p.stateOperators.foreach { so =>
+            stateRowsPeak.accumulateAndGet(so.numRowsTotal, math.max(_, _))
+            stateBytesPeak.accumulateAndGet(so.memoryUsedBytes, math.max(_, _))
+          }
+        }
+      })
     val t0 = System.nanoTime()
     val raw = spark.read.parquet(s"$dir/documents.parquet").schema
     val src = spark.readStream.schema(raw)
@@ -61,21 +89,18 @@ object StreamProbe {
       .start()
     q.awaitTermination()
     val wallSec = (System.nanoTime() - t0) / 1e9
-    val progs = q.recentProgress.toSeq
-    val inRows = progs.map(_.numInputRows).sum
-    val batches = progs.count(_.numInputRows > 0)
-    val stateRows = progs.flatMap(_.stateOperators.map(_.numRowsTotal))
-    val stateBytes = progs.flatMap(_.stateOperators.map(_.memoryUsedBytes))
-    val procSec = progs.map(_.durationMs.values().stream()
-      .mapToLong(_.longValue()).sum()).sum / 1e3
-    def mx(xs: Seq[Long]): Long = if (xs.isEmpty) 0L else xs.max
+    // listener events are posted asynchronously — give the bus a moment
+    // (outside the measured wall) so the final batch's progress is
+    // counted before the line prints
+    Thread.sleep(2000)
+    val inRows = inRowsAcc.get()
     println(
-      s"""{"metric":"stream_curation","corpus":"$dir","batches":$batches,""" +
+      s"""{"metric":"stream_curation","corpus":"$dir","batches":${batchesAcc.get()},""" +
       s""""input_rows":$inRows,"wall_sec":${f"$wallSec%.1f"},""" +
-      s""""batch_proc_sec":${f"$procSec%.1f"},""" +
+      s""""batch_proc_sec":${procMsAcc.get() / 1e3},""" +
       s""""rows_per_sec":${f"${inRows / wallSec}%.0f"},""" +
-      s""""state_rows_peak":${mx(stateRows)},""" +
-      s""""state_mb_peak":${mx(stateBytes) >> 20},""" +
+      s""""state_rows_peak":${stateRowsPeak.get()},""" +
+      s""""state_mb_peak":${stateBytesPeak.get() >> 20},""" +
       s""""max_files_per_trigger":$mfpt}""")
     spark.stop()
   }
