@@ -25,12 +25,21 @@ import org.apache.spark.sql.streaming.Trigger
   * the probe's honest scratch bound (one fingerprint per unique kept
   * doc, the CorpusStream scale contract).
   *
-  * usage: Test/runMain graft.tools.StreamProbe <corpusDir> [maxFilesPerTrigger]
+  * The optional `parts` arg re-buckets documents.parquet into that many
+  * part files in a temp dir before streaming (deleted after): the file
+  * source's rate limit is FILES per trigger, so micro-batch granularity
+  * is part-file granularity — ScaleGenV2 writes 8 parts, which caps any
+  * run at 8 batches regardless of mfpt. 128 parts at mfpt=1 also drives
+  * the batch count past the 100-entry recentProgress window, the
+  * undercount the probe's listener accumulation exists to avoid.
+  *
+  * usage: Test/runMain graft.tools.StreamProbe <corpusDir> [maxFilesPerTrigger] [parts]
   */
 object StreamProbe {
   def main(args: Array[String]): Unit = {
-    val dir = args(0)
+    val dir0 = args(0)
     val mfpt = if (args.length > 1) args(1) else "1"
+    val parts = if (args.length > 2) args(2).toInt else 0
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -40,6 +49,16 @@ object StreamProbe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // optional re-bucket for micro-batch granularity (see header)
+    val (dir, rebucketed) =
+      if (parts > 0) {
+        val tmp = java.nio.file.Files
+          .createTempDirectory("streamprobe_parts").toString
+        spark.read.parquet(s"$dir0/documents.parquet")
+          .repartition(parts)
+          .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+        (tmp, true)
+      } else (dir0, false)
     // metrics via a StreamingQueryListener, NOT q.recentProgress:
     // recentProgress retains only the last numRecentProgressUpdates
     // (default 100) entries, so a corpus with more part files than that
@@ -60,8 +79,12 @@ object StreamProbe {
           val p = e.progress
           inRowsAcc.addAndGet(p.numInputRows)
           if (p.numInputRows > 0) batchesAcc.incrementAndGet()
+          // triggerExecution is the WHOLE trigger wall (the other
+          // durationMs keys are its components) — summing every key
+          // double-counts; take the total only
           procMsAcc.addAndGet(
-            p.durationMs.values().stream().mapToLong(_.longValue()).sum())
+            Option(p.durationMs.get("triggerExecution")).map(_.longValue())
+              .getOrElse(0L))
           p.stateOperators.foreach { so =>
             stateRowsPeak.accumulateAndGet(so.numRowsTotal, math.max(_, _))
             stateBytesPeak.accumulateAndGet(so.memoryUsedBytes, math.max(_, _))
@@ -95,13 +118,19 @@ object StreamProbe {
     Thread.sleep(2000)
     val inRows = inRowsAcc.get()
     println(
-      s"""{"metric":"stream_curation","corpus":"$dir","batches":${batchesAcc.get()},""" +
+      s"""{"metric":"stream_curation","corpus":"$dir0","batches":${batchesAcc.get()},""" +
       s""""input_rows":$inRows,"wall_sec":${f"$wallSec%.1f"},""" +
       s""""batch_proc_sec":${procMsAcc.get() / 1e3},""" +
       s""""rows_per_sec":${f"${inRows / wallSec}%.0f"},""" +
       s""""state_rows_peak":${stateRowsPeak.get()},""" +
       s""""state_mb_peak":${stateBytesPeak.get() >> 20},""" +
-      s""""max_files_per_trigger":$mfpt}""")
+      s""""max_files_per_trigger":$mfpt,"parts":$parts}""")
+    if (rebucketed) {
+      import scala.jdk.CollectionConverters._
+      val p = java.nio.file.Paths.get(dir)
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
     spark.stop()
   }
 }
