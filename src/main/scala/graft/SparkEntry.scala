@@ -2361,7 +2361,7 @@ object SparkEntry {
       Retrieval.bm25TopKBatched(docs(s, d), "doc_id", "text",
         fixedCountPred(docs(s, d), "doc_id", bmQueryTarget),
         batches = bmBatches, k1 = bmK1, b = bmB, k = bmK,
-        maxDfFrac = bmDfFrac)),
+        maxDfFrac = bmDfFrac, stageTokens = true)),
     // the auto entry's SCRATCH branch forced (the x87 idiom): the
     // budget is pinned to half the measured estimate for the corpus at
     // hand, so the routing rule engages (2 batches) at every harness

@@ -364,22 +364,33 @@ object Retrieval {
     * budget. batches=1 degenerates to exactly [[bm25TopK]]'s plan plus
     * one checkpoint write of the final (tiny) result.
     *
-    * `stageDir`: when set, the tokenized corpus `(idCol, tk)` is
-    * written ONCE to that path as scratch parquet and every batch reads
+    * `stageTokens`: when true (and `batches` > 1 — a single batch
+    * tokenizes once anyway), the tokenized corpus `(idCol, tk)` is
+    * written ONCE to a scratch-parquet temp dir and every batch reads
     * the staged frame instead of re-running the tokenizer over the raw
-    * text — trading one corpus-sized staging write (paid up front, and
-    * disk held for the whole run) for `batches`× tokenize passes. The
-    * caller owns the path's lifecycle (create a temp dir, delete after
-    * the result is consumed). Output-identical either way (spec-pinned):
-    * tokenization is deterministic and parquet round-trips
-    * array<string> losslessly.
+    * text — trading one corpus-sized staging write for `batches`×
+    * tokenize passes. Measured at v2-5M / 4 batches (round 16, boot
+    * `ccb92f53`): 2113.8s unstaged vs **1762.9s staged (0.83×)** at
+    * equal peak scratch (14.5 vs 14.3 GB) — the staging write costs
+    * less than one tokenize pass and each avoided pass is ~115s/5M
+    * docs, so the win GROWS with the batch count; the staged frame is
+    * ~0.23 KB/doc (1.17 GB at 5M), disk the run's shuffle budget
+    * dwarfs. The temp dir is deleted before returning — every batch's
+    * result is eagerly localCheckpointed, so nothing references the
+    * staged files after the loop. Output-identical either way
+    * (spec-pinned): tokenization is deterministic and parquet
+    * round-trips array<string> losslessly.
     */
   def bm25TopKBatched(corpus: DataFrame, idCol: String, textCol: String,
                       queryPred: Column, batches: Int, k1: Double = 1.2,
                       b: Double = 0.75, k: Int = 5,
                       maxDfFrac: Double = 0.9,
-                      stageDir: Option[String] = None): DataFrame = {
+                      stageTokens: Boolean = false): DataFrame = {
     require(batches >= 1, s"batches must be >= 1, got $batches")
+    val stageDir: Option[String] =
+      if (stageTokens && batches > 1)
+        Some(java.nio.file.Files.createTempDirectory("bm25toks").toString)
+      else None
     val staged: Option[DataFrame] = stageDir.map { dir =>
       corpus.select(col(idCol), TextAnalysis.tokens(col(textCol)).as("tk"))
         .write.mode("overwrite").parquet(dir)
@@ -406,6 +417,14 @@ object Retrieval {
       // is gone before batch i+1 needs the space
       System.gc()
       pinned
+    }
+    // the staged files are dead once every batch is checkpointed —
+    // reclaim the scratch before the (long-lived) result is consumed
+    stageDir.foreach { d =>
+      import scala.jdk.CollectionConverters._
+      val p = java.nio.file.Paths.get(d)
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
     }
     results.reduce(_ unionAll _)
   }
@@ -508,8 +527,10 @@ object Retrieval {
       : DataFrame = {
     val batches = bm25AutoBatches(n, queryCount, scratchBudgetMb)
     if (batches > 1)
+      // staged tokenize: measured 0.83× the per-batch re-tokenize at
+      // v2-5M/4 batches with equal peak scratch (see bm25TopKBatched)
       bm25TopKBatched(corpus, idCol, textCol, queryPred, batches, k1, b, k,
-        maxDfFrac)
+        maxDfFrac, stageTokens = true)
     else if (n < crossover)
       bm25TopK(corpus, idCol, textCol, queryPred, k1, b, k, maxDfFrac)
     else

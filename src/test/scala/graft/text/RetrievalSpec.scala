@@ -158,18 +158,10 @@ class RetrievalSpec extends SparkSpec {
   test("staged-tokenize batched BM25 equals the unstaged spelling") {
     val pred = col("doc_id") <= 2L
     val base = rows(Retrieval.bm25TopK(corpus, "doc_id", "text", pred, k = 5))
-    val dir = java.nio.file.Files.createTempDirectory("bm25stage").toString
-    try {
-      for (nb <- Seq(1, 3)) {
-        val got = rows(Retrieval.bm25TopKBatched(corpus, "doc_id", "text",
-          pred, batches = nb, k = 5, stageDir = Some(dir)))
-        assert(got == base, s"staged batches=$nb diverged")
-      }
-    } finally {
-      import scala.jdk.CollectionConverters._
-      val p = java.nio.file.Paths.get(dir)
-      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
-        .foreach(java.nio.file.Files.deleteIfExists(_))
+    for (nb <- Seq(1, 3)) {
+      val got = rows(Retrieval.bm25TopKBatched(corpus, "doc_id", "text",
+        pred, batches = nb, k = 5, stageTokens = true))
+      assert(got == base, s"staged batches=$nb diverged")
     }
     spark.catalog.clearCache()
   }

@@ -36,13 +36,6 @@ object Bm25ScaleProbe {
       .map(size).sum).getOrElse(0L)
   }
 
-  private def dirBytes(p: String): Long = {
-    def size(f: java.io.File): Long =
-      if (f.isFile) f.length
-      else Option(f.listFiles).map(_.iterator.map(size).sum).getOrElse(0L)
-    size(new java.io.File(p))
-  }
-
   def main(args: Array[String]): Unit = {
     val dir = args(0)
     val mode = args(1)
@@ -77,10 +70,6 @@ object Bm25ScaleProbe {
     sampler.setDaemon(true)
     sampler.start()
 
-    val stageDir =
-      if (mode == "staged")
-        Some(java.nio.file.Files.createTempDirectory("bm25stage").toString)
-      else None
     val t0 = System.nanoTime()
     val out = mode match {
       case "auto" =>
@@ -91,23 +80,20 @@ object Bm25ScaleProbe {
           batches = batches)
       case "staged" =>
         graft.text.Retrieval.bm25TopKBatched(docs, "doc_id", "text", pred,
-          batches = batches, stageDir = stageDir)
+          batches = batches, stageTokens = true)
       case other => sys.error(s"unknown mode: $other")
     }
     out.write.mode("overwrite").format("noop").save()
     val wallSec = (System.nanoTime() - t0) / 1e9
-    val stagedMb = stageDir.map(dirBytes(_) >> 20).getOrElse(0L)
+    // the staged temp dir is created AND deleted inside
+    // bm25TopKBatched; its one-time size was measured in the round-16
+    // A/B (~0.23 KB/doc) — report -1 here (function-managed)
+    val stagedMb = if (mode == "staged") -1L else 0L
     stop = true
     sampler.interrupt()
     peak.accumulateAndGet(scratchBytes(), math.max(_, _))
     sampler.join(5000)
     val rows = out.count()
-    stageDir.foreach { d =>
-      import scala.jdk.CollectionConverters._
-      val p = java.nio.file.Paths.get(d)
-      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
-        .foreach(java.nio.file.Files.deleteIfExists(_))
-    }
     val autoBatches =
       if (mode == "auto")
         graft.text.Retrieval.bm25AutoBatches(n, 40L,
