@@ -546,10 +546,19 @@ object Similarity {
     * hierarchical assignment) are inherited, not re-decided here.
     */
   def mutualKnnClusters(graph: DataFrame, threshold: Double): DataFrame = {
-    // cache: the thresholded edges feed both sides of the mutuality
-    // semi-join — without this the whole kNN graph builds twice
+    // EAGER localCheckpoint, not cache(): the thresholded edges feed
+    // both sides of the mutuality semi-join, and a lazy cache lets the
+    // first action race TWO concurrent copies of the full kNN-graph
+    // build (the join's two shuffle sides materialize in parallel;
+    // block-level locks only partially serialize them) through one
+    // executor heap — measured at v2-5M (round 17): the cached
+    // spelling OOMs a 64 GB heap ~14 min in, mid graph-build window
+    // sort, while the graph ALONE (x63) completes in less. The
+    // checkpoint runs the expensive subtree exactly once, streaming
+    // into block storage, and the semi-join then reads the pinned
+    // (tiny, k·n-bounded) edge list twice for free.
     val e = graph.filter(col("sim") >= threshold)
-      .select(col("qid"), col("nid")).cache()
+      .select(col("qid"), col("nid")).localCheckpoint(true)
     val mutual = e
       .join(e.select(col("nid").as("qid"), col("qid").as("nid")),
         Seq("qid", "nid"), "left_semi")

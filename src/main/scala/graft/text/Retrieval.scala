@@ -187,6 +187,16 @@ object Retrieval {
     * (query, hit): (qid, nid, score, rnk) — `score` in integer
     * millionths, `rnk` the dense 1-based rank (score DESC, nid ASC
     * deterministic tiebreak). The query doc itself is excluded.
+    *
+    * `queryPred` must reference ONLY `idCol`: the predicate is applied
+    * to the projected `(idCol, tokens)` frame (so the tokenize runs
+    * once, not once per consumer), and a predicate naming `textCol` or
+    * any other corpus column fails analysis. Both shipped callers use
+    * id-hash sampling predicates; a caller needing a content predicate
+    * filters the corpus BEFORE calling (the filtered frame is the
+    * corpus, so df/idf then honestly reflect the filtered collection).
+    * Same contract on every bm25TopK* entry point — they all route
+    * through the shared [[bm25Parts]].
     */
   def bm25TopK(corpus: DataFrame, idCol: String, textCol: String,
                queryPred: Column, k1: Double = 1.2, b: Double = 0.75,
@@ -295,6 +305,7 @@ object Retrieval {
     Bm25ImpactParts(qt, qEss, qNon, sE, qmeta)
   }
 
+  /** `queryPred` contract: id-only — see [[bm25TopK]]. */
   def bm25TopKImpact(corpus: DataFrame, idCol: String, textCol: String,
                      queryPred: Column, k1: Double = 1.2, b: Double = 0.75,
                      k: Int = 5, maxDfFrac: Double = 0.9,
@@ -375,11 +386,22 @@ object Retrieval {
     * less than one tokenize pass and each avoided pass is ~115s/5M
     * docs, so the win GROWS with the batch count; the staged frame is
     * ~0.23 KB/doc (1.17 GB at 5M), disk the run's shuffle budget
-    * dwarfs. The temp dir is deleted before returning — every batch's
-    * result is eagerly localCheckpointed, so nothing references the
-    * staged files after the loop. Output-identical either way
-    * (spec-pinned): tokenization is deterministic and parquet
-    * round-trips array<string> losslessly.
+    * dwarfs. The temp dir is deleted (try/finally — a failing batch
+    * cannot leak a corpus-sized staged parquet) before returning —
+    * every batch's result is eagerly localCheckpointed, so nothing
+    * references the staged files after the loop. Output-identical
+    * either way (spec-pinned): tokenization is deterministic and
+    * parquet round-trips array<string> losslessly.
+    *
+    * Staging-path resolution: if the session has a checkpoint dir
+    * (`sparkContext.setCheckpointDir` — by construction a path every
+    * executor can reach), the staged parquet goes under it; otherwise
+    * a driver-local temp dir is used, which is correct in LOCAL mode
+    * only (a multi-node cluster without a checkpoint dir would hand
+    * executors a path that exists on no worker — such deployments must
+    * either set a checkpoint dir or pass `stageTokens = false`).
+    * Deletion goes through the path's Hadoop FileSystem, so both
+    * shapes clean up.
     */
   def bm25TopKBatched(corpus: DataFrame, idCol: String, textCol: String,
                       queryPred: Column, batches: Int, k1: Double = 1.2,
@@ -387,46 +409,54 @@ object Retrieval {
                       maxDfFrac: Double = 0.9,
                       stageTokens: Boolean = false): DataFrame = {
     require(batches >= 1, s"batches must be >= 1, got $batches")
+    val sc = corpus.sparkSession.sparkContext
     val stageDir: Option[String] =
       if (stageTokens && batches > 1)
-        Some(java.nio.file.Files.createTempDirectory("bm25toks").toString)
+        Some(sc.getCheckpointDir match {
+          case Some(ckpt) => new org.apache.hadoop.fs.Path(ckpt,
+            s"bm25toks-${java.util.UUID.randomUUID()}").toString
+          case None =>
+            java.nio.file.Files.createTempDirectory("bm25toks").toString
+        })
       else None
-    val staged: Option[DataFrame] = stageDir.map { dir =>
-      corpus.select(col(idCol), TextAnalysis.tokens(col(textCol)).as("tk"))
-        .write.mode("overwrite").parquet(dir)
-      corpus.sparkSession.read.parquet(dir)
-    }
-    val results = (0 until batches).map { bi =>
-      val predB = queryPred &&
-        pmod(graft.neardup.NearDup.portableBase(col(idCol).cast("string")),
-          lit(batches.toLong)) === lit(bi.toLong)
-      val parts = staged match {
-        case Some(t) => bm25PartsToks(t, idCol, predB, maxDfFrac)
-        case None => bm25Parts(corpus, idCol, textCol, predB, maxDfFrac)
+    try {
+      val staged: Option[DataFrame] = stageDir.map { dir =>
+        corpus.select(col(idCol), TextAnalysis.tokens(col(textCol)).as("tk"))
+          .write.mode("overwrite").parquet(dir)
+        corpus.sparkSession.read.parquet(dir)
       }
-      val scored = parts.tf
-        .join(broadcast(parts.qterms), Seq("tid"))
-        .filter(col("nid") =!= col("qid"))
-        .select(col("qid"), col("nid"), contribExpr(k1, b).as("c"))
-      // eager: the batch runs HERE, its result pinned as local blocks;
-      // the driver loop is control-only (fixed `batches` iterations)
-      val pinned = topKByScore(scored, k).localCheckpoint(true)
-      parts.tf.unpersist()
-      // shuffle files are reclaimed by the ContextCleaner only after the
-      // dropped stage references are GC'd — nudge so batch i's scratch
-      // is gone before batch i+1 needs the space
-      System.gc()
-      pinned
+      val results = (0 until batches).map { bi =>
+        val predB = queryPred &&
+          pmod(graft.neardup.NearDup.portableBase(col(idCol).cast("string")),
+            lit(batches.toLong)) === lit(bi.toLong)
+        val parts = staged match {
+          case Some(t) => bm25PartsToks(t, idCol, predB, maxDfFrac)
+          case None => bm25Parts(corpus, idCol, textCol, predB, maxDfFrac)
+        }
+        val scored = parts.tf
+          .join(broadcast(parts.qterms), Seq("tid"))
+          .filter(col("nid") =!= col("qid"))
+          .select(col("qid"), col("nid"), contribExpr(k1, b).as("c"))
+        // eager: the batch runs HERE, its result pinned as local blocks;
+        // the driver loop is control-only (fixed `batches` iterations)
+        val pinned = topKByScore(scored, k).localCheckpoint(true)
+        parts.tf.unpersist()
+        // shuffle files are reclaimed by the ContextCleaner only after the
+        // dropped stage references are GC'd — nudge so batch i's scratch
+        // is gone before batch i+1 needs the space
+        System.gc()
+        pinned
+      }
+      results.reduce(_ unionAll _)
+    } finally {
+      // the staged files are dead once every batch is checkpointed (and
+      // on a THROW nothing downstream will read them) — reclaim the
+      // scratch via the path's own filesystem, local or distributed
+      stageDir.foreach { d =>
+        val p = new org.apache.hadoop.fs.Path(d)
+        p.getFileSystem(sc.hadoopConfiguration).delete(p, true)
+      }
     }
-    // the staged files are dead once every batch is checkpointed —
-    // reclaim the scratch before the (long-lived) result is consumed
-    stageDir.foreach { d =>
-      import scala.jdk.CollectionConverters._
-      val p = java.nio.file.Paths.get(d)
-      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
-        .foreach(java.nio.file.Files.deleteIfExists(_))
-    }
-    results.reduce(_ unionAll _)
   }
 
   /** Corpus size at which the impact-ordered spelling overtakes the
@@ -516,6 +546,12 @@ object Retrieval {
     * and `queryCount` (the caller's fixed sample size) only route the
     * WORK. Pass `scratchBudgetMb <= 0` to disable scratch routing
     * (a caller who has provisioned cluster-sharded shuffle space).
+    *
+    * `queryPred` contract: id-only — see [[bm25TopK]]. The batched
+    * route stages tokens to the session checkpoint dir when one is
+    * set, else a driver-local temp dir (local-mode only — see
+    * [[bm25TopKBatched]]); cluster callers without a checkpoint dir
+    * should pass `scratchBudgetMb <= 0`.
     */
   def bm25TopKAuto(corpus: DataFrame, idCol: String, textCol: String,
                    queryPred: Column, n: Long, k1: Double = 1.2,

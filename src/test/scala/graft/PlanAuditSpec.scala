@@ -374,6 +374,39 @@ class PlanAuditSpec extends SparkSpec {
       s"spread must round-robin, not hash:\n${out.queryExecution.executedPlan}")
   }
 
+  test("bm25Parts: the id-only query predicate evaluates BELOW the " +
+    "tokens() projection (query sampling never tokenizes the corpus)") {
+    // the property the r16 bm25Parts→bm25PartsToks refactor asserts in
+    // its doc comment: bm25Parts projects (id, tokens(text)) FIRST and
+    // filters the projection — correctness-neutral either way, but if
+    // the optimizer ever stops pushing the id predicate below the
+    // tokenize Project, the query-terms frame silently tokenizes the
+    // WHOLE corpus (at 10M docs that is ~115s of wasted scan per batch)
+    import org.apache.spark.sql.catalyst.plans.logical.Filter
+    val corpus = Tables.documents(spark, sfDir)
+    val pred = graft.neardup.NearDup
+      .portableBase(col("doc_id").cast("string")) < lit(1L << 55)
+    val parts = graft.text.Retrieval.bm25Parts(
+      corpus, "doc_id", "text", pred, 0.9)
+    try {
+      val lp = parts.qterms.queryExecution.optimizedPlan
+      val idFilters = lp.collect {
+        case f: Filter
+          if f.condition.references.exists(_.name == "doc_id") &&
+            !f.condition.references.exists(_.name == "tk") => f
+      }
+      assert(idFilters.nonEmpty, s"no id-only filter survives in:\n$lp")
+      idFilters.foreach { f =>
+        assert(!f.child.output.exists(_.name == "tk"),
+          "id predicate evaluates ABOVE the tokenize projection — the " +
+            s"whole corpus is tokenized into the query-terms frame:\n$lp")
+      }
+    } finally {
+      parts.tf.unpersist()
+      spark.catalog.clearCache()
+    }
+  }
+
   test("x76: the segmented vocabulary broadcasts into the corpus join; " +
     "per-doc counts partial-aggregate") {
     val exec = planNoAqe("x76_bpe_segment")

@@ -166,6 +166,70 @@ class RetrievalSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  /** bm25toks-prefixed staging dirs currently under java.io.tmpdir —
+    * the no-checkpoint-dir staging location.
+    */
+  private def stagedDirs(): Set[String] = {
+    val tmp = new java.io.File(System.getProperty("java.io.tmpdir", "/tmp"))
+    Option(tmp.listFiles).map(_.iterator.map(_.getName)
+      .filter(_.startsWith("bm25toks")).toSet).getOrElse(Set.empty)
+  }
+
+  test("three consecutive staged invocations in one session emit no " +
+      "path errors and leave no staging dirs behind") {
+    // the r16 bench tail carried a truncated "…h does not exist" line
+    // inside x92's rep window (unreproduced in isolation); this pins
+    // the staged-dir lifecycle — create, read per batch, delete —
+    // across repeated same-session invocations, the exact shape Bench's
+    // min-of-3 reps exercise
+    val pred = col("doc_id") <= 2L
+    val before = stagedDirs()
+    val outs = (1 to 3).map { _ =>
+      val r = rows(Retrieval.bm25TopKBatched(corpus, "doc_id", "text",
+        pred, batches = 2, k = 5, stageTokens = true))
+      spark.catalog.clearCache()
+      r
+    }
+    assert(outs.distinct.size == 1, "repeat invocations diverged")
+    assert(stagedDirs() == before,
+      "staged token dirs leaked across invocations")
+  }
+
+  test("a failing batch still deletes the staged token dir (try/finally)") {
+    val before = stagedDirs()
+    // a predicate naming a non-projected column fails analysis inside
+    // the first batch — AFTER the staging write has happened
+    intercept[org.apache.spark.sql.AnalysisException] {
+      Retrieval.bm25TopKBatched(corpus, "doc_id", "text",
+        col("no_such_column") === 1L, batches = 2, k = 5,
+        stageTokens = true)
+    }
+    assert(stagedDirs() == before,
+      "a throwing batch leaked its corpus-sized staged parquet")
+  }
+
+  test("staging goes under the session checkpoint dir when one is set") {
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    spark.sparkContext.setCheckpointDir(ckpt)
+    try {
+      val pred = col("doc_id") <= 2L
+      val base = rows(Retrieval.bm25TopK(corpus, "doc_id", "text", pred, k = 5))
+      val before = stagedDirs()
+      val got = rows(Retrieval.bm25TopKBatched(corpus, "doc_id", "text",
+        pred, batches = 2, k = 5, stageTokens = true))
+      assert(got == base, "checkpoint-dir staging diverged")
+      assert(stagedDirs() == before,
+        "staging ignored the checkpoint dir (used java.io.tmpdir)")
+      // and the checkpoint dir's own staging subdir is cleaned up too
+      val p = new org.apache.hadoop.fs.Path(ckpt)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val leftover = fs.listStatus(p).map(_.getPath.getName)
+        .filter(_.startsWith("bm25toks"))
+      assert(leftover.isEmpty,
+        s"staged dirs leaked under the checkpoint dir: ${leftover.toSeq}")
+    } finally spark.catalog.clearCache()
+  }
+
   test("auto-branched BM25 routes to the batched spelling above the " +
       "scratch budget, with the batch count that fits it") {
     def canon(df: org.apache.spark.sql.DataFrame) =

@@ -83,7 +83,15 @@ object Bm25ScaleProbe {
           batches = batches, stageTokens = true)
       case other => sys.error(s"unknown mode: $other")
     }
-    out.write.mode("overwrite").format("noop").save()
+    // row count rides the timed write as an Observation (one scalar
+    // aggregate over rows the noop sink evaluates anyway): a separate
+    // out.count() after the write would RE-EXECUTE the whole pipeline
+    // when the result is lazy (auto with batches==1 — any corpus whose
+    // index fits the budget), doubling the probe's untimed work and
+    // skewing the final samplePeak's scratch window (r16 advice)
+    val obs = new org.apache.spark.sql.Observation("probe_rows")
+    out.observe(obs, count(lit(1)).as("rows"))
+      .write.mode("overwrite").format("noop").save()
     val wallSec = (System.nanoTime() - t0) / 1e9
     // the staged temp dir is created AND deleted inside
     // bm25TopKBatched; its one-time size was measured in the round-16
@@ -93,7 +101,7 @@ object Bm25ScaleProbe {
     sampler.interrupt()
     peak.accumulateAndGet(scratchBytes(), math.max(_, _))
     sampler.join(5000)
-    val rows = out.count()
+    val rows = obs.get("rows").asInstanceOf[Long]
     val autoBatches =
       if (mode == "auto")
         graft.text.Retrieval.bm25AutoBatches(n, 40L,

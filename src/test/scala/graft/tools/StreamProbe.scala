@@ -112,10 +112,21 @@ object StreamProbe {
       .start()
     q.awaitTermination()
     val wallSec = (System.nanoTime() - t0) / 1e9
-    // listener events are posted asynchronously — give the bus a moment
-    // (outside the measured wall) so the final batch's progress is
-    // counted before the line prints
-    Thread.sleep(2000)
+    // listener events are posted asynchronously — poll (outside the
+    // measured wall) until the accumulators are STABLE across two
+    // checks, instead of a fixed sleep a loaded listener bus can outrun
+    // (r16 advice: the exact long-batch-count runs the listener was
+    // added for are the ones that drain slowest); bounded at 30s so a
+    // wedged bus cannot hang the probe
+    var stable = 0
+    var last = (-1L, -1L)
+    var waited = 0
+    while (stable < 2 && waited < 300) {
+      Thread.sleep(100)
+      waited += 1
+      val cur = (inRowsAcc.get(), batchesAcc.get())
+      if (cur == last) stable += 1 else { stable = 0; last = cur }
+    }
     val inRows = inRowsAcc.get()
     println(
       s"""{"metric":"stream_curation","corpus":"$dir0","batches":${batchesAcc.get()},""" +
