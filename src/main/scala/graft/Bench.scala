@@ -29,10 +29,19 @@ object Bench {
     */
   private[graft] def protocolJson(reps: Int, bootId: String, loadAvg: Double,
                                   otherJvms: Long, stealPct: BigDecimal,
-                                  scratchMaxMb: Long): String =
+                                  scratchMaxMb: Long,
+                                  heapMb: Long = Runtime.getRuntime
+                                    .maxMemory() >> 20): String =
     s""""protocol":"noop-sink/min-of-$reps","boot_id":"$bootId"""" +
       s""","load_avg":$loadAvg,"other_jvms":$otherJvms""" +
-      s""","steal_pct":$stealPct,"peak_scratch_mb_max":$scratchMaxMb"""
+      s""","steal_pct":$stealPct,"peak_scratch_mb_max":$scratchMaxMb""" +
+      // heap_mb: the JVM's actual max heap — round 17 caught scale runs
+      // whose intended `-Xmx64g` was silently swallowed by the sbt
+      // launcher (SBT_OPTS -Xmx suppresses the default -mem but is not
+      // forwarded), running at the ~¼-RAM default instead; a record
+      // that carries the real heap makes that failure mode visible in
+      // the record, not in post-hoc ps archaeology
+      s""","heap_mb":$heapMb"""
 
   /** The full-precision record line (the file the driver and the scale
     * sweeps read) — extracted for the same spec: it must carry the

@@ -13,13 +13,20 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class BenchProtocolSpec extends AnyFunSuite {
 
-  test("protocol fragment carries boot, steal, and headline scratch") {
+  test("protocol fragment carries boot, steal, headline scratch, and heap") {
     val p = Bench.protocolJson(reps = 3, bootId = "b-1", loadAvg = 0.5,
-      otherJvms = 0L, stealPct = BigDecimal("1.25"), scratchMaxMb = 197L)
+      otherJvms = 0L, stealPct = BigDecimal("1.25"), scratchMaxMb = 197L,
+      heapMb = 65536L)
     for (key <- Seq("\"protocol\":\"noop-sink/min-of-3\"",
         "\"boot_id\":\"b-1\"", "\"load_avg\":0.5", "\"other_jvms\":0",
-        "\"steal_pct\":1.25", "\"peak_scratch_mb_max\":197"))
+        "\"steal_pct\":1.25", "\"peak_scratch_mb_max\":197",
+        "\"heap_mb\":65536"))
       assert(p.contains(key), s"protocol fragment lost $key: $p")
+    // heap_mb defaults to the RUNNING JVM's real max heap (round 17:
+    // an intended -Xmx64g was silently dropped by the sbt launcher and
+    // nothing in the record could show it)
+    val self = Bench.protocolJson(1, "b", 0.0, 0L, BigDecimal(-1), 0L)
+    assert(self.contains(s""""heap_mb":${Runtime.getRuntime.maxMemory >> 20}"""))
   }
 
   test("full record line carries the per-query time AND scratch maps") {
