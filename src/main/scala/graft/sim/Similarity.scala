@@ -645,6 +645,50 @@ object Similarity {
     * exactly (same Knuth seeds, same Lloyd pass, same tiebreaks) —
     * spec-pinned by KnnGraphHierSpec.
     */
+  /** Exchange width for a stage whose tasks each locally SORT a slice
+    * of `rows` rows at ~`bytesPerRow` bytes (the rank windows below:
+    * partial WindowGroupLimit sorts its whole input partition):
+    * targets ~256 MB of sort input per task — well inside one
+    * thread's fair share of the execution pool even at 32 concurrent
+    * tasks — floored at the session's shuffle parallelism so sf-scale
+    * corpora keep their existing plans, capped at 65536. The point is
+    * that the exchange width follows DATA VOLUME, not a session
+    * constant sized for small suites: at v2-5M the n·(nlist/ncoarse)
+    * candidate frames are ~1e9 rows, which over 32 partitions is
+    * ~8 GB of sort input PER TASK — 32 concurrently spilling sorters
+    * whose allocation storms (under parquet/shuffle-codec JNI
+    * criticals holding the GCLocker) drove the round-17 x65 heap
+    * deaths; at ~256 MB/task the same stages stream. On a
+    * 1000-executor cluster the identical rule yields the tens of
+    * thousands of partitions that scale wants.
+    */
+  private def volumeParts(df: DataFrame, rows: Long,
+                          bytesPerRow: Long): Int = {
+    val target = 256L << 20
+    val want = (rows * bytesPerRow + target - 1) / target
+    val floor = df.sparkSession.sessionState.conf.numShufflePartitions
+    math.max(floor, math.min(want, 65536L).toInt)
+  }
+
+  /** Round-robin-spread `df` to `parts` BEFORE a map-side expansion
+    * (broadcast join / crossJoin) when `parts` exceeds the session
+    * parallelism; a no-op otherwise so small-corpus plans are
+    * untouched and AQE keeps coalescing their exchanges.
+    */
+  private def spreadTo(df: DataFrame, parts: Int): DataFrame =
+    if (parts > df.sparkSession.sessionState.conf.numShufflePartitions)
+      df.repartition(parts)
+    else df
+
+  /** Narrow rank rows: ~(8-byte id, 8-byte key, 8-byte sim) + UnsafeRow
+    * overhead. The rank windows below project vectors OUT before the
+    * sort (rank needs only the sim and the tiebreak) and join the
+    * winner rows back to their pinned parents for the vector columns —
+    * carrying a 20-int vector through a 1e9-row sort multiplies the
+    * sort volume ~6× for columns the comparator never reads.
+    */
+  private val rankRowBytes = 48L
+
   private[graft] def hierIntModel(emb: DataFrame, idCol: String,
                                   vecCol: String, nlist: Int, ncoarse: Int)
       : (DataFrame, DataFrame, DataFrame) = {
@@ -674,18 +718,39 @@ object Similarity {
     // only cells that actually hold a fine centroid may receive vectors
     val liveCoarse = coarseSeeds.join(
       fineCells.select("ccid").distinct(), Seq("ccid"), "left_semi")
+    // one count sizes every volume-proportional exchange below; the
+    // caller-side frames are cached/pinned, so this is one cheap job
+    val n = corpus.count()
     // vector -> coarse cell: the n·ncoarse pass, pinned (it feeds both
-    // the pre- and post-Lloyd fine assignment)
-    val vCell = argmaxTo(
-      corpus.crossJoin(broadcast(liveCoarse))
-        .withColumn("__s", cosExactInt(col("nvec"), col("cvec"))),
-      Seq("nid"), col("__s"), "ccid", Seq("nid", "nvec", "ccid"))
-      .localCheckpoint(true)
-    // cell-restricted fine assignment against an arbitrary centroid set
-    def assignFine(cents: DataFrame): DataFrame = argmaxTo(
-      vCell.join(broadcast(cents), Seq("ccid"))
-        .withColumn("__s", cosExactInt(col("nvec"), col("fvec"))),
-      Seq("nid"), col("__s"), "cid", Seq("nid", "nvec", "cid"))
+    // the pre- and post-Lloyd fine assignment). Rank rows are NARROW
+    // (nid, ccid, __s) — the winner joins back to `corpus` for nvec —
+    // and the expansion input is volume-spread (see volumeParts)
+    val vCell = {
+      val parts = volumeParts(corpus, n * math.max(1, ncoarse), rankRowBytes)
+      val w = Window.partitionBy("nid").orderBy(col("__s").desc, col("ccid").asc)
+      val winner = spreadTo(corpus, parts).crossJoin(broadcast(liveCoarse))
+        .select(col("nid"), col("ccid"),
+          cosExactInt(col("nvec"), col("cvec")).as("__s"))
+        .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+        .select("nid", "ccid")
+      winner.join(corpus, Seq("nid")).select("nid", "nvec", "ccid")
+        .localCheckpoint(true)
+    }
+    // cell-restricted fine assignment against an arbitrary centroid
+    // set: same narrow-rank + rejoin shape (vCell is checkpoint-pinned,
+    // so the winner rejoin reads pinned blocks, not a recompute)
+    val finePerCoarse = math.max(1L, nlist.toLong / math.max(1, ncoarse))
+    def assignFine(cents: DataFrame): DataFrame = {
+      val parts = volumeParts(vCell, n * finePerCoarse, rankRowBytes)
+      val w = Window.partitionBy("nid").orderBy(col("__s").desc, col("cid").asc)
+      val winner = spreadTo(vCell, parts).join(broadcast(cents), Seq("ccid"))
+        .select(col("nid"), col("cid"),
+          cosExactInt(col("nvec"), col("fvec")).as("__s"))
+        .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+        .select("nid", "cid")
+      winner.join(vCell.select("nid", "nvec"), Seq("nid"))
+        .select("nid", "nvec", "cid")
+    }
     // one integer floor-mean Lloyd pass (shared update); refined
     // centroids keep their seed's coarse cell
     val refined = lloydFloorMean(assignFine(fineCells), "fvec")
@@ -717,14 +782,37 @@ object Similarity {
                       nprobe: Int = 2, k: Int = 5): DataFrame = {
     val (refined, vCell, assigned) = hierIntModel(emb, idCol, vecCol,
       nlist, ncoarse)
-    val probes = vCell.join(broadcast(refined), Seq("ccid"))
-      .select(col("nid").as("qid"), col("nvec").as("qvec"), col("cid"),
+    val n = vCell.count() // pinned blocks — one cheap job
+    val finePerCoarse = math.max(1L, nlist.toLong / math.max(1, ncoarse))
+    // probe derivation: NARROW rank rows (qid, cid, csim) through the
+    // volume-spread top-nprobe window — qvec rejoins from the pinned
+    // assignment AFTER ranking (carrying a 20-int vector through the
+    // n·(nlist/ncoarse)-row sort multiplies its volume ~6× for columns
+    // the comparator never reads; see volumeParts for the r17 numbers)
+    val probeParts = volumeParts(vCell, n * finePerCoarse, rankRowBytes)
+    val probeSel = spreadTo(vCell, probeParts)
+      .join(broadcast(refined), Seq("ccid"))
+      .select(col("nid").as("qid"), col("cid"),
         cosExactInt(col("nvec"), col("fvec")).as("csim"))
       .withColumn("rn", row_number().over(
         Window.partitionBy("qid").orderBy(col("csim").desc, col("cid").asc)))
-      .filter(col("rn") <= nprobe).select("qid", "qvec", "cid")
-    val scored = assigned
-      .join(probes, Seq("cid"))
+      .filter(col("rn") <= nprobe).select("qid", "cid")
+    val probes = probeSel.join(
+      vCell.select(col("nid").as("qid"), col("nvec").as("qvec")), Seq("qid"))
+      .select("qid", "qvec", "cid")
+    // candidate scoring: both sides co-partitioned on cid at a width
+    // sized by the expected n·nprobe·clusterSize candidate volume, so
+    // the per-task partial top-k sort stays ~256 MB at any corpus size
+    val clusterSz = math.max(1L, n / math.max(1, nlist))
+    val scoreParts = volumeParts(vCell, n * nprobe * clusterSz, 64L)
+    val conf = assigned.sparkSession.sessionState.conf.numShufflePartitions
+    val (aSide, pSide) =
+      if (scoreParts > conf)
+        (assigned.repartition(scoreParts, col("cid")),
+          probes.repartition(scoreParts, col("cid")))
+      else (assigned, probes)
+    val scored = aSide
+      .join(pSide, Seq("cid"))
       .filter(col("nid") =!= col("qid"))
       .select(col("qid"), col("nid"),
         round(cosExactInt(col("qvec"), col("nvec")), 6).as("sim"))
