@@ -722,32 +722,39 @@ object Similarity {
     // caller-side frames are cached/pinned, so this is one cheap job
     val n = corpus.count()
     // vector -> coarse cell: the n·ncoarse pass, pinned (it feeds both
-    // the pre- and post-Lloyd fine assignment). Rank rows are NARROW
-    // (nid, ccid, __s) — the winner joins back to `corpus` for nvec —
-    // and the expansion input is volume-spread (see volumeParts)
+    // the pre- and post-Lloyd fine assignment). The argmax is a max_by
+    // AGGREGATE (the flat ivfIntModel idiom), not a rank window: a
+    // hash aggregate partial-aggregates the n·ncoarse expansion rows
+    // MAP-SIDE down to one best-so-far per vector — no sort of the
+    // expansion exists at any exchange width, which is the shape that
+    // survives 100 TB (the r17 window spelling locally sorted ~8 GB
+    // per task at v2-5M and starved the heap; see volumeParts). The
+    // agg value carries only (ccid); nvec rejoins from the pinned
+    // parent. Tiebreak max(__s), then min id via negate — identical
+    // winners to the old (desc, asc) rank.
     val vCell = {
       val parts = volumeParts(corpus, n * math.max(1, ncoarse), rankRowBytes)
-      val w = Window.partitionBy("nid").orderBy(col("__s").desc, col("ccid").asc)
       val winner = spreadTo(corpus, parts).crossJoin(broadcast(liveCoarse))
         .select(col("nid"), col("ccid"),
           cosExactInt(col("nvec"), col("cvec")).as("__s"))
-        .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
-        .select("nid", "ccid")
+        .groupBy("nid")
+        .agg(max_by(col("ccid"), struct(col("__s"), negate(col("ccid"))))
+          .as("ccid"))
       winner.join(corpus, Seq("nid")).select("nid", "nvec", "ccid")
         .localCheckpoint(true)
     }
     // cell-restricted fine assignment against an arbitrary centroid
-    // set: same narrow-rank + rejoin shape (vCell is checkpoint-pinned,
-    // so the winner rejoin reads pinned blocks, not a recompute)
+    // set: same max_by + rejoin shape (vCell is checkpoint-pinned, so
+    // the winner rejoin reads pinned blocks, not a recompute)
     val finePerCoarse = math.max(1L, nlist.toLong / math.max(1, ncoarse))
     def assignFine(cents: DataFrame): DataFrame = {
       val parts = volumeParts(vCell, n * finePerCoarse, rankRowBytes)
-      val w = Window.partitionBy("nid").orderBy(col("__s").desc, col("cid").asc)
       val winner = spreadTo(vCell, parts).join(broadcast(cents), Seq("ccid"))
         .select(col("nid"), col("cid"),
           cosExactInt(col("nvec"), col("fvec")).as("__s"))
-        .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
-        .select("nid", "cid")
+        .groupBy("nid")
+        .agg(max_by(col("cid"), struct(col("__s"), negate(col("cid"))))
+          .as("cid"))
       winner.join(vCell.select("nid", "nvec"), Seq("nid"))
         .select("nid", "nvec", "cid")
     }
