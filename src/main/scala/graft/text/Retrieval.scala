@@ -270,9 +270,27 @@ object Retrieval {
     val c = contribExpr(k1, b)
     // analytic upper bound on any single posting's contribution:
     // idf·tf_sat < idf·(k1+1), and floor is monotone, so c ≤ ub per
-    // posting — from df alone
+    // posting — from df alone.
+    // EAGER-pinned (round 17): qt is broadcast-sized (one row per
+    // (query, term)) but its subtree contains `stats` — a full corpus
+    // tokenize + 1-row aggregate that the cached `tf` does NOT cover —
+    // and the impact scaffolding references qt (directly or via qmeta)
+    // from ~8 consumer subtrees. Unpinned, the sf0.1 plan held 120
+    // parquet scans / 327 exchanges and re-ran the corpus tokenize
+    // once per copy — measured 11.2s vs 2.1s for the plain path on the
+    // same corpus; above the auto crossover every extra copy is a full
+    // corpus pass. cache()+eager fill, NOT localCheckpoint: a
+    // checkpoint swaps the logical plan for a per-invocation RDD scan,
+    // which would break the auto≡forced plan-identity pin
+    // (RetrievalSpec) — the cache substitutes at physical planning and
+    // leaves the logical plan byte-identical. The count() fills the
+    // cache before the concurrent broadcast builds can race the lazy
+    // fill (the x65 double-materialization lesson). Release is the
+    // session owner's clearCache, as with `tf`.
     val qt = parts.qterms.withColumn("ub",
       floor(idfExpr * lit(k1 + 1) * lit(1e6)))
+      .cache()
+    qt.count()
     // essential split: per query the essTerms highest-impact terms
     // (ub DESC, tid ASC — deterministic). The OUTPUT is split-
     // invariant; the split only routes work, which the equality spec
@@ -302,6 +320,12 @@ object Retrieval {
       // open = pruning cannot engage for this query: fewer than k
       // essential hits, or the non-essential mass alone could reach θ
       .withColumn("open", col("theta").isNull || col("bound") >= col("theta"))
+      // one row per query, consumed by three routing subtrees (open
+      // filter, candidate screen, non-essential screen): pin it so the
+      // θ window over the cached sE runs once, not once per consumer
+      // (cache + eager fill for the same plan-identity reason as qt)
+      .cache()
+    qmeta.count()
     Bm25ImpactParts(qt, qEss, qNon, sE, qmeta)
   }
 
@@ -403,6 +427,23 @@ object Retrieval {
     * Deletion goes through the path's Hadoop FileSystem, so both
     * shapes clean up.
     */
+  /** Bytes currently held by Spark's on-disk scratch (`spark-` and
+    * `blockmgr-` trees under java.io.tmpdir) — the same walk the Bench
+    * protocol samples. Used to decide whether the inter-batch GC nudge
+    * has anything to reclaim; one walk is ~ms next to the multi-second
+    * batches it brackets.
+    */
+  private def scratchBytesNow(): Long = {
+    def size(f: java.io.File): Long =
+      if (f.isFile) f.length
+      else Option(f.listFiles).map(_.iterator.map(size).sum).getOrElse(0L)
+    val tmp = new java.io.File(System.getProperty("java.io.tmpdir", "/tmp"))
+    Option(tmp.listFiles).map(_.iterator
+      .filter(f => f.getName.startsWith("spark-") ||
+        f.getName.startsWith("blockmgr-"))
+      .map(size).sum).getOrElse(0L)
+  }
+
   def bm25TopKBatched(corpus: DataFrame, idCol: String, textCol: String,
                       queryPred: Column, batches: Int, k1: Double = 1.2,
                       b: Double = 0.75, k: Int = 5,
@@ -443,8 +484,14 @@ object Retrieval {
         parts.tf.unpersist()
         // shuffle files are reclaimed by the ContextCleaner only after the
         // dropped stage references are GC'd — nudge so batch i's scratch
-        // is gone before batch i+1 needs the space
-        System.gc()
+        // is gone before batch i+1 needs the space. CONDITIONAL (round
+        // 17): a full GC in a large heap costs 0.1-1s, and at sf-scale
+        // the 4-batch entry paid 4 of them to reclaim ~20 MB; the walk
+        // below (~ms) skips the nudge when the spark scratch trees hold
+        // under 1 GiB — provably nothing worth a stop-the-world pause —
+        // while every at-scale batch (multi-GB index shuffles, the
+        // round-14 disk-wall regime) still nudges unconditionally.
+        if (scratchBytesNow() > (1L << 30)) System.gc()
         pinned
       }
       results.reduce(_ unionAll _)
