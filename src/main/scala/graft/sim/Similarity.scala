@@ -1197,7 +1197,14 @@ object Similarity {
     require(dim % m == 0, s"dim $dim must split into $m subspaces")
     val sub = dim / m
     val base = unitBase(emb, idCol, vecCol)
-    val svecs = pqSvecs(base, m, sub)
+    // the subvector frame feeds the codebook init window, every Lloyd
+    // pass, and the encode pass — refineIters+2 evaluations of the
+    // normalize + m-way posexplode uncached (round 17). Iterative-
+    // algorithm discipline: cache it; release is the session owner's
+    // clearCache (the established contract). At 100 TB the codebook
+    // trains on a sample and only the ENCODE pass sees the full corpus,
+    // so the cache is bounded by the training sample there.
+    val svecs = pqSvecs(base, m, sub).cache()
     val codebook = pqCodebook(svecs, ksub, refineIters)
     val codes = pqEncode(svecs, codebook)
     // queryPred applies to the RAW input frame (idCol spelling), the
@@ -1232,7 +1239,8 @@ object Similarity {
     val corpus = base.select(col("id").as("nid"), col("vec").as("nvec"))
     val centroids = ivfTrain(corpus, nlist, refineIters)
     val lists = ivfAssign(corpus, centroids).select("nid", "cid")
-    val svecs = pqSvecs(base, m, sub)
+    // cached for the same reason as in cosineTopKPq (3 consumers)
+    val svecs = pqSvecs(base, m, sub).cache()
     val codebook = pqCodebook(svecs, ksub, refineIters)
     val listed = pqEncode(svecs, codebook)
       .join(lists, col("id") === col("nid")).select("id", "cid", "codes")
