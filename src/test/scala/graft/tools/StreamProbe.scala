@@ -41,10 +41,17 @@ object StreamProbe {
     val mfpt = if (args.length > 1) args(1) else "1"
     val parts = if (args.length > 2) args(2).toInt else 0
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // state-store partition count: default 8 (the x51/x52 sizing — state
+    // files per partition); SPARK_GRAFT_STREAM_PARTS overrides so the
+    // round-17 state-stage-saturation sweep can hold scan parallelism
+    // fixed and scale ONLY the stateful stage (state partitioning is a
+    // provisioning-time decision on a real deployment — resharding
+    // requires a checkpoint rebuild — which is exactly why the scaling
+    // curve needs to be measured, not assumed)
+    val stateParts = sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTS", "8")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      // 8 state stores, the x51/x52 sizing (state files per partition)
-      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.shuffle.partitions", stateParts)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -135,7 +142,8 @@ object StreamProbe {
       s""""rows_per_sec":${f"${inRows / wallSec}%.0f"},""" +
       s""""state_rows_peak":${stateRowsPeak.get()},""" +
       s""""state_mb_peak":${stateBytesPeak.get() >> 20},""" +
-      s""""max_files_per_trigger":$mfpt,"parts":$parts}""")
+      s""""max_files_per_trigger":$mfpt,"parts":$parts,""" +
+      s""""state_parts":$stateParts}""")
     if (rebucketed) {
       import scala.jdk.CollectionConverters._
       val p = java.nio.file.Paths.get(dir)
