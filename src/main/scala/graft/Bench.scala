@@ -67,20 +67,34 @@ object Bench {
       Some((fields.take(8).sum, if (fields.length > 7) fields(7) else 0L))
     } catch { case _: Exception => None }
 
-  /** Bytes currently held by Spark's on-disk scratch (shuffle files,
-    * block-manager spill, checkpoint blocks): the `spark-` and
-    * `blockmgr-` trees under java.io.tmpdir. One full walk per call —
-    * cheap next to the multi-second queries it brackets.
+  /** The budget-truncated stdout line (the driver's capture window is
+    * ~2000 chars — see main). Extracted so BenchProtocolSpec can pin
+    * that the printed line stays inside the window at the CURRENT
+    * catalog size (round-17 verdict #9: r16's line outgrew the window
+    * and silently cost that round its official PERF comparison).
     */
-  private def scratchBytes(): Long = {
-    def size(f: java.io.File): Long =
-      if (f.isFile) f.length
-      else Option(f.listFiles).map(_.iterator.map(size).sum).getOrElse(0L)
-    val tmp = new java.io.File(System.getProperty("java.io.tmpdir", "/tmp"))
-    Option(tmp.listFiles).map(_.iterator
-      .filter(f => f.getName.startsWith("spark-") ||
-        f.getName.startsWith("blockmgr-"))
-      .map(size).sum).getOrElse(0L)
+  private[graft] def printedLine(total: Double, protocol: String,
+                                 results: Seq[(String, Double)],
+                                 sfDir: String): String = {
+    val budget = 1700
+    def fmt(v: Double): String = BigDecimal(v)
+      .setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    val bySlow = results.sortBy(-_._2)
+    val head = new StringBuilder(
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec",$protocol,"queries":{""")
+    var included = 0
+    var full = false
+    bySlow.foreach { case (k, v) =>
+      val entry = (if (included > 0) "," else "") + "\"" + k + "\":" + fmt(v)
+      // stop at the FIRST entry that misses the budget, so the included
+      // set is exactly the slowest prefix and the drop below is sound
+      if (!full && head.length + entry.length < budget) {
+        head ++= entry; included += 1
+      } else full = true
+    }
+    val otherSec = bySlow.drop(included).map(_._2).filter(_ >= 0).sum
+    head ++= s"""},"other_sec":${fmt(otherSec)},"n_queries":${results.size},"sf":"$sfDir"}"""
+    head.toString
   }
 
   def main(args: Array[String]): Unit = {
@@ -152,7 +166,10 @@ object Bench {
     // each query's reps, plus an end-of-rep sample (short queries may
     // finish between ticks) — so spill walls are TRACKED per query
     // instead of discovered by disk-full at minute 50 (round-14 lesson:
-    // x81/x82/BM25 died at ~75 GB with no record of who ate the disk)
+    // x81/x82/BM25 died at ~75 GB with no record of who ate the disk).
+    // Roots from the session's spark.local.dir (round-17 advice) — the
+    // shared graft.Scratch walk, one helper with Retrieval's GC gate.
+    def scratchBytes(): Long = Scratch.bytes(spark.sparkContext.getConf)
     val peakScratch = scala.collection.mutable.Map.empty[String, Long]
     val results = names.map { name =>
       @volatile var samplerStop = false
@@ -281,25 +298,7 @@ object Bench {
     // sum(queries) + other_sec always holds, and n_queries records the
     // true catalog size. BENCH.json above keeps every query at full
     // precision.
-    val budget = 1700
-    def fmt(v: Double): String = BigDecimal(v)
-      .setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
-    val bySlow = results.sortBy(-_._2)
-    val head = new StringBuilder(
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec",$protocol,"queries":{""")
-    var included = 0
-    var full = false
-    bySlow.foreach { case (k, v) =>
-      val entry = (if (included > 0) "," else "") + "\"" + k + "\":" + fmt(v)
-      // stop at the FIRST entry that misses the budget, so the included
-      // set is exactly the slowest prefix and the drop below is sound
-      if (!full && head.length + entry.length < budget) {
-        head ++= entry; included += 1
-      } else full = true
-    }
-    val otherSec = bySlow.drop(included).map(_._2).filter(_ >= 0).sum
-    head ++= s"""},"other_sec":${fmt(otherSec)},"n_queries":${results.size},"sf":"$sfDir"}"""
-    println(head.toString)
+    println(printedLine(total, protocol, results, sfDir))
     spark.stop()
   }
 }

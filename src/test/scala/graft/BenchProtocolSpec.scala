@@ -29,6 +29,31 @@ class BenchProtocolSpec extends AnyFunSuite {
     assert(self.contains(s""""heap_mb":${Runtime.getRuntime.maxMemory >> 20}"""))
   }
 
+  test("the printed stdout line stays inside the driver's ~2000-char " +
+      "capture window at the CURRENT catalog size") {
+    // round-16's line outgrew the window, failed the driver's JSON parse
+    // and silently cost round 17 its official PERF comparison (r17
+    // verdict #9). Pin the budget logic against the real catalog: every
+    // query at a worst-case 5-digit seconds value, real (longest) names,
+    // plus a worst-case protocol fragment — the printed line must leave
+    // room for sbt's trailing "[success] Total time..." (~80 chars).
+    val names = SparkEntry.queries.keys.toSeq
+    val results = names.map(n => n -> 86399.999)
+    val protocol = Bench.protocolJson(reps = 3,
+      bootId = "xxxxxxxx-xxxx-xxxx-xxxx-xxxxxxxxxxxx",
+      loadAvg = 123.456789012345, otherJvms = 99L,
+      stealPct = BigDecimal("99.99"), scratchMaxMb = 9999999L,
+      heapMb = 1048576L)
+    val line = Bench.printedLine(12345678.901, protocol, results,
+      "/root/testdata/sf0.1")
+    assert(line.length <= 1900,
+      s"printed bench line (${line.length} chars) risks the driver's " +
+        "capture window")
+    assert(line.startsWith("{") && line.endsWith("}"))
+    for (key <- Seq("\"other_sec\":", s""""n_queries":${names.size}"""))
+      assert(line.contains(key), s"printed line lost $key")
+  }
+
   test("full record line carries the per-query time AND scratch maps") {
     val line = Bench.fullLine(12.5, Bench.protocolJson(1, "b", 0.0, 0L,
       BigDecimal(-1), 0L), """{"q1":12.5}""", """{"q1":42}""", "/d")
