@@ -14,7 +14,9 @@ import org.apache.spark.sql.SparkSession
 object Plans {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // toInt-validated (round-17 advice): a non-numeric value would
+    // otherwise surface as an opaque master-URL error
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt.toString
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -32,10 +34,12 @@ object Plans {
     names.foreach { n =>
       println(s"\n========== $n ==========")
       val df = SparkEntry.queries(n)(spark, sfDir)
-      df.explain("formatted")
+      // computed ONCE (round-17 advice: explain() + explainString ran
+      // the formatter twice per query), printed and written as-is
+      val plan = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+      println(plan)
       planDir.foreach { d =>
-        val plan = df.queryExecution.explainString(
-          org.apache.spark.sql.execution.FormattedMode)
         java.nio.file.Files.writeString(
           java.nio.file.Paths.get(s"$d/$n$suffix.txt"), plan)
       }

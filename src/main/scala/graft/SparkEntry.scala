@@ -1338,14 +1338,29 @@ object SparkEntry {
     // only inside the boolean band checks.
     "x58_prod_twin_drift" -> ((s, d) => {
       val dd = docs(s, d)
-      val sh = NearDup.shingles(dd, "doc_id", "text", k = wordShingleK)
+      // ONE tokenize pass feeds all four candidate aggregations (round
+      // 18): the shingle index (both minhash families) and the simhash
+      // explode read the same cached (id, toks) frame, and the two
+      // simhash families' signatures come out of ONE fused explode+
+      // aggregate — r17 ran three full tokenizer passes and two
+      // separate simhash aggregations by construction. At 100 TB the
+      // toks cache is corpus-sized (disk-backed), the right trade for
+      // a gate that runs four full-corpus aggregations over it.
+      val toks = dd.select(col("doc_id").as("id"),
+        graft.text.TextAnalysis.tokens(col("text")).as("toks")).cache()
+      val sh = NearDup.shinglesFromToks(toks, k = wordShingleK)
         .cache() // feeds both minhash sides (prod + portable signatures)
+      val sims = NearDup.simhashBothFromToks(toks)
+        .cache() // both simhash families from one aggregate, two readers
       def mhN(portable: Boolean, as: String) =
         NearDup.minhashCandidatesOver(sh, mhNumHashes, mhBands,
           maxBucketSize = Some(mhBucketCap), portable = portable)
           .agg(count(lit(1)).as(as))
       def sxN(portable: Boolean, as: String) =
-        NearDup.simhashCandidates(dd, "doc_id", "text",
+        NearDup.simhashCandidatesFromSig(
+          sims.select(col("id"),
+            (if (portable) col("sim_port") else col("sim_prod"))
+              .as("simhash")),
           maxBucketSize = Some(200), portable = portable)
           .agg(count(lit(1)).as(as))
       def inBand(prod: Column, port: Column): Column =
@@ -1415,15 +1430,20 @@ object SparkEntry {
     "x34_simhash_recall" -> ((s, d) => {
       // same adaptive probe-side sample as x33 (shared truth-set rule,
       // landed independently — both engines' spellings must agree, and
-      // they do because the rule is deterministic in the pair set)
-      val sh = NearDup.shingles(docs(s, d), "doc_id", "text", k = 3).cache()
+      // they do because the rule is deterministic in the pair set).
+      // ONE tokenize pass (round 18): the exact-truth shingle index and
+      // the simhash explode both read the cached (id, toks) frame —
+      // r17 tokenized the corpus once per family by construction.
+      val toks = docs(s, d).select(col("doc_id").as("id"),
+        graft.text.TextAnalysis.tokens(col("text")).as("toks")).cache()
+      val sh = NearDup.shinglesFromToks(toks, k = 3).cache()
       val (exact, landedK) =
         adaptiveProbeExact(docs(s, d).count(), targetDocs = 200)(kk =>
           NearDup.jaccardPairsOver(sh, threshold = 0.5,
               probePred = Some(Sampling.hashBucket(col("id"), kk) === 0))
             .select("doc_a", "doc_b"))
       val probe = Some(Sampling.hashBucket(col("id"), landedK) === 0)
-      val sim = NearDup.simhashPairs(docs(s, d), "doc_id", "text",
+      val sim = NearDup.simhashPairsFromToks(toks,
           maxHamming = 8, maxBucketSize = Some(200), cacheBands = true,
           probePred = probe)
         .select("doc_a", "doc_b")
@@ -2553,11 +2573,16 @@ object SparkEntry {
     // observability report a production build publishes with its output
     "x82_curation_funnel" -> ((s, d) => {
       val withPii = docs(s, d).select(col("doc_id"), piiText, col("source"))
+      // nDocs routes the funnel spelling (round 18): below the measured
+      // one-job scratch budget the counts fuse into one job over primed
+      // caches; above it the per-stage sequential spelling (proven at
+      // v2-5M with bounded scratch) keeps running. Output identical.
       Curation.curationFunnel(
         withPii.filter(col("doc_id") % 20 =!= 0),
         withPii.filter(col("doc_id") % 20 === 0),
         "doc_id", "text", "source",
-        spanK = dupGramK, tau = tempTau, mixBuckets = tempBuckets)
+        spanK = dupGramK, tau = tempTau, mixBuckets = tempBuckets,
+        nDocs = Some(docsCount(s, d)))
     }),
     // bootstrap quality classifier: rule-label → bag-of-words affinity
     // weights → score every doc (the distill-a-heuristic pattern);

@@ -27,15 +27,23 @@ object NearDup {
   /** Distinct word k-shingles per doc: (id, shingle). Docs shorter than k
     * tokens produce no shingles (mirrors the oracle's explicit guard).
     */
-  def shingles(df: DataFrame, idCol: String, textCol: String, k: Int = 3): DataFrame = {
-    val toks = TextAnalysis.tokens(col(textCol))
-    df.select(col(idCol).as("id"), toks.as("toks"))
-      .filter(size(col("toks")) >= k)
+  def shingles(df: DataFrame, idCol: String, textCol: String, k: Int = 3): DataFrame =
+    shinglesFromToks(
+      df.select(col(idCol).as("id"),
+        TextAnalysis.tokens(col(textCol)).as("toks")), k)
+
+  /** [[shingles]] over an ALREADY-TOKENIZED `(id, toks)` frame — the
+    * seam that lets a multi-family consumer (the x58 drift gate, the
+    * x34 recall gate) tokenize the corpus ONCE and feed both the
+    * shingle index and the simhash explode from the same cached frame
+    * (round 18; previously each family re-ran the tokenizer per pass).
+    */
+  def shinglesFromToks(toks: DataFrame, k: Int): DataFrame =
+    toks.filter(size(col("toks")) >= k)
       .select(col("id"), explode(
         transform(sequence(lit(1), size(col("toks")) - (k - 1)),
           i => concat_ws(" ", slice(col("toks"), i, lit(k))))).as("shingle"))
       .distinct()
-  }
 
   /** Distinct character n-grams per doc as an inverted index —
     * (id, shingle) like `shingles`, but over characters instead of word
@@ -88,11 +96,25 @@ object NearDup {
           .filter(col("__df") > cap).select("shingle")
         src.join(hot, Seq("shingle"), "left_anti")
     }
-    val idx = if (cacheIndex) filtered.cache() else filtered
+    // __fp: 64-bit engine fingerprint of the shingle, leading the pair
+    // join's key list (round 18, guide §2.3 — narrow shuffle/sort keys).
+    // The exact-string equality stays IN the join as the residual
+    // conjunct, so a fingerprint collision can only widen the probed
+    // candidates, never change the declared output (fp is a function of
+    // the shingle: string equality implies fp equality, so adding the
+    // fp key drops no true pair either). In the sort-merge regime the
+    // sort compares 8-byte fps first and touches the string only on fp
+    // ties; the fingerprint is internal — never in the output, so the
+    // DuckDB oracle needs no twin of it. Computed BEFORE the cache so
+    // each index row is hashed once, not once per join side.
+    val withFp = filtered.withColumn("__fp", xxhash64(col("shingle")))
+    val idx = if (cacheIndex) withFp.cache() else withFp
     val sizes = idx.groupBy("id").agg(count(lit(1)).as("n_sh"))
     val probe = probePred.map(idx.filter).getOrElse(idx)
     val inter = probe.as("a")
-      .join(idx.as("b"), col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
+      .join(idx.as("b"), col("a.__fp") === col("b.__fp") &&
+        col("a.id") < col("b.id") &&
+        col("a.shingle") === col("b.shingle"))
       .groupBy(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
       .agg(count(lit(1)).as("n_common"))
     inter
@@ -115,10 +137,15 @@ object NearDup {
                    maxDocFreq: Option[Int] = None,
                    probePred: Option[Column] = None): DataFrame = {
     // cacheShingles: opt-in for long-lived jobs that manage the cache
-    // lifecycle; default off so repeated catalog runs don't leak blocks
+    // lifecycle; default off so repeated catalog runs don't leak blocks.
+    // The same opt-in now also caches the df-capped index inside
+    // jaccardPairsOver (round 18): uncached, the hot-gram aggregate +
+    // anti-join subtree replicated into every consumer — the x02 plan
+    // ran it three times (sizes + both pair-join sides) per rep.
     val shRaw = shingles(df, idCol, textCol, k)
     val sh = if (cacheShingles) shRaw.cache() else shRaw
-    jaccardPairsOver(sh, threshold, maxDocFreq, probePred = probePred)
+    jaccardPairsOver(sh, threshold, maxDocFreq, cacheIndex = cacheShingles,
+      probePred = probePred)
   }
 
   /** Per-document duplicated-n-gram profile — the cut signal behind
@@ -433,24 +460,62 @@ object NearDup {
   def simhashBits(portable: Boolean): Int = if (portable) 60 else 64
 
   def simhash(df: DataFrame, idCol: String, textCol: String,
-              portable: Boolean = false): DataFrame = {
-    val toks = TextAnalysis.tokens(col(textCol))
+              portable: Boolean = false): DataFrame =
+    simhashFromToks(
+      df.select(col(idCol).as("id"),
+        TextAnalysis.tokens(col(textCol)).as("toks")), portable)
+
+  /** Per-family bit-sum aggregate columns (prefix disambiguates when two
+    * families share one aggregation) and the sign-bit packing over them.
+    */
+  private def bitSumsOf(th: Column, nbits: Int, prefix: String): Seq[Column] =
+    (0 until nbits).map { b =>
+      sum(when(shiftright(th, b).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1))
+        .as(s"$prefix$b")
+    }
+
+  private def packBits(nbits: Int, prefix: String): Column =
+    (0 until nbits).map { b =>
+      when(col(s"$prefix$b") > 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
+    }.reduce(_.bitwiseOR(_))
+
+  /** [[simhash]] over an ALREADY-TOKENIZED `(id, toks)` frame — the
+    * shared-tokenize seam (see [[shinglesFromToks]]).
+    */
+  def simhashFromToks(toks: DataFrame, portable: Boolean = false): DataFrame = {
     // For each bit position, sum +1/-1 over token occurrences, then pack
     // sign bits. ONE partial-aggregated groupBy straight off the explode:
     // a (id, token-hash) pre-dedup shuffle was measured SLOWER here — the
     // extra exchange outweighs evaluating the bit tests per occurrence.
     val nbits = simhashBits(portable)
     val h = if (portable) portableBase(col("tok")) else xxhash64(col("tok"))
-    val exploded = df.select(col(idCol).as("id"), explode(toks).as("tok"))
+    val exploded = toks.select(col("id"), explode(col("toks")).as("tok"))
       .select(col("id"), h.as("th"))
-    val bitSums = (0 until nbits).map { b =>
-      sum(when(shiftright(col("th"), b).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)).as(s"b_$b")
-    }
-    val packed = (0 until nbits).map { b =>
-      when(col(s"b_$b") > 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
-    }.reduce(_.bitwiseOR(_))
+    val bitSums = bitSumsOf(col("th"), nbits, "b_")
     exploded.groupBy("id").agg(bitSums.head, bitSums.tail: _*)
-      .select(col("id"), packed.as("simhash"))
+      .select(col("id"), packBits(nbits, "b_").as("simhash"))
+  }
+
+  /** BOTH simhash families' signatures from one tokenized frame in ONE
+    * explode + ONE partial-aggregated groupBy: (id, sim_port,
+    * sim_prod). The x58 drift gate compares the portable (md5-base) and
+    * production (xxhash64) bucket structures over the same corpus —
+    * computed separately that is two full tokenize+explode+aggregate
+    * passes whose only difference is the hash inside the bit test
+    * (round 18, guide §1.2: don't compute the same pass twice). Each
+    * signature is bit-identical to [[simhashFromToks]]'s respective
+    * output: same explode, same bit sums, same packing — only fused.
+    */
+  private[graft] def simhashBothFromToks(toks: DataFrame): DataFrame = {
+    val exploded = toks.select(col("id"), explode(col("toks")).as("tok"))
+      .select(col("id"), portableBase(col("tok")).as("hp"),
+        xxhash64(col("tok")).as("hx"))
+    val sums = bitSumsOf(col("hp"), simhashBits(true), "p_") ++
+      bitSumsOf(col("hx"), simhashBits(false), "x_")
+    exploded.groupBy("id").agg(sums.head, sums.tail: _*)
+      .select(col("id"),
+        packBits(simhashBits(true), "p_").as("sim_port"),
+        packBits(simhashBits(false), "x_").as("sim_prod"))
   }
 
 
@@ -460,8 +525,18 @@ object NearDup {
   private def simhashBanded(df: DataFrame, idCol: String, textCol: String,
                             maxBucketSize: Option[Int],
                             cacheBands: Boolean,
-                            portable: Boolean): DataFrame = {
-    val sig = simhash(df, idCol, textCol, portable = portable)
+                            portable: Boolean): DataFrame =
+    simhashBandedSig(simhash(df, idCol, textCol, portable = portable),
+      maxBucketSize, cacheBands, portable)
+
+  /** The chunk-banding step over a prebuilt `(id, simhash)` signature
+    * frame — split out (round 18) so the x58 drift gate can band both
+    * hash families from one shared signature aggregate.
+    */
+  private[graft] def simhashBandedSig(sig: DataFrame,
+                                      maxBucketSize: Option[Int],
+                                      cacheBands: Boolean,
+                                      portable: Boolean): DataFrame = {
     // (chunk_id, chunk_value) inverted index → single equi-join, as in
     // the MinHash banding; optional hot-bucket cap for low-entropy data.
     // cacheBands: same multi-consumer rationale as the MinHash banding —
@@ -495,9 +570,24 @@ object NearDup {
                    maxBucketSize: Option[Int] = None,
                    cacheBands: Boolean = false,
                    probePred: Option[Column] = None,
-                   portable: Boolean = false): DataFrame = {
-    val banded = simhashBanded(df, idCol, textCol, maxBucketSize,
-      cacheBands, portable)
+                   portable: Boolean = false): DataFrame =
+    pairsOfBanded(simhashBanded(df, idCol, textCol, maxBucketSize,
+      cacheBands, portable), maxHamming, probePred)
+
+  /** [[simhashPairs]] over an ALREADY-TOKENIZED `(id, toks)` frame —
+    * the shared-tokenize seam (the x34 gate tokenizes the corpus once
+    * for its exact-Jaccard truth side and the simhash side).
+    */
+  def simhashPairsFromToks(toks: DataFrame, maxHamming: Int = 6,
+                           maxBucketSize: Option[Int] = None,
+                           cacheBands: Boolean = false,
+                           probePred: Option[Column] = None,
+                           portable: Boolean = false): DataFrame =
+    pairsOfBanded(simhashBandedSig(simhashFromToks(toks, portable),
+      maxBucketSize, cacheBands, portable), maxHamming, probePred)
+
+  private def pairsOfBanded(banded: DataFrame, maxHamming: Int,
+                            probePred: Option[Column]): DataFrame = {
     // same probe-side sampling contract as minhashLshPairsOver
     val probeSide = probePred.map(banded.filter).getOrElse(banded)
     probeSide.as("a").join(banded.as("b"),
@@ -517,13 +607,23 @@ object NearDup {
     */
   def simhashCandidates(df: DataFrame, idCol: String, textCol: String,
                         maxBucketSize: Option[Int] = None,
-                        portable: Boolean = false): DataFrame = {
-    val banded = simhashBanded(df, idCol, textCol, maxBucketSize,
-      cacheBands = false, portable = portable)
+                        portable: Boolean = false): DataFrame =
+    candidatesOfBanded(simhashBanded(df, idCol, textCol, maxBucketSize,
+      cacheBands = false, portable = portable))
+
+  /** [[simhashCandidates]] over a prebuilt `(id, simhash)` signature
+    * frame — the shared-signature seam for the x58 drift gate.
+    */
+  def simhashCandidatesFromSig(sig: DataFrame,
+                               maxBucketSize: Option[Int] = None,
+                               portable: Boolean = false): DataFrame =
+    candidatesOfBanded(simhashBandedSig(sig, maxBucketSize,
+      cacheBands = false, portable = portable))
+
+  private def candidatesOfBanded(banded: DataFrame): DataFrame =
     banded.as("a").join(banded.as("b"),
         col("a.chunk_id") === col("b.chunk_id") &&
           col("a.chunk_val") === col("b.chunk_val") && col("a.id") < col("b.id"))
       .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
       .distinct()
-  }
 }

@@ -161,9 +161,42 @@ object Curation {
   def curationFunnel(train: DataFrame, eval: DataFrame, idCol: String,
                      textCol: String, domainCol: String, lang: String = "en",
                      shingleK: Int = 8, spanK: Int = 8, tau: Int = 2,
-                     mixBuckets: Int = 1000): DataFrame =
-    new CorpusBuildV2(train, eval, idCol, textCol, domainCol, lang,
-      shingleK, spanK, tau, mixBuckets).funnel
+                     mixBuckets: Int = 1000, nDocs: Option[Long] = None,
+                     scratchBudgetMb: Long = funnelDefaultScratchBudgetMb)
+      : DataFrame = {
+    val b = new CorpusBuildV2(train, eval, idCol, textCol, domainCol, lang,
+      shingleK, spanK, tau, mixBuckets)
+    // budget-gated route (round 18, the x89/x92 routing pattern): the
+    // fused prime-then-one-job spelling when the estimated one-job
+    // scratch fits the node budget, the proven per-stage sequential
+    // spelling above it (or when the caller supplies no corpus size —
+    // scale deployments must pass one). Output identical either way
+    // (spec-pinned); only job structure differs.
+    val fuse = nDocs.exists(n => scratchBudgetMb <= 0L ||
+      funnelOneJobScratchEstimateMb(n) <= scratchBudgetMb)
+    if (fuse) b.funnelFused else b.funnel
+  }
+
+  /** Measured single-node scratch sizing rule for the ONE-JOB funnel
+    * spelling: round 15 measured the unprimed one-job funnel at 72 GB
+    * peak scratch on the 5M-doc v2 corpus (~14.7 GB/1M docs) — vs the
+    * sequential build's 51 GB — because concurrent count branches
+    * raced the unfilled stage caches and recomputed the span dedup.
+    * The round-18 fused spelling primes the caches first (one eager
+    * build pass) so its true peak is near the build's, but the gate
+    * keeps the CONSERVATIVE unprimed constant: a fused funnel above
+    * the budget risks the round-14 disk wall, a sequential one below
+    * it only costs a few 1-row jobs.
+    */
+  val funnelOneJobScratchMbPer1MDocs: Long = 14746L
+
+  /** Default per-node scratch budget (48 GiB — the shared node-budget
+    * constant, see Retrieval.bm25DefaultScratchBudgetMb).
+    */
+  val funnelDefaultScratchBudgetMb: Long = 49152L
+
+  def funnelOneJobScratchEstimateMb(nDocs: Long): Long =
+    math.ceil(funnelOneJobScratchMbPer1MDocs * (nDocs / 1e6)).toLong
 }
 
 /** ONE-RUN handle on the v2 pipeline: every stage is a cached lazy
@@ -262,30 +295,55 @@ final class CorpusBuildV2(train: DataFrame, eval: DataFrame, idCol: String,
     * its predecessors populated and the funnel's scratch profile is
     * the build's plus eight 1-row jobs. Output is unchanged.
     */
-  lazy val funnel: DataFrame = {
-    val stages: Seq[(Int, String, DataFrame)] = Seq(
-      (1, "input", train.select(col(idCol).as("doc_id"))),
-      (2, "quality_gate", flagged.filter(col("q_ok")).select("doc_id")),
-      (3, "language_gate",
-        flagged.filter(col("q_ok") && col("lang_ok")).select("doc_id")),
-      (4, "repetition_gate", gated.select("doc_id")),
-      (5, "decontaminated", decon.select("doc_id")),
-      (6, "exact_dedup", deduped.select("doc_id")),
-      (7, "span_dedup", spanned.select("doc_id")),
-      (8, "temperature_mix", mixed.select("doc_id")))
-    val counts = stages.map { case (i, name, fr) =>
-      fr.agg(count(lit(1)).as("n_docs"))
-        .select(lit(i.toLong).as("stage_id"), lit(name).as("stage"),
-          col("n_docs"))
-        .localCheckpoint(true)
-    }.reduce(_ unionAll _)
+  lazy val funnel: DataFrame =
+    assembleFunnel(stages.map { case (i, name, fr) =>
+      stageCount(i, name, fr).localCheckpoint(true)
+    })
+
+  /** The fused funnel (round 18): ONE eager priming pass materializes
+    * the stage caches in dependency order — `spanned.count()` pulls
+    * flagged → deduped → spanned through serially, so no two count
+    * branches can race an unfilled cache (the x65 double-
+    * materialization hazard that made round 15's unprimed one-job
+    * spelling peak at 72 GB) — then all eight counts run as ONE lazy
+    * union job over the warm caches, instead of eight sequential
+    * eager 1-row checkpoint jobs. Output identical to [[funnel]]
+    * (spec-pinned); at sf0.1 the sequential spelling paid ~8 scheduler
+    * rounds of pure per-job floor. Gated by the caller on the measured
+    * scratch rule (see Curation.funnelOneJobScratchMbPer1MDocs):
+    * above the node budget the sequential spelling — proven at v2-5M
+    * with bounded scratch — keeps running.
+    */
+  lazy val funnelFused: DataFrame = {
+    spanned.count()
+    assembleFunnel(stages.map { case (i, name, fr) =>
+      stageCount(i, name, fr)
+    })
+  }
+
+  private def stages: Seq[(Int, String, DataFrame)] = Seq(
+    (1, "input", train.select(col(idCol).as("doc_id"))),
+    (2, "quality_gate", flagged.filter(col("q_ok")).select("doc_id")),
+    (3, "language_gate",
+      flagged.filter(col("q_ok") && col("lang_ok")).select("doc_id")),
+    (4, "repetition_gate", gated.select("doc_id")),
+    (5, "decontaminated", decon.select("doc_id")),
+    (6, "exact_dedup", deduped.select("doc_id")),
+    (7, "span_dedup", spanned.select("doc_id")),
+    (8, "temperature_mix", mixed.select("doc_id")))
+
+  private def stageCount(i: Int, name: String, fr: DataFrame): DataFrame =
+    fr.agg(count(lit(1)).as("n_docs"))
+      .select(lit(i.toLong).as("stage_id"), lit(name).as("stage"),
+        col("n_docs"))
+
+  private def assembleFunnel(counts: Seq[DataFrame]): DataFrame =
     // drop-vs-previous over the 8-row funnel (unpartitioned window is
     // fine at this cardinality — it never sees corpus-sized input)
-    counts.withColumn("n_dropped",
+    counts.reduce(_ unionAll _).withColumn("n_dropped",
       coalesce(
         lag(col("n_docs"), 1).over(
           org.apache.spark.sql.expressions.Window.orderBy(col("stage_id")))
           - col("n_docs"),
         lit(0L)))
-  }
 }

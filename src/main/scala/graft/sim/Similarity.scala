@@ -415,12 +415,17 @@ object Similarity {
     */
   private def epsilonBallKeep(assigned: DataFrame, idCol: String,
                               threshold: Double): DataFrame = {
+    // explicit string aliases on both self-join sides: the dataframe-
+    // handle spelling lhs("cid") === rhs("cid") resolved both sides to
+    // the SAME attribute at least once (Spark's "trivially true
+    // equals predicate 'cid == cid'" warning in the r17 Verify tail) —
+    // alias-qualified columns make the degeneration impossible
     val lhs = assigned.select(col("cid"), col("nid").as("id_a"),
-      col("nvec").as("va"))
+      col("nvec").as("va")).as("ebl")
     val rhs = assigned.select(col("cid"), col("nid").as("id_b"),
-      col("nvec").as("vb"))
+      col("nvec").as("vb")).as("ebr")
     val dropped = lhs.join(rhs,
-        lhs("cid") === rhs("cid") && col("id_b") < col("id_a"))
+        col("ebl.cid") === col("ebr.cid") && col("id_b") < col("id_a"))
       .filter(round(cosExactInt(col("va"), col("vb")), 6) >= threshold)
       .select(col("id_a").as("nid")).distinct()
     assigned.select("nid", "cid")
@@ -1201,9 +1206,14 @@ object Similarity {
     // pass, and the encode pass — refineIters+2 evaluations of the
     // normalize + m-way posexplode uncached (round 17). Iterative-
     // algorithm discipline: cache it; release is the session owner's
-    // clearCache (the established contract). At 100 TB the codebook
-    // trains on a sample and only the ENCODE pass sees the full corpus,
-    // so the cache is bounded by the training sample there.
+    // clearCache (the established contract). NOTE (round-17 advice):
+    // in THIS entry point codebook training and encode consume the same
+    // full-corpus svecs frame, so the cache pins m rows per corpus
+    // vector (disk-backed at scale). A 100 TB deployment should train
+    // the codebook on a sample — that composition is not expressible
+    // through cosineTopKPq/cosineTopKIvfPq today (it would need a
+    // trainPred parameter), so the full-corpus pin is the honest cost
+    // of the shipped API, traded against refineIters+2 corpus passes.
     val svecs = pqSvecs(base, m, sub).cache()
     val codebook = pqCodebook(svecs, ksub, refineIters)
     val codes = pqEncode(svecs, codebook)

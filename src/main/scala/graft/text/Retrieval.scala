@@ -247,86 +247,184 @@ object Retrieval {
     * (broadcast below); adversarial corpora where the analytic bound
     * is loose degrade to x70's exact cost, never worse than 2× it.
     *
-    * Cache ownership: the essential-score and candidate frames are
-    * `.cache()`d (each feeds 2-3 downstream consumers); release is the
-    * SESSION OWNER's job (Bench/Verify clearCache), the established
+    * Cache ownership: the postings/query-term/essential-score frames
+    * are `.cache()`d (each feeds 2-3 downstream consumers); release is
+    * the SESSION OWNER's job (Bench/Verify clearCache), the established
     * contract.
+    *
+    * EAGER construction (round-17 advice, documented): building this
+    * frame runs real Spark work — one job that fills the postings/
+    * essential-score caches and collects the per-query routing metadata
+    * (θ, bound, open — one row per query), plus one job collecting the
+    * top-k-bounded candidate set when any query prunes. Plan-only
+    * consumers (Plans audit, deferred-execution callers) pay that
+    * corpus pass at construction time. Both collects are of frames the
+    * round-17 plan already collected to the driver as broadcast-
+    * exchange inputs — same driver-memory class, ~10 fewer scheduler
+    * rounds per invocation (round 18, guide §2.6).
     */
   /** The impact-split scaffolding [[bm25TopKImpact]] routes work with:
-    * `qt` (qterms + analytic per-posting upper bound), the
-    * essential/non-essential split, the exact essential partial scores
-    * `sE` (cached), and `qmeta` — one row per query with θ (k-th
-    * essential score, null ⇒ <k hits), the non-essential mass bound,
-    * and the `open` routing flag. private[graft] so the spec can
-    * assert the prune actually ENGAGES on a Zipfian fixture (equality
-    * alone would hold vacuously if every query routed open).
+    * `qt` (qterms + analytic per-posting upper bound), its
+    * essential/non-essential split (`qEss`/`qNon`), the exact essential
+    * partial scores `sE` (distributed, lazy), the pruned-query
+    * candidate pairs `candE`, and `qmeta` — one row per query with θ
+    * (k-th essential score, null ⇒ <k hits), the non-essential mass
+    * bound, and the `open` routing flag. Since round 18 every frame
+    * except `sE` is a LocalRelation: the query side is broadcast-sized
+    * BY DESIGN, so the whole scaffolding (upper bounds, essential
+    * split, bounds, θ routing, candidate screens) is computed from two
+    * driver collects instead of ~11 tiny-frame exchanges — measured at
+    * sf0.1, the r17 spelling spent ~24 scheduler rounds on frames of
+    * ≤ a few hundred rows (guide §2.6: fewer, fatter stages). qmeta is
+    * private[graft] so the spec can assert the prune actually ENGAGES
+    * on a Zipfian fixture (equality alone would hold vacuously if
+    * every query routed open).
     */
   private[graft] case class Bm25ImpactParts(qt: DataFrame, qEss: DataFrame,
-      qNon: DataFrame, sE: DataFrame, qmeta: DataFrame)
+      qNon: DataFrame, sE: DataFrame, candE: DataFrame, qmeta: DataFrame)
 
   private[graft] def bm25ImpactParts(parts: Bm25Parts, k1: Double, b: Double,
       k: Int, essTerms: Int): Bm25ImpactParts = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{BooleanType, LongType, StructField, StructType}
     val tf = parts.tf
-    val c = contribExpr(k1, b)
+    val session = tf.sparkSession
+    def local(rows: Seq[Row], schema: StructType): org.apache.spark.sql.DataFrame =
+      session.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+
+    // ---- pass 1 (one job): collect the query-term frame ----
+    // qterms is broadcast-sized BY DESIGN (fixed query count × bounded
+    // per-doc vocabulary) and round 17's plan already collected it to
+    // the driver as the input of several broadcast exchanges. Collect
+    // it ONCE instead (filling the `tf` cache on its lineage — `dfs`
+    // reads tf — so no later consumer races the lazy fill, the x65
+    // lesson) and compute the entire query-side scaffolding in plain
+    // Scala: the r17 spelling ran the upper bound, the essential-split
+    // window (twice — qEss and qNon each re-evaluated it), the θ
+    // window, the bound aggregate and three qmeta joins as SEPARATE
+    // shuffled jobs over ≤ a few-hundred-row frames — ~24 scheduler
+    // rounds, ~5s of pure per-stage floor at sf0.1 while the plain
+    // spelling's whole query runs in ~1.6s (ImpactProbe, round 18).
+    val qSchema = parts.qterms.schema // (tid, qid, df, n, sl)
+    val iTid = qSchema.fieldIndex("tid"); val iQid = qSchema.fieldIndex("qid")
+    val iDf = qSchema.fieldIndex("df"); val iN = qSchema.fieldIndex("n")
+    val qtRows = parts.qterms.collect()
     // analytic upper bound on any single posting's contribution:
     // idf·tf_sat < idf·(k1+1), and floor is monotone, so c ≤ ub per
-    // posting — from df alone.
-    // EAGER-pinned (round 17): qt is broadcast-sized (one row per
-    // (query, term)) but its subtree contains `stats` — a full corpus
-    // tokenize + 1-row aggregate that the cached `tf` does NOT cover —
-    // and the impact scaffolding references qt (directly or via qmeta)
-    // from ~8 consumer subtrees. Unpinned, the sf0.1 plan held 120
-    // parquet scans / 327 exchanges and re-ran the corpus tokenize
-    // once per copy — measured 11.2s vs 2.1s for the plain path on the
-    // same corpus; above the auto crossover every extra copy is a full
-    // corpus pass. cache()+eager fill, NOT localCheckpoint: a
-    // checkpoint swaps the logical plan for a per-invocation RDD scan,
-    // which would break the auto≡forced plan-identity pin
-    // (RetrievalSpec) — the cache substitutes at physical planning and
-    // leaves the logical plan byte-identical. The count() fills the
-    // cache before the concurrent broadcast builds can race the lazy
-    // fill (the x65 double-materialization lesson). Release is the
-    // session owner's clearCache, as with `tf`.
-    val qt = parts.qterms.withColumn("ub",
-      floor(idfExpr * lit(k1 + 1) * lit(1e6)))
-      .cache()
-    qt.count()
-    // essential split: per query the essTerms highest-impact terms
+    // posting — from df alone. Replicated BIT-EXACTLY from the Spark
+    // spelling floor(idfExpr · lit(k1+1) · lit(1e6)): same IEEE op
+    // sequence on the same JVM doubles — (n−df) integer subtract, cast,
+    // +0.5, divide, ·(k1+1), ·1e6, Math.floor — so the driver-computed
+    // bound can never fall below a Spark-computed contribution (pruning
+    // soundness depends on ub ≥ c; a different association order could
+    // differ in the last ulp and prune a θ-tying doc).
+    def ubOf(r: Row): Long = {
+      val idf = ((r.getLong(iN) - r.getLong(iDf)).toDouble + 0.5) /
+        (r.getLong(iDf).toDouble + 0.5)
+      math.floor(idf * (k1 + 1) * 1e6).toLong
+    }
+    // deterministic driver ordering: the LocalRelation rows become plan
+    // literals, and the auto≡forced plan-identity spec compares
+    // canonicalized plans — an unsorted collect would leak shuffle
+    // arrival order into the plan. qid is the caller's id type (not
+    // necessarily long), so order by its string form — any stable total
+    // order works, values are unaffected.
+    def qkey(v: Any): String = String.valueOf(v)
+    val sorted = qtRows.map(r => (r, ubOf(r)))
+      .sortBy { case (r, _) => (qkey(r.get(iQid)), r.getLong(iTid)) }
+    // essential split per query: the essTerms highest-impact terms
     // (ub DESC, tid ASC — deterministic). The OUTPUT is split-
     // invariant; the split only routes work, which the equality spec
-    // exploits by sweeping essTerms
-    val essW = Window.partitionBy("qid").orderBy(col("ub").desc, col("tid").asc)
-    val qtRanked = qt.withColumn("__r", row_number().over(essW))
-    val qEss = qtRanked.filter(col("__r") <= essTerms).drop("__r")
-    val qNon = qtRanked.filter(col("__r") > essTerms).drop("__r")
-    // exact partial scores over the essential (short) posting lists;
-    // cached: feeds θ, the candidate filter, and the final assembly
+    // exploits by sweeping essTerms.
+    val byQid = sorted.groupBy { case (r, _) => r.get(iQid) }
+      .toSeq.sortBy { case (q, _) => qkey(q) }
+    val essB = Seq.newBuilder[Row]; val nonB = Seq.newBuilder[Row]
+    val boundsB = Seq.newBuilder[(Any, Long)]
+    byQid.foreach { case (q, rows) =>
+      val ranked = rows.sortBy { case (r, ub) => (-ub, r.getLong(iTid)) }
+      val (ess, non) = ranked.splitAt(essTerms)
+      essB ++= ess.map { case (r, ub) => Row.fromSeq(r.toSeq :+ ub) }
+      nonB ++= non.map { case (r, ub) => Row.fromSeq(r.toSeq :+ ub) }
+      // Σ non-essential ub — exact long addition, as Spark's sum(long)
+      boundsB += (q -> non.iterator.map(_._2).sum)
+    }
+    val qtSchema = StructType(qSchema.fields :+
+      StructField("ub", LongType, nullable = false))
+    val essRows = essB.result(); val nonRows = nonB.result()
+    val qEss = local(essRows, qtSchema)
+    val qNon = local(nonRows, qtSchema)
+    val qt = local(essRows ++ nonRows, qtSchema)
+    val qidField = qSchema("qid")
+
+    // exact partial scores over the essential (short) posting lists —
+    // the one genuinely corpus-sized frame here; distributed and LAZY
+    // (not cached: its only consumer is the single pass-2 job below —
+    // r17 cached it for three consumers that no longer exist)
+    val c = contribExpr(k1, b)
     val sE = tf.join(broadcast(qEss), Seq("tid"))
       .filter(col("nid") =!= col("qid"))
       .select(col("qid"), col("nid"), c.as("c"))
       .groupBy("qid", "nid").agg(sum(col("c")).as("s_e"))
-      .cache()
+
+    // ---- pass 2 (one job): θ + candidate screen in ONE window pass ----
     // θ = the k-th best essential partial score per query (absent ⇒ <k
-    // essential hits ⇒ no pruning); bound = Σ non-essential ub
+    // essential hits ⇒ no pruning); a doc outside the essential
+    // candidates tops out at 0 + bound, an essential-scored doc at
+    // s_e + bound — so rows are collected when they carry θ information
+    // (rn ≤ k) or survive the ceiling test (the r17 candE filter,
+    // verbatim). Both window functions share the qid partitioning, so
+    // this is ONE exchange where r17 ran the θ window, the candidate
+    // join and two candidate-screen broadcast builds as separate jobs.
+    val bounds = boundsB.result()
+    val boundL = local(
+      bounds.map { case (q, bd) => Row(q, bd) },
+      StructType(Seq(qidField,
+        StructField("bound", LongType, nullable = false))))
     val thetaW = Window.partitionBy("qid").orderBy(col("s_e").desc, col("nid").asc)
-    val theta = sE.withColumn("__tr", row_number().over(thetaW))
-      .filter(col("__tr") === k).select(col("qid"), col("s_e").as("theta"))
-    val bound = qNon.groupBy("qid").agg(sum(col("ub")).as("bound"))
-    val qmeta = qt.select("qid").distinct()
-      .join(theta, Seq("qid"), "left")
-      .join(bound, Seq("qid"), "left")
-      .select(col("qid"), col("theta"),
-        coalesce(col("bound"), lit(0L)).as("bound"))
-      // open = pruning cannot engage for this query: fewer than k
-      // essential hits, or the non-essential mass alone could reach θ
-      .withColumn("open", col("theta").isNull || col("bound") >= col("theta"))
-      // one row per query, consumed by three routing subtrees (open
-      // filter, candidate screen, non-essential screen): pin it so the
-      // θ window over the cached sE runs once, not once per consumer
-      // (cache + eager fill for the same plan-identity reason as qt)
-      .cache()
-    qmeta.count()
-    Bm25ImpactParts(qt, qEss, qNon, sE, qmeta)
+    val picked: Array[Row] =
+      if (qtRows.isEmpty) Array.empty
+      else sE.join(broadcast(boundL), Seq("qid"))
+        .withColumn("__rn", row_number().over(thetaW))
+        .withColumn("__theta",
+          max(when(col("__rn") === k, col("s_e")))
+            .over(Window.partitionBy("qid")))
+        .filter(col("__rn") <= k ||
+          (col("__theta").isNotNull && col("bound") < col("__theta") &&
+            col("s_e") + col("bound") >= col("__theta")))
+        .select(col("qid"), col("nid"), col("s_e"), col("__rn"), col("__theta"))
+        .collect()
+
+    // ---- driver routing: θ/open per query, candidate set ----
+    val thetaMap: Map[Any, Long] = picked.iterator
+      .filter(r => r.getInt(3) == k).map(r => r.get(0) -> r.getLong(2)).toMap
+    val boundMap: Map[Any, Long] = bounds.toMap
+    def openQ(q: Any): Boolean =
+      !thetaMap.contains(q) || boundMap(q) >= thetaMap(q)
+    // candidates: essential-scored docs of PRUNED queries whose ceiling
+    // s_e + bound still reaches θ (ties kept — prune only strictly
+    // below). For a pruned query every collected row qualifies: rn ≤ k
+    // rows have s_e ≥ θ, the rest passed the ceiling filter above.
+    // nid carries the same id type as qid (both are idCol values)
+    val candSchema = StructType(Seq(qidField,
+      StructField("nid", qidField.dataType, nullable = true),
+      StructField("s_e", LongType, nullable = true)))
+    val candRows = picked.iterator
+      .filter(r => !openQ(r.get(0)))
+      .map(r => Row(r.get(0), r.get(1), r.getLong(2))).toSeq
+      .sortBy(r => (qkey(r.get(0)), qkey(r.get(1))))
+    val candE = local(candRows, candSchema)
+    // qmeta: one row per query — the spec's prune-engagement probe and
+    // the assembly's routing input (driver-local rows, no job to read)
+    val qmetaSchema = StructType(Seq(qidField,
+      StructField("theta", LongType, nullable = true),
+      StructField("bound", LongType, nullable = false),
+      StructField("open", BooleanType, nullable = false)))
+    val qmetaRows = byQid.map { case (q, _) =>
+      Row(q, thetaMap.get(q).map(java.lang.Long.valueOf).orNull,
+        boundMap(q), openQ(q))
+    }
+    val qmeta = local(qmetaRows, qmetaSchema)
+    Bm25ImpactParts(qt, qEss, qNon, sE, candE, qmeta)
   }
 
   /** `queryPred` contract: id-only — see [[bm25TopK]]. */
@@ -339,39 +437,62 @@ object Retrieval {
     val tf = parts.tf
     val c = contribExpr(k1, b)
     val impact = bm25ImpactParts(parts, k1, b, k, essTerms)
-    val qt = impact.qt
-    val qNon = impact.qNon
-    val sE = impact.sE
-    val qmeta = impact.qmeta
+    // every scaffolding frame except sE is a LocalRelation (driver-local
+    // rows — see bm25ImpactParts), so the routing below reads them
+    // without jobs, arms with no queries are dropped from the plan
+    // entirely, and every broadcast build in the assembly is job-free.
+    // Rows are driver-sorted, so the literal screens — and with them
+    // the canonicalized plan the auto≡forced identity spec compares —
+    // are deterministic across invocations.
+    val metaRows = impact.qmeta.collect() // local rows: no job
+    val openQids = metaRows.filter(_.getBoolean(3)).map(_.get(0)).toSeq
+    val anyPruned = metaRows.exists(!_.getBoolean(3))
     // open queries: the plain exact join over ALL their terms (≡ x70
     // restricted to those queries)
-    val qtOpen = qt.join(broadcast(qmeta.filter(col("open")).select("qid")),
-      Seq("qid"))
-    val openScored = tf.join(broadcast(qtOpen), Seq("tid"))
-      .filter(col("nid") =!= col("qid"))
-      .select(col("qid"), col("nid"), c.as("c"))
-    // pruned queries: candidates are essential-scored docs whose ceiling
-    // s_e + bound still reaches θ (ties kept: prune only strictly-below)
-    val prunedMeta = qmeta.filter(!col("open"))
-    val candE = sE.join(broadcast(prunedMeta), Seq("qid"))
-      .filter(col("s_e") + col("bound") >= col("theta"))
-      .select("qid", "nid", "s_e")
-      .cache()
-    // the common terms' long posting lists meet ONLY the candidate docs:
-    // nid screen first (cuts the posting rows), pair screen second
-    // (a doc may be candidate for one query but not another)
-    val qNonPruned = qNon.join(broadcast(prunedMeta.select("qid")), Seq("qid"))
-    val nScored = tf.join(broadcast(candE.select("nid").distinct()), Seq("nid"))
-      .join(broadcast(qNonPruned), Seq("tid"))
-      .filter(col("nid") =!= col("qid"))
-      .join(broadcast(candE.select("qid", "nid")), Seq("qid", "nid"))
-      .select(col("qid"), col("nid"), c.as("c"))
-    // assemble: every candidate pair contributes its exact essential
-    // score once (as a c-row) plus its non-essential contributions —
-    // summed by the same topK aggregate the open path uses
-    val prunedScored = candE.select(col("qid"), col("nid"), col("s_e").as("c"))
-      .unionAll(nScored)
-    topKByScore(prunedScored.unionAll(openScored), k)
+    val openScored: Option[DataFrame] =
+      if (openQids.isEmpty) None
+      else Some(tf
+        .join(broadcast(impact.qt.filter(col("qid").isin(openQids: _*))),
+          Seq("tid"))
+        .filter(col("nid") =!= col("qid"))
+        .select(col("qid"), col("nid"), c.as("c")))
+    // pruned queries: the common terms' long posting lists meet ONLY
+    // the candidate docs — nid screen first (cuts the posting rows),
+    // pair screen second (a doc may be candidate for one query but not
+    // another). All three screens are LocalRelations built from the
+    // collected candidate rows (the r17 plan collected the same rows to
+    // the driver twice, as broadcast-exchange inputs).
+    val prunedScored: Option[DataFrame] = if (!anyPruned) None else {
+      val candE = impact.candE
+      val candRows = candE.collect() // local rows: no job
+      val session = tf.sparkSession
+      def ids(vals: Seq[Any], name: String) = session.createDataFrame(
+        java.util.Arrays.asList(vals.map(org.apache.spark.sql.Row(_)): _*),
+        org.apache.spark.sql.types.StructType(Seq(
+          candE.schema(name).copy(name = name))))
+      val candNids = ids(candRows.map(_.get(1)).distinct.toSeq, "nid")
+      val candPairs = candE.select("qid", "nid")
+      val prunedQids = metaRows.filterNot(_.getBoolean(3)).map(_.get(0)).toSeq
+      val qNonPruned = impact.qNon.filter(col("qid").isin(prunedQids: _*))
+      val nScored = tf.join(broadcast(candNids), Seq("nid"))
+        .join(broadcast(qNonPruned), Seq("tid"))
+        .filter(col("nid") =!= col("qid"))
+        .join(broadcast(candPairs), Seq("qid", "nid"))
+        .select(col("qid"), col("nid"), c.as("c"))
+      // assemble: every candidate pair contributes its exact essential
+      // score once (as a c-row) plus its non-essential contributions —
+      // summed by the same topK aggregate the open path uses
+      Some(candE.select(col("qid"), col("nid"), col("s_e").as("c"))
+        .unionAll(nScored))
+    }
+    val scored = (openScored.toSeq ++ prunedScored.toSeq)
+      .reduceOption(_ unionAll _)
+      // no queries at all (empty corpus / empty sample): an empty frame
+      // with the contract (qid, nid, c) shape keeps topKByScore's
+      // output schema intact
+      .getOrElse(impact.sE.select(col("qid"), col("nid"), col("s_e").as("c"))
+        .filter(lit(false)))
+    topKByScore(scored, k)
   }
 
   /** Query-batch-partitioned exact BM25 — the scratch-bounding knob the
@@ -427,23 +548,6 @@ object Retrieval {
     * Deletion goes through the path's Hadoop FileSystem, so both
     * shapes clean up.
     */
-  /** Bytes currently held by Spark's on-disk scratch (`spark-` and
-    * `blockmgr-` trees under java.io.tmpdir) — the same walk the Bench
-    * protocol samples. Used to decide whether the inter-batch GC nudge
-    * has anything to reclaim; one walk is ~ms next to the multi-second
-    * batches it brackets.
-    */
-  private def scratchBytesNow(): Long = {
-    def size(f: java.io.File): Long =
-      if (f.isFile) f.length
-      else Option(f.listFiles).map(_.iterator.map(size).sum).getOrElse(0L)
-    val tmp = new java.io.File(System.getProperty("java.io.tmpdir", "/tmp"))
-    Option(tmp.listFiles).map(_.iterator
-      .filter(f => f.getName.startsWith("spark-") ||
-        f.getName.startsWith("blockmgr-"))
-      .map(size).sum).getOrElse(0L)
-  }
-
   def bm25TopKBatched(corpus: DataFrame, idCol: String, textCol: String,
                       queryPred: Column, batches: Int, k1: Double = 1.2,
                       b: Double = 0.75, k: Int = 5,
@@ -487,11 +591,15 @@ object Retrieval {
         // is gone before batch i+1 needs the space. CONDITIONAL (round
         // 17): a full GC in a large heap costs 0.1-1s, and at sf-scale
         // the 4-batch entry paid 4 of them to reclaim ~20 MB; the walk
-        // below (~ms) skips the nudge when the spark scratch trees hold
-        // under 1 GiB — provably nothing worth a stop-the-world pause —
-        // while every at-scale batch (multi-GB index shuffles, the
-        // round-14 disk-wall regime) still nudges unconditionally.
-        if (scratchBytesNow() > (1L << 30)) System.gc()
+        // (~ms, graft.Scratch — roots from spark.local.dir per the
+        // round-17 advice) skips the nudge when the visible scratch
+        // trees hold under 1 GiB. When NO scratch tree is visible at
+        // all (cluster mode: shuffle scratch lives on executors) the
+        // nudge runs UNCONDITIONALLY — failing toward cleanup, never
+        // silently re-opening the round-14 disk wall.
+        val (scratchNow, scratchSeen) =
+          graft.Scratch.bytesAndFound(sc.getConf)
+        if (!scratchSeen || scratchNow > (1L << 30)) System.gc()
         pinned
       }
       results.reduce(_ unionAll _)

@@ -29,6 +29,55 @@ class ExtensionsSpec extends SparkSpec {
     assert(!pairs.exists(p => p._2 == 4))             // unrelated excluded
   }
 
+  test("fp-keyed pair join equals an independent in-memory Jaccard over a " +
+      "seeded random corpus (the collision-safe residual never drops or " +
+      "widens declared output)") {
+    // the r18 pair join leads its key list with a 64-bit shingle
+    // fingerprint and keeps the exact-string equality as the residual
+    // conjunct — this pins the whole operator against a reference
+    // computed OUTSIDE Spark (plain Scala sets), so any fp-keying
+    // mistake (collision merging, residual dropped, df-cap drift)
+    // surfaces as a value diff, not a plausible-looking plan
+    val rnd = new scala.util.Random(1337)
+    def word() = s"w${rnd.nextInt(30)}"
+    val base = (0 until 60).map { i =>
+      (i.toLong, (0 until 6 + rnd.nextInt(10)).map(_ => word()).mkString(" "))
+    }
+    val fixture = base.map { case (i, t) =>
+      if (i % 7 == 6) (i, base((i - 1).toInt)._2) else (i, t)
+    }
+    val docsDf = fixture.toDF("doc_id", "text").repartition(5)
+    val k = 3
+    val got = NearDup.jaccardPairs(docsDf, "doc_id", "text", k,
+        threshold = 0.3, maxDocFreq = Some(8))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getAs[Double]("jaccard"))).toSet
+    // independent reference: shingle sets + df-cap + pairwise Jaccard
+    // in plain Scala over the same fixture (tokens() = lower, trim,
+    // whitespace split, empties dropped)
+    def toks(t: String) = t.trim.toLowerCase.split("\\s+").toSeq.filter(_.nonEmpty)
+    val shSets = fixture.map { case (id, t) =>
+      val tk = toks(t)
+      id -> (if (tk.length < k) Set.empty[String]
+        else tk.sliding(k).map(_.mkString(" ")).toSet)
+    }.toMap
+    val df = shSets.values.flatten.groupBy(identity).map { case (s, o) =>
+      s -> shSets.count(_._2.contains(s))
+    }
+    val capped = shSets.map { case (id, s) =>
+      id -> s.filter(g => df(g) <= 8)
+    }
+    val want = (for {
+      a <- capped.keys; b <- capped.keys if a < b
+      common = (capped(a) & capped(b)).size if common > 0
+      j = common.toDouble / (capped(a).size + capped(b).size - common)
+      jr = BigDecimal(j).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      if jr >= 0.3
+    } yield (a, b, common.toLong, jr)).toSet
+    assert(got == want, s"fp-keyed join diverged:\n got  $got\n want $want")
+  }
+
   test("minhash LSH finds the exact-dup pair with verified jaccard 1.0") {
     val pairs = NearDup.minhashLshPairs(dupDocs, "doc_id", "text").collect()
     assert(pairs.exists(r => r.getLong(0) == 1 && r.getLong(1) == 2 &&
@@ -40,6 +89,24 @@ class ExtensionsSpec extends SparkSpec {
       .collect()
     assert(pairs.exists(r => r.getLong(0) == 1 && r.getLong(1) == 2 &&
       r.getAs[Int]("hamming") == 0))
+  }
+
+  test("simhashBothFromToks: the fused two-family aggregate is bit-identical " +
+      "to each family's standalone signature (x58's shared-pass seam)") {
+    val toks = dupDocs.select(col("doc_id").as("id"),
+      graft.text.TextAnalysis.tokens(col("text")).as("toks"))
+    def sigMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val both = NearDup.simhashBothFromToks(toks)
+    assert(sigMap(both.select(col("id"), col("sim_port"))) ==
+      sigMap(NearDup.simhashFromToks(toks, portable = true)),
+      "fused portable signatures diverged from the standalone aggregate")
+    assert(sigMap(both.select(col("id"), col("sim_prod"))) ==
+      sigMap(NearDup.simhashFromToks(toks, portable = false)),
+      "fused production signatures diverged from the standalone aggregate")
+    // and the toks seam itself equals the (df, idCol, textCol) spelling
+    assert(sigMap(NearDup.simhashFromToks(toks, portable = true)) ==
+      sigMap(NearDup.simhash(dupDocs, "doc_id", "text", portable = true)))
   }
 
   test("portable (md5) near-dup variants keep the dedup contract and stay sign-safe") {

@@ -193,6 +193,42 @@ class TrainingDataOpsSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("funnelFused equals the sequential funnel, and the scratch gate " +
+      "routes fused below the budget / sequential above it") {
+    val eval = Seq((100L, "completely unrelated evaluation material here"))
+      .toDF("doc_id", "text")
+    val shared = "the quick brown fox jumps over a lazy"
+    val train = Seq(
+      (1L, s"$shared dog and the first story ends happily today"),
+      (2L, s"$shared dog and the second story ends sadly today"),
+      (5L, "der hund und die katze das ein haus"),
+      (6L, "tiny doc"))
+      .toDF("doc_id", "text").withColumn("source", lit("web"))
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1).toSeq
+    val seqF = rows(new graft.pipelines.CorpusBuildV2(train, eval,
+      "doc_id", "text", "source").funnel)
+    spark.catalog.clearCache()
+    val fused = rows(new graft.pipelines.CorpusBuildV2(train, eval,
+      "doc_id", "text", "source").funnelFused)
+    assert(fused == seqF, s"fused funnel diverged: $fused vs $seqF")
+    spark.catalog.clearCache()
+    // the gate: the measured one-job rule (72 GB at 5M docs) fits a
+    // 48 GiB budget only below ~3.3M docs; no nDocs ⇒ sequential
+    import graft.pipelines.Curation._
+    assert(funnelOneJobScratchEstimateMb(5000000L) > funnelDefaultScratchBudgetMb)
+    assert(funnelOneJobScratchEstimateMb(1000000L) <= funnelDefaultScratchBudgetMb)
+    // and the routed entry stays output-identical under both routes
+    val viaFused = rows(curationFunnel(train, eval, "doc_id", "text",
+      "source", nDocs = Some(4L)))
+    spark.catalog.clearCache()
+    val viaSeq = rows(curationFunnel(train, eval, "doc_id", "text",
+      "source", nDocs = Some(100000000L)))
+    assert(viaFused == seqF && viaSeq == seqF)
+    spark.catalog.clearCache()
+  }
+
   test("curationFunnel counts every stage and reconciles with the build") {
     val eval = Seq((100L, "completely unrelated evaluation material here"))
       .toDF("doc_id", "text")
