@@ -96,25 +96,25 @@ object NearDup {
           .filter(col("__df") > cap).select("shingle")
         src.join(hot, Seq("shingle"), "left_anti")
     }
-    // __fp: 64-bit engine fingerprint of the shingle, leading the pair
-    // join's key list (round 18, guide §2.3 — narrow shuffle/sort keys).
-    // The exact-string equality stays IN the join as the residual
-    // conjunct, so a fingerprint collision can only widen the probed
-    // candidates, never change the declared output (fp is a function of
-    // the shingle: string equality implies fp equality, so adding the
-    // fp key drops no true pair either). In the sort-merge regime the
-    // sort compares 8-byte fps first and touches the string only on fp
-    // ties; the fingerprint is internal — never in the output, so the
-    // DuckDB oracle needs no twin of it. Computed BEFORE the cache so
-    // each index row is hashed once, not once per join side.
-    val withFp = filtered.withColumn("__fp", xxhash64(col("shingle")))
-    val idx = if (cacheIndex) withFp.cache() else withFp
+    // Fingerprint join keys: tried and REVERTED (round 18). A 64-bit
+    // xxhash64(shingle) leading the pair join's key list — with the
+    // exact-string equality kept as the residual conjunct, so output
+    // was provably unchanged — measured FLAT at sf0.1 (every pair join
+    // is a broadcast there; key bytes can't show) and a regression at
+    // v2-500k in the sort-merge regime (x31 69.4 → 153.8 s, x02
+    // 119.8 → 143.7 s, paired same-boot arms): the string still ships
+    // as the residual payload, so no exchange bytes were saved, the
+    // sort's 8-byte key-prefix comparison already resolves most string
+    // comparisons early, and keying on (fp, shingle) stops the pair
+    // join from sharing the hot-cap aggregate's shingle partitioning.
+    // Guide §1.1's "fresh implementation of the ideal plan is usually
+    // slower" — the string-keyed join stays.
+    val idx = if (cacheIndex) filtered.cache() else filtered
     val sizes = idx.groupBy("id").agg(count(lit(1)).as("n_sh"))
     val probe = probePred.map(idx.filter).getOrElse(idx)
     val inter = probe.as("a")
-      .join(idx.as("b"), col("a.__fp") === col("b.__fp") &&
-        col("a.id") < col("b.id") &&
-        col("a.shingle") === col("b.shingle"))
+      .join(idx.as("b"), col("a.shingle") === col("b.shingle") &&
+        col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
       .agg(count(lit(1)).as("n_common"))
     inter

@@ -29,15 +29,14 @@ class ExtensionsSpec extends SparkSpec {
     assert(!pairs.exists(p => p._2 == 4))             // unrelated excluded
   }
 
-  test("fp-keyed pair join equals an independent in-memory Jaccard over a " +
-      "seeded random corpus (the collision-safe residual never drops or " +
-      "widens declared output)") {
-    // the r18 pair join leads its key list with a 64-bit shingle
-    // fingerprint and keeps the exact-string equality as the residual
-    // conjunct — this pins the whole operator against a reference
-    // computed OUTSIDE Spark (plain Scala sets), so any fp-keying
-    // mistake (collision merging, residual dropped, df-cap drift)
-    // surfaces as a value diff, not a plausible-looking plan
+  test("pair join equals an independent in-memory Jaccard over a seeded " +
+      "random corpus (value-level pin for any future join-key respelling)") {
+    // written for the r18 fingerprint-key experiment (reverted — see
+    // jaccardPairsOver) and kept: it pins the whole operator against a
+    // reference computed OUTSIDE Spark (plain Scala sets), so any
+    // future key respelling mistake (collision merging, residual
+    // dropped, df-cap drift) surfaces as a value diff, not a
+    // plausible-looking plan
     val rnd = new scala.util.Random(1337)
     def word() = s"w${rnd.nextInt(30)}"
     val base = (0 until 60).map { i =>
